@@ -1,0 +1,164 @@
+"""DataFrame-level indicator transforms (Spark-first orchestration).
+
+The reference exposes ``sma/ema/rsi/macd`` as DataFusion *window UDFs*
+evaluated over whole partitions (``src/functions/sma.rs:66-124``,
+``uses_window_frame() == false``). Spark's frame-based ``WindowExec``
+cannot express these recursive scans, so the idiomatic mapping is:
+
+- **SMA fast path** — a plain windowed ``avg`` gated by a windowed
+  ``count`` (pure Catalyst, whole-stage codegen, no Python). Exact
+  whenever the value column has no NULLs (the null-skipping reference
+  semantics only diverge on NULL inputs).
+- **Exact path for all four** — one ``groupBy(partition).applyInPandas``
+  pass that sorts each group by the order columns and appends every
+  requested indicator column using the pure-pandas kernels. Arrow
+  batches both directions; one shuffle total no matter how many
+  indicators are requested.
+
+Scale notes (100 TB):
+- The only shuffle is the groupBy on the partition keys; all
+  indicators for a series are computed in that single pass.
+- Per-group memory is O(series length). Partition keys should be
+  fine-grained (e.g. ``(ticker,)`` or ``(ticker, year)``); the driver
+  never collects.
+- Requesting a *global* series (no partition key) is a 1-task
+  bottleneck by definition of the semantics; we allow it but warn.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from .kernels import ema_kernel, macd_kernel, rsi_kernel, sma_kernel
+
+__all__ = ["IndicatorSpec", "sma", "ema", "rsi", "macd", "with_indicators",
+           "sma_native"]
+
+
+@dataclass(frozen=True)
+class IndicatorSpec:
+    """One requested indicator column."""
+
+    kind: str  # 'sma' | 'ema' | 'rsi' | 'macd'
+    window: int | None
+    out_col: str
+
+    def __post_init__(self):
+        if self.kind not in ("sma", "ema", "rsi", "macd"):
+            raise ValueError(f"unknown indicator kind: {self.kind}")
+        if self.kind != "macd" and (self.window is None or self.window <= 0):
+            raise ValueError(f"{self.kind} requires a positive window")
+
+
+def sma(window: int, out_col: str | None = None) -> IndicatorSpec:
+    return IndicatorSpec("sma", window, out_col or f"sma_{window}")
+
+
+def ema(window: int, out_col: str | None = None) -> IndicatorSpec:
+    return IndicatorSpec("ema", window, out_col or f"ema_{window}")
+
+
+def rsi(window: int, out_col: str | None = None) -> IndicatorSpec:
+    return IndicatorSpec("rsi", window, out_col or f"rsi_{window}")
+
+
+def macd(out_col: str = "macd") -> IndicatorSpec:
+    return IndicatorSpec("macd", None, out_col)
+
+
+_KERNELS = {
+    "sma": lambda v, spec: sma_kernel(v, spec.window),
+    "ema": lambda v, spec: ema_kernel(v, spec.window),
+    "rsi": lambda v, spec: rsi_kernel(v, spec.window),
+    "macd": lambda v, spec: macd_kernel(v),
+}
+
+
+def with_indicators(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    specs: Iterable[IndicatorSpec],
+) -> DataFrame:
+    """Append indicator columns computed per partition in arrival order.
+
+    ``order_by`` must uniquely order rows within a partition (add a
+    tiebreaker column if the primary sort key can repeat) — otherwise
+    the recursive indicators are not well-defined.
+    """
+    specs = list(specs)
+    if not specs:
+        return df
+    seen = set()
+    for s in specs:
+        if s.out_col in seen or s.out_col in df.columns:
+            raise ValueError(f"duplicate output column: {s.out_col}")
+        seen.add(s.out_col)
+    order_by = list(order_by)
+    partition_by = list(partition_by)
+    if not order_by:
+        raise ValueError("order_by is required: indicator semantics are "
+                         "order-dependent (SURVEY.md §7 hard part 2)")
+
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(s.out_col, DoubleType(), True) for s in specs]
+    )
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort", ignore_index=True)
+        values = pdf[value_col]
+        for s in specs:
+            pdf[s.out_col] = _KERNELS[s.kind](values, s)
+        return pdf
+
+    if partition_by:
+        return df.groupBy(*partition_by).applyInPandas(compute, out_schema)
+    warnings.warn(
+        "with_indicators without partition_by computes a single global "
+        "series on one task — fine for small data, a bottleneck at scale",
+        stacklevel=2,
+    )
+    return (
+        df.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda pdf: compute(pdf.drop(columns="__g")),
+                       StructType([f for f in out_schema.fields]))
+    )
+
+
+def sma_native(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str],
+    window: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Catalyst-native SMA: windowed avg gated by windowed count.
+
+    Bit-for-bit identical to the reference semantics whenever
+    ``value_col`` contains no NULLs; stays entirely in the JVM
+    (whole-stage codegen, no Python workers).
+    """
+    out_col = out_col or f"sma_{window}"
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-(window - 1), 0)
+    )
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.count(value_col).over(w) >= window, F.avg(value_col).over(w)
+        ),
+    )

@@ -1,0 +1,51 @@
+"""Shared series configs + rounding conventions for query/oracle pairs.
+
+Every declared query is built twice from the same config: once as a
+PySpark DataFrame plan and once as ANSI SQL for the DuckDB oracle, so
+the two can never drift structurally. Doubles are rounded to
+``ROUND_DP`` decimals on *both* sides; the recursive indicator math is
+written with identical floating-point expression trees on both sides
+(see ``functions/kernels.py``), so rounded outputs match exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ROUND_DP = 4
+
+
+def round_null(col: Column, dp: int = ROUND_DP) -> Column:
+    """Round, mapping NaN (pandas null marker) to SQL NULL."""
+    return F.when(~F.isnan(col), F.round(col, dp))
+
+
+@dataclass(frozen=True)
+class SeriesCfg:
+    """A (partition key, unique order, value) time-series view of a table."""
+
+    table: str
+    keys: tuple[str, ...]
+    order: tuple[str, ...]  # must be unique within a key partition
+    value: str
+    out_cols: tuple[str, ...]  # identifying columns carried to the output
+
+
+EVENTS_SERIES = SeriesCfg(
+    table="events",
+    keys=("user_id",),
+    order=("ts", "event_id"),
+    value="value",
+    out_cols=("user_id", "event_id", "value"),
+)
+
+ORDERS_SERIES = SeriesCfg(
+    table="orders",
+    keys=("o_custkey",),
+    order=("o_orderdate", "o_orderkey"),
+    value="o_totalprice",
+    out_cols=("o_custkey", "o_orderkey", "o_totalprice"),
+)

@@ -1,0 +1,150 @@
+"""General analytics surface (SURVEY §2.B — the DataFusion built-ins
+the reference exercises via SQL, all expressed as native Catalyst
+plans: projection, filter, hash aggregate, GROUP BY, conditional agg,
+COUNT(DISTINCT), LAG/ROW_NUMBER windows, CTE shapes, ORDER BY/LIMIT,
+date extraction, timestamp arithmetic).
+
+Scale notes: every query here is pure JVM (whole-stage codegen, no
+Python), aggregations are partial (map-side combine) before the
+shuffle, and parquet scans get filter/column pushdown. Top-k avoids
+bare LIMIT-with-ties by ranking with a deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .series import ROUND_DP
+
+US_HOUR = 3_600_000_000
+
+
+def _q_overview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # COUNT / COUNT(DISTINCT) / AVG / MIN / MAX per group
+    # (examples/validate.rs:50-59, multi_asset_class_demo.rs:33-42).
+    df = load(spark, sf_dir, "orders")
+    return (
+        df.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+            F.round(F.avg("o_totalprice"), ROUND_DP).alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+_ORACLE_OVERVIEW_ORDERS = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS cnt,
+       count(DISTINCT o_custkey) AS distinct_customers,
+       round(avg(o_totalprice), {ROUND_DP}) AS avg_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1-shaped pricing summary: filter pushdown + grouped sums.
+    df = load(spark, sf_dir, "lineitem")
+    return (
+        df.filter(F.col("l_quantity") < 45)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), ROUND_DP).alias("avg_qty"),
+            F.round(F.avg("l_discount"), ROUND_DP).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_ORACLE_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), {ROUND_DP}) AS avg_qty,
+       round(avg(l_discount), {ROUND_DP}) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_quantity < 45
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORDER BY / top-k with deterministic ranking (ROW_NUMBER idiom,
+    # benches/financial_functions.rs:27).
+    df = load(spark, sf_dir, "orders")
+    spend = df.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+_ORACLE_TOP_CUSTOMERS = """
+WITH spend AS (
+  SELECT o_custkey,
+         round(sum(o_totalprice), 2) AS total_spend,
+         count(*) AS order_count
+  FROM orders
+  GROUP BY o_custkey
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY total_spend DESC, o_custkey) AS rank
+  FROM spend
+)
+SELECT * FROM ranked WHERE rank <= 20
+"""
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tumbling event-time window (batch form): integer bucket arithmetic
+    # on epoch-ns so Spark and the oracle agree exactly.
+    df = load(spark, sf_dir, "events")
+    # Integer `div`, not float division: epoch-ns (~1.7e18) exceeds the
+    # 2^53 exact-integer range of doubles. Bucketing runs on the us value
+    # (DuckDB reads the nanos parquet column at us precision).
+    bucket = F.expr(f"(ts DIV 1000) DIV {US_HOUR}") * F.lit(3600)
+    return (
+        df.withColumn("hour_start", bucket)
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+            F.round(F.avg("value"), ROUND_DP).alias("avg_value"),
+        )
+    )
+
+
+_ORACLE_EVENTS_HOURLY = f"""
+SELECT (epoch_us(ts) // {US_HOUR}) * 3600 AS hour_start,
+       event_type,
+       count(*) AS cnt,
+       round(sum(value), {ROUND_DP}) AS sum_value,
+       round(avg(value), {ROUND_DP}) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict = {
+    "q_overview_orders": (_q_overview_orders, _ORACLE_OVERVIEW_ORDERS),
+    "q_pricing_summary_lineitem": (_q_pricing_summary, _ORACLE_PRICING_SUMMARY),
+    "q_top_customers": (_q_top_customers, _ORACLE_TOP_CUSTOMERS),
+    "q_events_hourly": (_q_events_hourly, _ORACLE_EVENTS_HOURLY),
+}

@@ -35,8 +35,15 @@ def _ema_fold_sql(list_expr: str, alpha_sql: str) -> str:
     )
 
 
-def oracle_indicator_sql(cfg: SeriesCfg, specs: list[ind.IndicatorSpec]) -> str:
-    """DuckDB SQL computing ``specs`` over the series defined by ``cfg``."""
+def oracle_indicator_sql(
+    cfg: SeriesCfg,
+    specs: list[ind.IndicatorSpec],
+    dp: int | None = ROUND_DP,
+) -> str:
+    """DuckDB SQL computing ``specs`` over the series defined by ``cfg``.
+
+    ``dp=None`` emits unrounded indicator columns (for downstream logic
+    that must filter on raw values, e.g. signal thresholds)."""
     k = ", ".join(cfg.keys)
     o = ", ".join(cfg.order)
     over = f"PARTITION BY {k} ORDER BY {o}"
@@ -98,26 +105,29 @@ def oracle_indicator_sql(cfg: SeriesCfg, specs: list[ind.IndicatorSpec]) -> str:
             )
             cur = f"rsi_{n}_st"
 
+    def rnd(expr: str) -> str:
+        return expr if dp is None else f"round({expr}, {dp})"
+
     out_exprs = list(cfg.out_cols)
     for s in specs:
         if s.kind == "sma":
-            e = (
-                f"CASE WHEN rn >= {s.window} "
-                f"THEN round(raw_{s.out_col}, {ROUND_DP}) END"
-            )
+            e = f"CASE WHEN rn >= {s.window} THEN {rnd(f'raw_{s.out_col}')} END"
         elif s.kind == "ema":
-            e = f"round({_ema_fold_sql('pfx', _alpha_sql(s.window))}, {ROUND_DP})"
+            e = rnd(_ema_fold_sql("pfx", _alpha_sql(s.window)))
         elif s.kind == "macd":
-            e = (
-                f"round({_ema_fold_sql('pfx', '(2.0/13.0)')} - "
-                f"{_ema_fold_sql('pfx', '(2.0/27.0)')}, {ROUND_DP})"
+            e = rnd(
+                f"{_ema_fold_sql('pfx', '(2.0/13.0)')} - "
+                f"{_ema_fold_sql('pfx', '(2.0/27.0)')}"
             )
         else:  # rsi
             n = s.window
             e = (
-                f"CASE WHEN rn >= {n + 1} THEN round("
-                f"CASE WHEN al_{n} = 0.0 THEN 100.0 "
-                f"ELSE 100.0 - (100.0/(1.0 + ag_{n}/al_{n})) END, {ROUND_DP}) END"
+                f"CASE WHEN rn >= {n + 1} THEN "
+                + rnd(
+                    f"CASE WHEN al_{n} = 0.0 THEN 100.0 "
+                    f"ELSE 100.0 - (100.0/(1.0 + ag_{n}/al_{n})) END"
+                )
+                + " END"
             )
         out_exprs.append(f"{e} AS {s.out_col}")
 

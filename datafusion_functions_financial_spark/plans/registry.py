@@ -8,9 +8,9 @@ is pre-validated locally.
 
 from __future__ import annotations
 
-from . import indicator_queries
+from . import analytics, indicator_queries, signals, validate
 
-_MODULES = [indicator_queries]
+_MODULES = [indicator_queries, signals, validate, analytics]
 
 
 def _collect() -> dict:

@@ -1,0 +1,409 @@
+"""Deduplication operators (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding cosine near-dup).
+
+Design for 100 TB:
+- **exact**: hash-groupBy on md5 of normalized text — one shuffle on a
+  short hash key; map-side partial aggregation applies.
+- **n-gram Jaccard**: explode distinct k-shingles -> self-join on the
+  shingle -> count intersections -> filter by threshold. This is the
+  classic exact candidate verification; at scale it MUST be gated by a
+  candidate generator (MinHash LSH below) and by frequency-capping hot
+  shingles, otherwise a common shingle fans out quadratically.
+- **MinHash + LSH**: per-doc signatures from P portable polynomial
+  permutations (pure Catalyst arithmetic, no UDFs), banded into B
+  buckets; candidate pairs share at least one band bucket and are then
+  verified with exact Jaccard. Shuffle cost: one explode of B rows/doc
+  plus a groupBy on (band, key) — linear, not quadratic.
+- **SimHash**: 31-bit vote fingerprint over token hashes; near-dup =
+  small Hamming distance. Pair scan is quadratic here (fine at test
+  scale); at 100 TB block on fingerprint prefixes.
+
+All hash arithmetic is engine-portable (same integer ops in the DuckDB
+oracles) — nothing depends on Spark's internal hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.series import ROUND_DP
+from ..sources.tables import load
+from .text import MOD, poly_hash_duck, poly_hash_spark
+
+PRIME = 2_147_483_647  # 2^31 - 1, modulus for minhash permutations
+SHINGLE_K = 5
+
+# Deterministic permutation constants (textbook LCG-style, fixed seed).
+
+
+def _perm_constants(n: int) -> list[tuple[int, int]]:
+    out = []
+    a, b = 1103515245, 12345
+    x = 42
+    for _ in range(n):
+        x = (a * x + b) % PRIME
+        pa = x | 1  # odd multiplier
+        x = (a * x + b) % PRIME
+        out.append((pa, x))
+    return out
+
+
+N_PERMS = 16
+BAND_SIZE = 4  # -> 4 bands
+PERMS = _perm_constants(N_PERMS)
+
+# --- shared expression fragments ------------------------------------------
+
+_NORM_SPARK = "regexp_replace(lower(trim({t})), '\\\\s+', ' ')"
+_NORM_DUCK = "regexp_replace(lower(trim({t})), '\\s+', ' ', 'g')"
+
+
+def _shingles_spark(t: str) -> str:
+    n = _NORM_SPARK.format(t=t)
+    return (
+        f"array_distinct(transform(sequence(1, greatest(length({n}) - "
+        f"{SHINGLE_K - 1}, 1)), i -> substring({n}, i, {SHINGLE_K})))"
+    )
+
+
+def _shingles_duck(t: str) -> str:
+    n = _NORM_DUCK.format(t=t)
+    return (
+        f"list_distinct(list_transform(range(1, greatest(length({n}) - "
+        f"{SHINGLE_K - 1}, 1) + 1), i -> substring({n}, i, {SHINGLE_K})))"
+    )
+
+
+# ==========================================================================
+# Exact dedup
+# ==========================================================================
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) texts; keep the smallest id."""
+    norm = _NORM_SPARK.format(t=text_col)
+    return (
+        df.selectExpr(f"{id_col} AS doc_id", f"md5({norm}) AS text_hash")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_DEDUP_EXACT = f"""
+SELECT md5({_NORM_DUCK.format(t='text')}) AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+# ==========================================================================
+# n-gram Jaccard near-dup pairs (exact verification path)
+# ==========================================================================
+
+JACCARD_THRESHOLD = 0.8
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    sh = df.selectExpr(
+        f"{id_col} AS doc_id", f"explode({_shingles_spark(text_col)}) AS s"
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = shingle_pairs_jaccard(load(spark, sf_dir, "documents"))
+    return out.selectExpr(
+        "id_a", "id_b", f"round(jaccard, {ROUND_DP}) AS jaccard"
+    )
+
+
+_ORACLE_DEDUP_NGRAM = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_duck('text')}) AS s
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.inter / (sa.n + sb.n - i.inter), {ROUND_DP}) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ==========================================================================
+# MinHash signatures + LSH banding
+# ==========================================================================
+
+
+def _minhash_cols_spark(t: str) -> list[str]:
+    hashes = (
+        f"transform({_shingles_spark(t)}, s -> {poly_hash_spark('s')})"
+    )
+    return [
+        f"array_min(transform({hashes}, h -> ({a}L*h + {b}L) % {PRIME}L)) "
+        f"AS mh_{j}"
+        for j, (a, b) in enumerate(PERMS)
+    ]
+
+
+def _minhash_cols_duck(t: str) -> list[str]:
+    hashes = (
+        f"list_transform({_shingles_duck(t)}, s -> {poly_hash_duck('s')})"
+    )
+    return [
+        f"list_min(list_transform({hashes}, h -> ({a}*h + {b}) % {PRIME})) "
+        f"AS mh_{j}"
+        for j, (a, b) in enumerate(PERMS)
+    ]
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per doc with N_PERMS minhash columns (pure Catalyst)."""
+    return df.selectExpr(
+        f"{id_col} AS doc_id", *_minhash_cols_spark(text_col)
+    )
+
+
+def _band_key_expr(band: int) -> str:
+    cols = [f"mh_{band * BAND_SIZE + i}" for i in range(BAND_SIZE)]
+    return f"concat_ws('-', {', '.join(cols)})"
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Full LSH pipeline: signatures -> band buckets -> candidate pairs
+    -> exact-Jaccard verification. Linear shuffle cost; the quadratic
+    join only touches docs sharing a band bucket."""
+    sig = minhash_signatures(df, text_col, id_col)
+    # Distinguish bands by index to avoid cross-band key collisions.
+    band_exprs = [
+        f"named_struct('band', {b}, 'key', {_band_key_expr(b)})"
+        for b in range(N_PERMS // BAND_SIZE)
+    ]
+    bands = sig.selectExpr(
+        "doc_id", f"explode(array({', '.join(band_exprs)})) AS bk"
+    ).selectExpr("doc_id", "bk.band AS band", "bk.key AS band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    verified = shingle_pairs_jaccard(df, text_col, id_col, threshold)
+    return cand.join(verified, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_MINHASH_SIG = (
+    f"SELECT doc_id, {', '.join(_minhash_cols_duck('text'))} FROM documents"
+)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return out.selectExpr(
+        "id_a", "id_b", f"round(jaccard, {ROUND_DP}) AS jaccard"
+    )
+
+
+def _duck_band_key(band: int) -> str:
+    cols = [f"mh_{band * BAND_SIZE + i}" for i in range(BAND_SIZE)]
+    return f"concat_ws('-', {', '.join(cols)})"
+
+
+_ORACLE_MINHASH_LSH = f"""
+WITH sig AS (
+  SELECT doc_id, {', '.join(_minhash_cols_duck('text'))} FROM documents
+), bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band, {_duck_band_key(b)} AS band_key FROM sig"
+      for b in range(N_PERMS // BAND_SIZE)
+  )}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_duck('text')}) AS s
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), verified AS (
+  SELECT i.id_a, i.id_b,
+         round(i.inter / (sa.n + sb.n - i.inter), {ROUND_DP}) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+)
+SELECT v.id_a, v.id_b, v.jaccard
+FROM cand c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
+"""
+
+
+# ==========================================================================
+# SimHash
+# ==========================================================================
+
+SIMHASH_BITS = 31
+HAMMING_THRESHOLD = 6
+
+
+def _simhash_expr_spark(t: str) -> str:
+    toks = (
+        f"array_distinct(split(trim(lower({t})), '\\\\s+'))"
+    )
+    th = f"transform({toks}, s -> {poly_hash_spark('s')})"
+    bit = (
+        f"CASE WHEN aggregate({th}, 0L, (acc, h) -> acc + "
+        f"CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) > 0 "
+        f"THEN shiftleft(1L, b) ELSE 0L END"
+    )
+    return (
+        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), b -> {bit}), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+
+
+def _simhash_expr_duck(t: str) -> str:
+    toks = f"list_distinct(regexp_split_to_array(trim(lower({t})), '\\s+'))"
+    th = f"list_transform({toks}, s -> {poly_hash_duck('s')})"
+    bit = (
+        f"CASE WHEN list_reduce(list_concat([CAST(0 AS BIGINT)], "
+        f"list_transform({th}, h -> CASE WHEN ((h >> b) & 1) = 1 "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
+        f"(a1, a2) -> a1 + a2) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        f"list_reduce(list_concat([CAST(0 AS BIGINT)], "
+        f"list_transform(range(0, {SIMHASH_BITS}), b -> {bit})), "
+        f"(a1, a2) -> a1 + a2)"
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    return df.selectExpr(
+        f"{id_col} AS doc_id", f"{_simhash_expr_spark(text_col)} AS simhash"
+    )
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_hamming: int = HAMMING_THRESHOLD) -> DataFrame:
+    s = simhash(df, text_col, id_col)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_SIMHASH = (
+    f"SELECT doc_id, {_simhash_expr_duck('text')} AS simhash FROM documents"
+)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_SIMHASH_PAIRS = f"""
+WITH s AS (
+  SELECT doc_id, {_simhash_expr_duck('text')} AS simhash FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+"""
+
+
+QUERIES: dict = {
+    "dedup_exact_documents": (_q_dedup_exact, _ORACLE_DEDUP_EXACT),
+    "dedup_ngram_jaccard_documents": (_q_dedup_ngram, _ORACLE_DEDUP_NGRAM),
+    "dedup_minhash_signatures_documents": (
+        _q_minhash_signatures,
+        _ORACLE_MINHASH_SIG,
+    ),
+    "dedup_minhash_lsh_documents": (_q_minhash_lsh, _ORACLE_MINHASH_LSH),
+    "dedup_simhash_documents": (_q_simhash, _ORACLE_SIMHASH),
+    "dedup_simhash_pairs_documents": (
+        _q_simhash_pairs,
+        _ORACLE_SIMHASH_PAIRS,
+    ),
+}

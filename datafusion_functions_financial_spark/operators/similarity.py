@@ -1,0 +1,255 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- **Brute-force cosine top-k**: broadcast the (small) query set against
+  the full corpus; dot products as sequential Catalyst folds
+  (``zip_with`` + ``aggregate``) — engine-portable, no UDFs, and the
+  scan side never shuffles. At 100 TB the corpus side stays
+  partition-parallel; only a per-partition top-k then a tiny final
+  merge would be added (here row_number over the query partition).
+- **LSH-bucketed ANN**: sign-random-projection buckets from
+  deterministic hyperplanes (integer LCG arithmetic, portable to the
+  oracle); candidates = same bucket, ranked by exact cosine. Trades
+  recall for a ~2^planes reduction in compared pairs.
+
+Cosine arithmetic is written with identical expression trees in Spark
+and DuckDB (cast-to-double, sequential fold, sqrt), so rankings and
+tie-breaks agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.series import ROUND_DP
+from ..sources.tables import load
+
+DIM = 64
+N_PLANES = 8
+K_BRUTE = 10
+K_LSH = 5
+N_QUERIES = 10  # query set: vec_id < N_QUERIES
+NEARDUP_COS = 0.4
+
+# --- portable dot/cosine folds --------------------------------------------
+
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_concat([CAST(0 AS DOUBLE)], "
+        f"list_transform(range(1, {DIM} + 1), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _cos_spark(a: str, b: str) -> str:
+    return (
+        f"{_dot_spark(a, b)} / "
+        f"(sqrt({_dot_spark(a, a)}) * sqrt({_dot_spark(b, b)}))"
+    )
+
+
+def _cos_duck(a: str, b: str) -> str:
+    return (
+        f"{_dot_duck(a, b)} / "
+        f"(sqrt({_dot_duck(a, a)}) * sqrt({_dot_duck(b, b)}))"
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = K_BRUTE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (broadcast join)."""
+    q = queries.selectExpr(f"{id_col} AS q_id", f"{vec_col} AS q_vec")
+    v = vectors.selectExpr(f"{id_col} AS n_id", f"{vec_col} AS n_vec")
+    joined = v.crossJoin(F.broadcast(q)).filter("q_id != n_id")
+    scored = joined.selectExpr(
+        "q_id", "n_id", f"{_cos_spark('q_vec', 'n_vec')} AS cos_sim"
+    )
+    w = F.expr(
+        "row_number() OVER (PARTITION BY q_id "
+        "ORDER BY cos_sim DESC, n_id ASC)"
+    )
+    return scored.withColumn("rank", w).filter(F.col("rank") <= k)
+
+
+# --- LSH buckets ----------------------------------------------------------
+
+
+def _plane_component(p: str, i: str) -> str:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    LCG over the flattened (plane, dim) index — identical in both SQLs."""
+    idx = f"(CAST({p} AS BIGINT) * {DIM} + {i} + 1)"
+    return (
+        f"(CAST((1103515245 * {idx} + 12345) % 2147483648 AS DOUBLE)"
+        f" / 2147483648.0 - 0.5)"
+    )
+
+
+def _bucket_spark(vec: str) -> str:
+    dot = (
+        f"aggregate(zip_with({vec}, transform(sequence(0, {DIM - 1}), "
+        f"i -> {_plane_component('p', 'i')}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
+    )
+    return (
+        f"array_join(transform(sequence(0, {N_PLANES - 1}), p -> "
+        f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END), '')"
+    )
+
+
+def _bucket_duck(vec: str) -> str:
+    dot = (
+        f"list_reduce(list_concat([CAST(0 AS DOUBLE)], "
+        f"list_transform(range(1, {DIM} + 1), i -> "
+        f"CAST({vec}[i] AS DOUBLE) * {_plane_component('p', '(i - 1)')})), "
+        f"(acc, v) -> acc + v)"
+    )
+    return (
+        f"list_aggregate(list_transform(range(0, {N_PLANES}), p -> "
+        f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+    )
+
+
+def lsh_buckets(vectors: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    return vectors.selectExpr(
+        f"{id_col} AS vec_id", f"{vec_col} AS embedding",
+        f"{_bucket_spark(vec_col)} AS bucket",
+    )
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = K_LSH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: candidates restricted to the query's LSH bucket."""
+    v = lsh_buckets(vectors, id_col, vec_col).selectExpr(
+        "vec_id AS n_id", "embedding AS n_vec", "bucket"
+    )
+    q = lsh_buckets(queries, id_col, vec_col).selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec", "bucket"
+    )
+    joined = v.join(F.broadcast(q), "bucket").filter("q_id != n_id")
+    scored = joined.selectExpr(
+        "q_id", "n_id", f"{_cos_spark('q_vec', 'n_vec')} AS cos_sim"
+    )
+    w = F.expr(
+        "row_number() OVER (PARTITION BY q_id "
+        "ORDER BY cos_sim DESC, n_id ASC)"
+    )
+    return scored.withColumn("rank", w).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = NEARDUP_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact; LSH-gate at scale)."""
+    a = vectors.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS va")
+    b = vectors.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS vb")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr("id_a", "id_b", f"{_cos_spark('va', 'vb')} AS cos_sim")
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry queries
+# --------------------------------------------------------------------------
+
+
+def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+    return out.selectExpr(
+        "q_id", "n_id", "rank", f"round(cos_sim, {ROUND_DP}) AS cos_sim"
+    )
+
+
+_ORACLE_KNN_BRUTE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+         {_cos_duck('q.embedding', 'v.embedding')} AS cos_sim
+  FROM embeddings v, embeddings q
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != v.vec_id
+), ranked AS (
+  SELECT q_id, n_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(cos_sim, {ROUND_DP}) AS cos_sim
+FROM ranked WHERE rank <= {K_BRUTE}
+"""
+
+
+def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+    return out.selectExpr(
+        "q_id", "n_id", "rank", f"round(cos_sim, {ROUND_DP}) AS cos_sim"
+    )
+
+
+_ORACLE_KNN_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_duck('embedding')} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+         {_cos_duck('q.embedding', 'v.embedding')} AS cos_sim
+  FROM b v JOIN b q ON v.bucket = q.bucket
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != v.vec_id
+), ranked AS (
+  SELECT q_id, n_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(cos_sim, {ROUND_DP}) AS cos_sim
+FROM ranked WHERE rank <= {K_LSH}
+"""
+
+
+def _q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb)
+    return out.selectExpr(
+        "id_a", "id_b", f"round(cos_sim, {ROUND_DP}) AS cos_sim"
+    )
+
+
+_ORACLE_NEARDUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_duck('a.embedding', 'b.embedding')}, {ROUND_DP}) AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {_cos_duck('a.embedding', 'b.embedding')} >= {NEARDUP_COS}
+"""
+
+
+QUERIES: dict = {
+    "knn_bruteforce_embeddings": (_q_knn_bruteforce, _ORACLE_KNN_BRUTE),
+    "knn_lsh_embeddings": (_q_knn_lsh, _ORACLE_KNN_LSH),
+    "embedding_neardup_pairs": (_q_neardup, _ORACLE_NEARDUP),
+}

@@ -1,0 +1,233 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Catalyst expressions (no Python UDFs): token
+counting, quality scoring, n-gram language ID, and polynomial document
+fingerprinting run entirely inside whole-stage codegen, so they
+parallelize embarrassingly over a 100 TB document corpus — the plan is
+scan -> project, no shuffle at all.
+
+Portability: every expression has an exactly-equivalent DuckDB oracle
+(same integer hash arithmetic, same regex semantics with explicit
+global flags), so results are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from ..plans.series import ROUND_DP
+
+MOD = 1_000_000_007
+
+STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "it", "on", "for")
+
+LANG_MARKERS = {
+    "en": ("the", "and", "is", "of", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "nicht"),
+    "es": ("el", "los", "y", "las", "que"),
+}
+
+# Spark <-> DuckDB expression fragments ------------------------------------
+
+_TOKENS_SPARK = "split(trim(text), '\\\\s+')"
+_TOKENS_DUCK = "regexp_split_to_array(trim(text), '\\s+')"
+_NOSPACE_SPARK = "length(regexp_replace(text, '\\\\s+', ''))"
+_NOSPACE_DUCK = "length(regexp_replace(text, '\\s+', '', 'g'))"
+_PUNCT_SPARK = "length(text) - length(regexp_replace(text, '[.,!?;:]', ''))"
+_PUNCT_DUCK = (
+    "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))"
+)
+
+
+def _inlist(items) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+def poly_hash_spark(str_expr: str) -> str:
+    """Polynomial rolling hash over code points, mod 1e9+7 (Spark SQL)."""
+    return (
+        f"aggregate(transform(split({str_expr}, ''), "
+        f"c -> CAST(ascii(c) AS LONG)), 0L, (h, c) -> (h*31 + c) % {MOD})"
+    )
+
+
+def poly_hash_duck(str_expr: str) -> str:
+    """Same hash in DuckDB SQL (unicode() == Spark's ascii code point)."""
+    return (
+        f"list_reduce(list_concat([CAST(0 AS BIGINT)], "
+        f"list_transform(string_split({str_expr}, ''), "
+        f"c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h*31 + c) % {MOD})"
+    )
+
+
+# --------------------------------------------------------------------------
+# text_stats
+# --------------------------------------------------------------------------
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token/char/punct/stopword statistics + a quality score per doc."""
+    t = f"`{text_col}`" if text_col != "text" else "text"
+    toks = _TOKENS_SPARK.replace("text", t)
+    return df.selectExpr(
+        "*",
+        f"size({toks}) AS n_tokens",
+        f"{_NOSPACE_SPARK.replace('text', t)} AS chars_nospace",
+        f"{_PUNCT_SPARK.replace('text', t)} AS punct_count",
+        f"size(filter({toks}, x -> array_contains("
+        f"array({_inlist(STOPWORDS)}), lower(x)))) AS stopword_count",
+    ).selectExpr(
+        "*",
+        "chars_nospace / n_tokens AS avg_token_len",
+        f"punct_count / length({t}) AS punct_ratio",
+        "stopword_count / n_tokens AS stopword_ratio",
+    ).selectExpr(
+        "*",
+        "least(n_tokens/100.0, 1.0)*0.4 + (1.0 - least(punct_ratio*10.0, 1.0))"
+        "*0.3 + least(stopword_ratio*5.0, 1.0)*0.3 AS quality_score",
+    )
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text_stats(load(spark, sf_dir, "documents"))
+    return df.selectExpr(
+        "doc_id", "n_tokens", "chars_nospace", "punct_count",
+        "stopword_count",
+        f"round(avg_token_len, {ROUND_DP}) AS avg_token_len",
+        f"round(punct_ratio, {ROUND_DP}) AS punct_ratio",
+        f"round(stopword_ratio, {ROUND_DP}) AS stopword_ratio",
+        f"round(quality_score, {ROUND_DP}) AS quality_score",
+    )
+
+
+_ORACLE_TEXT_STATS = f"""
+WITH s AS (
+  SELECT doc_id,
+    len({_TOKENS_DUCK}) AS n_tokens,
+    {_NOSPACE_DUCK} AS chars_nospace,
+    {_PUNCT_DUCK} AS punct_count,
+    len(list_filter({_TOKENS_DUCK},
+        x -> list_contains([{_inlist(STOPWORDS)}], lower(x)))) AS stopword_count,
+    length(text) AS n_len
+  FROM documents
+), r AS (
+  SELECT *, chars_nospace / n_tokens AS avg_token_len,
+    punct_count / n_len AS punct_ratio,
+    stopword_count / n_tokens AS stopword_ratio
+  FROM s
+)
+SELECT doc_id, n_tokens, chars_nospace, punct_count, stopword_count,
+  round(avg_token_len, {ROUND_DP}) AS avg_token_len,
+  round(punct_ratio, {ROUND_DP}) AS punct_ratio,
+  round(stopword_ratio, {ROUND_DP}) AS stopword_ratio,
+  round(least(n_tokens/100.0, 1.0)*0.4
+        + (1.0 - least(punct_ratio*10.0, 1.0))*0.3
+        + least(stopword_ratio*5.0, 1.0)*0.3, {ROUND_DP}) AS quality_score
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# language ID (marker n-gram/stopword heuristic + CJK char detection)
+# --------------------------------------------------------------------------
+
+_CJK = "一-鿿"
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = text_col
+    toks = f"split(trim(lower({t})), '\\\\s+')"
+    scores = [
+        f"size(filter({toks}, x -> array_contains("
+        f"array({_inlist(ws)}), x))) AS s_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    ]
+    cjk = (
+        f"length({t}) - length(regexp_replace({t}, '[^{_CJK}]', '')) AS s_zh"
+    )
+    # NB: the Spark pattern above strips non-CJK; see oracle for the
+    # mirrored DuckDB form.
+    return df.selectExpr("*", *scores, cjk).selectExpr(
+        "*",
+        "CASE WHEN s_zh > 0 THEN 'zh' "
+        "WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 "
+        "THEN 'en' "
+        "WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr' "
+        "WHEN s_de >= s_es AND s_de > 0 THEN 'de' "
+        "WHEN s_es > 0 THEN 'es' ELSE 'unknown' END AS lang_pred",
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = lang_id(load(spark, sf_dir, "documents"))
+    return df.selectExpr(
+        "doc_id", "lang", "s_en", "s_fr", "s_de", "s_es", "s_zh",
+        "lang_pred", "CAST(lang_pred = lang AS BOOLEAN) AS is_correct",
+    )
+
+
+_ORACLE_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {', '.join(
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '" + chr(92) + "s+'), "
+        f"x -> list_contains([{_inlist(ws)}], x))) AS s_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )},
+    length(text) - length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang, s_en, s_fr, s_de, s_es, s_zh,
+  CASE WHEN s_zh > 0 THEN 'zh'
+    WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+    WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+    WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+    WHEN s_es > 0 THEN 'es' ELSE 'unknown' END AS lang_pred,
+  (CASE WHEN s_zh > 0 THEN 'zh'
+    WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+    WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+    WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+    WHEN s_es > 0 THEN 'es' ELSE 'unknown' END) = lang AS is_correct
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# document fingerprint (rolling polynomial hash)
+# --------------------------------------------------------------------------
+
+_NORM_SPARK = (
+    "regexp_replace(regexp_replace(lower(text), '\\\\s+', ' '), '[^ -~]', '')"
+)
+_NORM_DUCK = (
+    "regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'),"
+    " '[^ -~]', '', 'g')"
+)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic 31-bit polynomial fingerprint of normalized text."""
+    norm = _NORM_SPARK.replace("text", text_col)
+    return df.selectExpr("*", f"{poly_hash_spark(norm)} AS {out_col}")
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = fingerprint(load(spark, sf_dir, "documents"))
+    return df.selectExpr("doc_id", "fingerprint")
+
+
+_ORACLE_FINGERPRINT = f"""
+SELECT doc_id, {poly_hash_duck(_NORM_DUCK)} AS fingerprint
+FROM documents
+"""
+
+
+QUERIES: dict = {
+    "text_stats_documents": (_q_text_stats, _ORACLE_TEXT_STATS),
+    "text_langid_documents": (_q_lang_id, _ORACLE_LANG_ID),
+    "text_fingerprint_documents": (_q_fingerprint, _ORACLE_FINGERPRINT),
+}

@@ -9,8 +9,10 @@ is pre-validated locally.
 from __future__ import annotations
 
 from . import analytics, indicator_queries, signals, validate
+from ..operators import dedup, similarity, text
 
-_MODULES = [indicator_queries, signals, validate, analytics]
+_MODULES = [indicator_queries, signals, validate, analytics, text, dedup,
+            similarity]
 
 
 def _collect() -> dict:

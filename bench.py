@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Throughput context (BASELINE.md): the reference's indicator UDFs run at
+~85-105K rows/s single-node including SQL parse per iteration. Our
+headline indicator queries process the 100K-row events table; rows/s
+per query is reported alongside the timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dffs-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * int(cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from datafusion_functions_financial_spark.plans.registry import all_queries
+
+    queries = all_queries()
+
+    # Headline set: the reference's indicator surface + representative
+    # analytics and pipeline operators. (name, rows processed at sf0.1)
+    headline = [
+        "ind_sma_native_events",      # Catalyst-native SMA
+        "ind_ema_events",             # recursive kernel via applyInPandas
+        "ind_rsi_events",
+        "ind_macd_events",
+        "ind_combined_events",        # all four in one pass (flagship)
+        "signals_rsi_events",
+        "signals_ma_crossover_events",
+        "validate_lineitem_values",
+        "q_pricing_summary_lineitem",
+        "q_events_hourly",
+        "text_stats_documents",
+        "dedup_minhash_signatures_documents",
+        "dedup_minhash_lsh_documents",
+        "knn_bruteforce_embeddings",
+        "knn_lsh_embeddings",
+    ]
+    table_rows = {}
+    for t in ("events", "orders", "lineitem", "documents", "embeddings"):
+        table_rows[t] = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    rows_for = {
+        "ind_": table_rows["events"],
+        "signals_": table_rows["events"],
+        "validate_lineitem": table_rows["lineitem"],
+        "q_pricing": table_rows["lineitem"],
+        "q_events": table_rows["events"],
+        "text_": table_rows["documents"],
+        "dedup_": table_rows["documents"],
+        "knn_": table_rows["embeddings"],
+    }
+
+    def run(name: str) -> float:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warm up the JVM/Python-worker pools once.
+    run("ind_combined_events")
+
+    timings: dict[str, float] = {}
+    rows_per_sec: dict[str, int] = {}
+    for name in headline:
+        sec = run(name)
+        timings[name] = round(sec, 3)
+        nrows = next(
+            (v for k, v in rows_for.items() if name.startswith(k)), 0
+        )
+        if nrows and sec > 0:
+            rows_per_sec[name] = int(nrows / sec)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "rows": table_rows,
+        "rows_per_sec": rows_per_sec,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,119 @@
+"""Multimodal column handling: images/audio/video as opaque binary
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked stub (``decoder=`` injection point, with a deterministic
+fake used in tests); everything Spark-side — schemas, batch iteration,
+partition-parallel UDF plumbing, metadata extraction — is real.
+
+Scale notes (100 TB of media):
+- binary payloads stay in executor memory only for the rows of one
+  Arrow batch (`spark.sql.execution.arrow.maxRecordsPerBatch` bounds
+  peak memory; callers should lower it for large blobs);
+- ``mapInPandas`` is a narrow transformation: no shuffle, each input
+  partition maps to one output partition, so media pipelines scale
+  linearly with input splits;
+- derived features (dimensions, fingerprints, embeddings) should be
+  written to a separate table so downstream queries never rescan blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),   # 'image' | 'audio' | 'video'
+    StructField("format", StringType()),       # e.g. 'png', 'wav'
+    StructField("payload", BinaryType()),
+    StructField("meta", StringType()),         # JSON sidecar metadata
+])
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("format", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("sha256", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("mean_luma", DoubleType()),
+])
+
+
+def default_image_decoder(payload: bytes, fmt: str) -> tuple[int, int, float]:
+    """STUB: real deployments plug in PIL/opencv here.
+
+    Raises NotImplementedError so misuse is loud; tests inject
+    ``fake_image_decoder`` instead.
+    """
+    raise NotImplementedError(
+        "no image codec in this environment — inject a decoder "
+        "(e.g. PIL-based) via image_features(decoder=...)"
+    )
+
+
+def fake_image_decoder(payload: bytes, fmt: str) -> tuple[int, int, float]:
+    """Deterministic stand-in decoder: derives (width, height, mean_luma)
+    from a stable digest of the payload. Keeps the full pipeline
+    testable without codecs."""
+    d = hashlib.sha256(payload).digest()
+    width = 16 + d[0] % 64
+    height = 16 + d[1] % 64
+    mean_luma = d[2] / 255.0
+    return width, height, mean_luma
+
+
+def image_features(
+    media: DataFrame,
+    decoder: Callable[[bytes, str], tuple[int, int, float]] | None = None,
+) -> DataFrame:
+    """Extract per-image features with an Arrow-batched mapInPandas pass."""
+    decode = decoder or default_image_decoder
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload)
+                w, h, luma = decode(payload, rec.format)
+                rows.append((
+                    rec.media_id, rec.format, len(payload),
+                    hashlib.sha256(payload).hexdigest(), w, h, luma,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields],
+            )
+
+    images = media.filter(media.media_type == "image")
+    return images.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    media: DataFrame,
+    every_nth: int = 30,
+) -> DataFrame:
+    """Plan a video frame-sampling pass: emits (media_id, frame_index)
+    work items without decoding — the decode stage is the stub above.
+    Demonstrates the explode-to-work-items pattern used to fan media
+    processing out across executors."""
+    from pyspark.sql import functions as F
+
+    videos = media.filter(media.media_type == "video")
+    # Without a codec we can't know true frame counts; use payload size
+    # as a deterministic proxy (1 frame per 4 KiB, capped at 64).
+    n_frames = F.least(F.length("payload") / 4096 + 1, F.lit(64)).cast("long")
+    return videos.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), (n_frames - 1) * every_nth, F.lit(every_nth))
+        ).alias("frame_index"),
+    )

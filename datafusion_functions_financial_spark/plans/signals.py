@@ -96,7 +96,12 @@ def detect_ma_crossover_signals(
         )
         .withColumn(
             "confidence",
-            F.least(F.abs(fa - sl) / F.col(value_col), F.lit(1.0)),
+            # Crossover rows have |fast-slow| > 0, so price == 0 would
+            # give +inf -> capped to 1.0; branch explicitly (ANSI mode
+            # raises on /0, and the oracle mirrors this CASE).
+            F.when(F.col(value_col) == 0.0, F.lit(1.0)).otherwise(
+                F.least(F.abs(fa - sl) / F.col(value_col), F.lit(1.0))
+            ),
         )
     )
 
@@ -179,7 +184,8 @@ SELECT {', '.join(cfg.out_cols)},
   round({fa}, {ROUND_DP}) AS {fa},
   round({sl}, {ROUND_DP}) AS {sl},
   CASE WHEN {fa} > {sl} THEN 'Buy' ELSE 'Sell' END AS signal_type,
-  round(least(abs({fa} - {sl}) / {v}, 1.0), {ROUND_DP}) AS confidence
+  round(CASE WHEN {v} = 0.0 THEN 1.0
+        ELSE least(abs({fa} - {sl}) / {v}, 1.0) END, {ROUND_DP}) AS confidence
 FROM lagged
 WHERE {fa} IS NOT NULL AND {sl} IS NOT NULL
   AND prev_fast IS NOT NULL AND prev_slow IS NOT NULL

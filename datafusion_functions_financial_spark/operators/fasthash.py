@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType, StringType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType
 
 MOD = 1_000_000_007
 PRIME = 2_147_483_647
@@ -94,6 +94,19 @@ def shingles_udf(texts: pd.Series) -> pd.Series:
 
 
 @pandas_udf(ArrayType(LongType()))
+def shingle_hashes_udf(texts: pd.Series) -> pd.Series:
+    """Distinct shingle-hash set per document (order-stable)."""
+    out = []
+    for t in texts:
+        hs = _hash_strings(shingle_list(normalize(t)))
+        seen: dict[int, None] = {}
+        for h in hs:
+            seen.setdefault(int(h))
+        out.append(list(seen))
+    return pd.Series(out)
+
+
+@pandas_udf(ArrayType(LongType()))
 def token_hashes_udf(texts: pd.Series) -> pd.Series:
     """Distinct-token polynomial hashes (SimHash input): mirrors
     list_transform(list_distinct(split(trim(lower(t)), '\\s+')), hash)."""
@@ -105,3 +118,26 @@ def token_hashes_udf(texts: pd.Series) -> pd.Series:
             toks.setdefault(tok)
         out.append([int(x) for x in _hash_strings(list(toks), k=-1)])
     return pd.Series(out)
+
+
+def _fold_dot(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Row-wise dot product accumulated dimension-by-dimension — the
+    same sequential order as the SQL fold (seed 0.0, then += x_i*y_i),
+    so results are bit-identical to the Catalyst/DuckDB expressions
+    while vectorizing across rows."""
+    acc = np.zeros(X.shape[0], dtype=np.float64)
+    for i in range(X.shape[1]):
+        acc = acc + X[:, i] * Y[:, i]
+    return acc
+
+
+@pandas_udf(DoubleType())
+def cos_fold_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype=np.float64)
+    A = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+    B = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+    dot = _fold_dot(A, B)
+    na = _fold_dot(A, A)
+    nb = _fold_dot(B, B)
+    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))

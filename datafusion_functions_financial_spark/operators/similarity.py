@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..plans.series import ROUND_DP
 from ..sources.tables import load
+from . import fasthash
 
 DIM = 64
 N_PLANES = 8
@@ -75,8 +76,10 @@ def cosine_topk(
     q = queries.selectExpr(f"{id_col} AS q_id", f"{vec_col} AS q_vec")
     v = vectors.selectExpr(f"{id_col} AS n_id", f"{vec_col} AS n_vec")
     joined = v.crossJoin(F.broadcast(q)).filter("q_id != n_id")
-    scored = joined.selectExpr(
-        "q_id", "n_id", f"{_cos_spark('q_vec', 'n_vec')} AS cos_sim"
+    scored = joined.select(
+        "q_id", "n_id",
+        fasthash.cos_fold_udf(F.col("q_vec"), F.col("n_vec")).alias(
+            "cos_sim"),
     )
     w = F.expr(
         "row_number() OVER (PARTITION BY q_id "
@@ -146,8 +149,10 @@ def cosine_topk_lsh(
         "vec_id AS q_id", "embedding AS q_vec", "bucket"
     )
     joined = v.join(F.broadcast(q), "bucket").filter("q_id != n_id")
-    scored = joined.selectExpr(
-        "q_id", "n_id", f"{_cos_spark('q_vec', 'n_vec')} AS cos_sim"
+    scored = joined.select(
+        "q_id", "n_id",
+        fasthash.cos_fold_udf(F.col("q_vec"), F.col("n_vec")).alias(
+            "cos_sim"),
     )
     w = F.expr(
         "row_number() OVER (PARTITION BY q_id "
@@ -168,7 +173,10 @@ def embedding_neardup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .selectExpr("id_a", "id_b", f"{_cos_spark('va', 'vb')} AS cos_sim")
+        .select(
+            "id_a", "id_b",
+            fasthash.cos_fold_udf(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 

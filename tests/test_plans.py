@@ -1,0 +1,75 @@
+"""Physical-plan assertions: the scale-critical properties of each
+operator's plan, checked against .explain output so regressions in
+plan shape fail loudly (SURVEY §4 / 100 TB design goals)."""
+
+import re
+
+import pytest
+
+from datafusion_functions_financial_spark.plans.registry import all_queries
+
+_Q = all_queries()
+
+
+def plan_of(spark, sf_dir, name) -> str:
+    df = _Q[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_exchanges(plan: str) -> int:
+    # Shuffle exchanges only (broadcast exchanges are cheap by design).
+    return len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan))
+
+
+def test_combined_indicators_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ind_combined_events")
+    # One hash exchange on the partition key feeds the single Python
+    # stage that computes all four indicators.
+    assert count_exchanges(plan) == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_sma_native_no_python(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ind_sma_native_events")
+    assert "Window" in plan
+    for marker in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython",
+                   "ArrowEvalPython"):
+        assert marker not in plan, f"unexpected Python stage: {marker}"
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_pricing_summary_lineitem")
+    assert re.search(r"PushedFilters: \[.*LessThan\(l_quantity", plan), plan
+    # Column pruning: the scan must not read unused columns.
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "l_comment" not in m.group(1)
+    assert "l_orderkey" not in m.group(1)
+    # Partial (map-side) aggregation before the exchange.
+    assert "partial" in plan.lower()
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "knn_bruteforce_embeddings")
+    assert "BroadcastExchange" in plan or "Broadcast" in plan, plan
+    assert count_exchanges(plan) <= 1  # corpus side must not shuffle for the join
+
+
+def test_validator_is_single_pass_aggregate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "validate_lineitem_values")
+    # All conditional checks collapse into one aggregation over one scan.
+    assert plan.count("FileScan") == 1, plan
+    for marker in ("MapInPandas", "BatchEvalPython"):
+        assert marker not in plan
+
+
+def test_text_stats_no_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_stats_documents")
+    # Pure scan->project: embarrassingly parallel at any scale.
+    assert count_exchanges(plan) == 0, plan
+
+
+def test_events_hourly_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_events_hourly")
+    assert count_exchanges(plan) == 1, plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")

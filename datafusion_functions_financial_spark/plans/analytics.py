@@ -51,15 +51,19 @@ GROUP BY o_orderstatus, o_orderpriority
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q1-shaped pricing summary: filter pushdown + grouped sums.
+    # Sums of decimal-valued doubles are rounded to whole units: engines
+    # sum in different orders, and ~1e-4 absolute error at sf0.1 makes
+    # 2-decimal rounding a coin-flip at the boundary. Integer-valued
+    # sums (quantities, counts) are exact in any order.
     df = load(spark, sf_dir, "lineitem")
     return (
         df.filter(F.col("l_quantity") < 45)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum("l_extendedprice"), 0).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), ROUND_DP).alias("avg_qty"),
             F.round(F.avg("l_discount"), ROUND_DP).alias("avg_disc"),
@@ -71,8 +75,8 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice), 0) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
        round(avg(l_quantity), {ROUND_DP}) AS avg_qty,
        round(avg(l_discount), {ROUND_DP}) AS avg_disc,
        count(*) AS count_order
@@ -142,8 +146,74 @@ GROUP BY 1, 2
 """
 
 
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Beyond-reference (the crate has no joins, SURVEY §2.C): star-schema
+    # join with explicitly broadcast dimensions — zero shuffle on the
+    # fact side until the final aggregation.
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 0).alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+            F.countDistinct("o_custkey").alias("customers"),
+        )
+    )
+
+
+_ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(sum(o_totalprice), 0) AS revenue,
+       count(*) AS order_count,
+       count(DISTINCT o_custkey) AS customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _q_lineitem_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fact-to-fact join (both sides large): at scale this is the
+    # shuffle-on-key case — co-partitioning/bucketing territory.
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+_ORACLE_LINEITEM_ORDER_REVENUE = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict = {
     "q_overview_orders": (_q_overview_orders, _ORACLE_OVERVIEW_ORDERS),
+    "q_revenue_by_nation": (_q_revenue_by_nation, _ORACLE_REVENUE_BY_NATION),
+    "q_lineitem_order_revenue": (
+        _q_lineitem_order_revenue,
+        _ORACLE_LINEITEM_ORDER_REVENUE,
+    ),
     "q_pricing_summary_lineitem": (_q_pricing_summary, _ORACLE_PRICING_SUMMARY),
     "q_top_customers": (_q_top_customers, _ORACLE_TOP_CUSTOMERS),
     "q_events_hourly": (_q_events_hourly, _ORACLE_EVENTS_HOURLY),

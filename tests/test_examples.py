@@ -1,0 +1,19 @@
+"""Examples must stay runnable (they are the reference's example parity)."""
+
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.parametrize("script", [
+    "examples/basic_usage.py",
+    "examples/local_demo.py",
+    "examples/pipeline_demo.py",
+])
+def test_example_runs(script):
+    proc = subprocess.run(
+        [sys.executable, script], cwd="/root/repo",
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]

@@ -1,0 +1,300 @@
+"""Parallel-in-time indicator computation for giant single-key series.
+
+``with_indicators`` parallelizes across series; a SINGLE series is one
+sequential scan — fine for per-ticker minute bars, a bottleneck for a
+series with billions of rows. This module splits such a series into
+ordered time buckets and computes indicators in two parallel passes
+plus an O(#buckets) driver-side combine:
+
+1. **Summary pass** (parallel over buckets). Each bucket reduces to a
+   constant-size summary holding BOTH:
+   - the *seed-exact* final state if this bucket starts the series
+     (serial fold inside the bucket), and
+   - the *affine transfer* for the continuing case: the recurrence
+     ``e' = (1-a)e + a x`` composes over a bucket to
+     ``e_out = A e_in + B`` with ``A = (1-a)^len`` and ``B`` the fold
+     seeded with 0. RSI's Wilder averages are the same recurrence over
+     gains/losses; SMA transfers its trailing ``window-1`` values.
+2. **Prefix combine** (driver): chain summaries bucket-by-bucket to
+   get every bucket's carry-in state — scalar work, e.g. 1e9 rows in
+   1e6-row buckets = 1000 steps.
+3. **Output pass** (parallel over buckets): each bucket recomputes its
+   rows exactly from its carry-in state.
+
+Results are mathematically exact; the affine composition reassociates
+floating-point ops, so values can differ from the serial kernels by
+~1 ulp per bucket boundary (tests use rtol 1e-9). Use the serial
+kernels when bit-identical output matters; use this when one series
+exceeds what a single task should scan.
+
+Constraints (asserted): values non-null; for RSI the first bucket must
+contain more changes than the window (the Wilder seed may not span a
+bucket boundary).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .indicators import IndicatorSpec
+from .kernels import ema_fold, rsi_kernel, sma_kernel
+
+__all__ = ["with_indicators_segmented"]
+
+_A12, _A26 = 2.0 / 13.0, 2.0 / 27.0
+
+
+def _alpha(spec: IndicatorSpec) -> float:
+    return 2.0 / (float(spec.window) + 1.0)
+
+
+def _affine(comp: np.ndarray, alpha: float) -> tuple[float, float]:
+    one_minus = 1.0 - alpha
+    b = 0.0
+    for x in comp:
+        b = alpha * x + one_minus * b
+    return one_minus ** len(comp), b
+
+
+def _ema_continue(comp: np.ndarray, alpha: float, carry: float) -> np.ndarray:
+    out = np.empty(len(comp))
+    acc = carry
+    one_minus = 1.0 - alpha
+    for i, x in enumerate(comp):
+        acc = alpha * x + one_minus * acc
+        out[i] = acc
+    return out
+
+
+def _gains_losses(lead: np.ndarray):
+    chg = lead[1:] - lead[:-1]
+    return np.where(chg > 0.0, chg, 0.0), np.where(chg < 0.0, -chg, 0.0)
+
+
+def _rsi_state_serial(v: np.ndarray, n: int):
+    """Final (avg_gain, avg_loss, seeded) after a series-starting bucket."""
+    gains, losses = _gains_losses(v)
+    if len(gains) < n:
+        return 0.0, 0.0, False
+    sg = gains[0]
+    sl = losses[0]
+    for i in range(1, n):
+        sg = sg + gains[i]
+        sl = sl + losses[i]
+    ag, al = sg / float(n), sl / float(n)
+    a = 1.0 / float(n)
+    for i in range(n, len(gains)):
+        ag = ag * (1.0 - a) + gains[i] * a
+        al = al * (1.0 - a) + losses[i] * a
+    return ag, al, True
+
+
+def _rsi_continue(v: np.ndarray, n: int, ag: float, al: float,
+                  prev_last: float) -> tuple[np.ndarray, float, float]:
+    lead = np.concatenate([[prev_last], v])
+    gains, losses = _gains_losses(lead)
+    a = 1.0 / float(n)
+    out = np.empty(len(v))
+    for i in range(len(v)):
+        ag = ag * (1.0 - a) + gains[i] * a
+        al = al * (1.0 - a) + losses[i] * a
+        out[i] = 100.0 if al == 0.0 else 100.0 - (100.0 / (1.0 + ag / al))
+    return out, ag, al
+
+
+def with_indicators_segmented(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    series_by: Sequence[str],
+    bucket_col: str,
+    specs: Sequence[IndicatorSpec],
+) -> DataFrame:
+    """Compute ``specs`` over series split into ordered buckets.
+
+    ``bucket_col``: integer column, increasing with ``order_by`` within
+    a series (e.g. ``year`` or ``ts DIV chunk``)."""
+    specs = list(specs)
+    series_by = list(series_by)
+    order_by = list(order_by)
+
+    # ---- pass 1: summaries ----------------------------------------------
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort", ignore_index=True)
+        v = pdf[value_col].to_numpy(dtype="float64")
+        assert not np.isnan(v).any(), "segmented path requires non-null values"
+        s: dict = {}
+        s["first_v"], s["last_v"], s["n"] = float(v[0]), float(v[-1]), len(v)
+        for sp in specs:
+            if sp.kind == "ema":
+                a, b = _affine(v, _alpha(sp))
+                seed = float(ema_fold(v, _alpha(sp))[-1])
+                s[sp.out_col] = {"A": a, "B": b, "seed_final": seed}
+            elif sp.kind == "macd":
+                rec = {}
+                for tag, al in (("12", _A12), ("26", _A26)):
+                    a, b = _affine(v, al)
+                    rec[f"A{tag}"], rec[f"B{tag}"] = a, b
+                    rec[f"seed{tag}"] = float(ema_fold(v, al)[-1])
+                s[sp.out_col] = rec
+            elif sp.kind == "sma":
+                tail = v[-(sp.window - 1):] if sp.window > 1 else v[:0]
+                s[sp.out_col] = {"tail": [float(x) for x in tail]}
+            elif sp.kind == "rsi":
+                gains, losses = _gains_losses(v)
+                al = 1.0 / float(sp.window)
+                ag_a, ag_b = _affine(gains, al)
+                al_a, al_b = _affine(losses, al)
+                sag, sal, seeded = _rsi_state_serial(v, sp.window)
+                s[sp.out_col] = {
+                    "Ag": ag_a, "Bg": ag_b, "Al": al_a, "Bl": al_b,
+                    "seed_ag": sag, "seed_al": sal, "seeded": seeded,
+                }
+        out = {c: [pdf[c].iloc[0]] for c in series_by}
+        out[bucket_col] = [pdf[bucket_col].iloc[0]]
+        out["summary"] = [json.dumps(s)]
+        return pd.DataFrame(out)
+
+    sample = df.select(*series_by, bucket_col).limit(0)
+    summary_schema = StructType(
+        list(sample.schema.fields) + [StructField("summary", StringType())]
+    )
+    summaries = (
+        df.groupBy(*series_by, bucket_col)
+        .applyInPandas(summarize, summary_schema)
+        .collect()
+    )
+
+    # ---- pass 2: driver prefix combine ----------------------------------
+    by_series: dict = {}
+    for row in summaries:
+        by_series.setdefault(
+            tuple(row[c] for c in series_by), []
+        ).append((row[bucket_col], json.loads(row["summary"])))
+
+    carries: list[dict] = []
+    for key, rows in by_series.items():
+        rows.sort(key=lambda r: r[0])
+        state: dict = {"first": True, "prev_last": None}
+        for bucket, summ in rows:
+            carries.append({
+                **{c: k for c, k in zip(series_by, key)},
+                bucket_col: bucket,
+                "carry": json.dumps({
+                    k: v for k, v in state.items() if k != "first"
+                }),
+            })
+            if state["first"]:
+                for sp in specs:
+                    s = summ[sp.out_col]
+                    if sp.kind == "ema":
+                        state[sp.out_col] = s["seed_final"]
+                    elif sp.kind == "macd":
+                        state[sp.out_col] = {
+                            "e12": s["seed12"], "e26": s["seed26"]
+                        }
+                    elif sp.kind == "sma":
+                        state[sp.out_col] = s["tail"]
+                    elif sp.kind == "rsi":
+                        assert s["seeded"], (
+                            "segmented RSI: first bucket must contain more "
+                            f"than {sp.window} changes"
+                        )
+                        state[sp.out_col] = {
+                            "ag": s["seed_ag"], "al": s["seed_al"]
+                        }
+                state["first"] = False
+            else:
+                for sp in specs:
+                    s = summ[sp.out_col]
+                    if sp.kind == "ema":
+                        state[sp.out_col] = (
+                            s["A"] * state[sp.out_col] + s["B"]
+                        )
+                    elif sp.kind == "macd":
+                        st = state[sp.out_col]
+                        state[sp.out_col] = {
+                            "e12": s["A12"] * st["e12"] + s["B12"],
+                            "e26": s["A26"] * st["e26"] + s["B26"],
+                        }
+                    elif sp.kind == "sma":
+                        merged = state[sp.out_col] + s["tail"]
+                        keep = sp.window - 1
+                        state[sp.out_col] = merged[-keep:] if keep else []
+                    elif sp.kind == "rsi":
+                        a = 1.0 / float(sp.window)
+                        st = state[sp.out_col]
+                        chg = summ["first_v"] - state["prev_last"]
+                        g = chg if chg > 0.0 else 0.0
+                        lo = -chg if chg < 0.0 else 0.0
+                        ag = st["ag"] * (1.0 - a) + g * a
+                        al = st["al"] * (1.0 - a) + lo * a
+                        state[sp.out_col] = {
+                            "ag": s["Ag"] * ag + s["Bg"],
+                            "al": s["Al"] * al + s["Bl"],
+                        }
+            state["prev_last"] = summ["last_v"]
+
+    spark = df.sparkSession
+    carry_df = spark.createDataFrame(
+        pd.DataFrame(carries),
+        StructType(list(sample.schema.fields)
+                   + [StructField("carry", StringType())]),
+    )
+
+    # ---- pass 3: outputs with carry-in ----------------------------------
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(sp.out_col, DoubleType(), True) for sp in specs]
+    )
+    joined = df.join(F.broadcast(carry_df), series_by + [bucket_col])
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort", ignore_index=True)
+        carry = json.loads(pdf["carry"].iloc[0])
+        pdf = pdf.drop(columns=["carry"])
+        v = pdf[value_col].to_numpy(dtype="float64")
+        prev_last = carry.get("prev_last")
+        for sp in specs:
+            cin = carry.get(sp.out_col)
+            if sp.kind == "ema":
+                out = (ema_fold(v, _alpha(sp)) if cin is None
+                       else _ema_continue(v, _alpha(sp), cin))
+            elif sp.kind == "macd":
+                if cin is None:
+                    out = ema_fold(v, _A12) - ema_fold(v, _A26)
+                else:
+                    out = (_ema_continue(v, _A12, cin["e12"])
+                           - _ema_continue(v, _A26, cin["e26"]))
+            elif sp.kind == "sma":
+                if cin is None:
+                    out = sma_kernel(v, sp.window)
+                else:
+                    lead = np.concatenate([cin, v])
+                    out = sma_kernel(lead, sp.window)[len(cin):]
+            elif sp.kind == "rsi":
+                if cin is None:
+                    out = rsi_kernel(v, sp.window)
+                else:
+                    out, _, _ = _rsi_continue(
+                        v, sp.window, cin["ag"], cin["al"], prev_last
+                    )
+            pdf[sp.out_col] = out
+        return pdf
+
+    return joined.groupBy(*series_by, bucket_col).applyInPandas(
+        compute, out_schema
+    )

@@ -167,6 +167,23 @@ def spark_sma_native_query(cfg: SeriesCfg, window: int):
     return fn
 
 
+def _segmented_ema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.segmented import with_indicators_segmented
+
+    cfg = EVENTS_SERIES
+    df = load(spark, sf_dir, cfg.table).withColumn(
+        "__bucket", F.expr("event_id DIV 2000")
+    )
+    out = with_indicators_segmented(
+        df, cfg.value, cfg.order, list(cfg.keys), "__bucket",
+        [ind.ema(12)],
+    )
+    return out.select(
+        *[F.col(c) for c in cfg.out_cols],
+        round_null(F.col("ema_12")).alias("ema_12"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -211,5 +228,12 @@ QUERIES: dict = {
     "ind_combined_events": (
         spark_indicator_query(EVENTS_SERIES, _COMBINED),
         oracle_indicator_sql(EVENTS_SERIES, _COMBINED),
+    ),
+    # Segmented (parallel-in-time) path: same EMA semantics computed via
+    # per-bucket affine composition — must match the serial oracle after
+    # rounding (functions/segmented.py).
+    "ind_ema_events_segmented": (
+        _segmented_ema_events,
+        oracle_indicator_sql(EVENTS_SERIES, [ind.ema(12)]),
     ),
 }

@@ -11,11 +11,19 @@ this module only adapts the registry to the driver's interface.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from datafusion_functions_financial_spark.plans.registry import (
+# The driver may import this file from any CWD; make the package
+# resolvable relative to this file.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from datafusion_functions_financial_spark.plans.registry import (  # noqa: E402
     all_oracles,
     all_queries,
 )

@@ -492,8 +492,92 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 """
 
 
+# ==========================================================================
+# Duplicate-cluster resolution (connected components over near-dup pairs)
+# ==========================================================================
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: every doc labeled with the
+    smallest reachable doc id (connected components via iterative
+    min-label propagation); ``is_kept`` marks the cluster canonical.
+
+    Scale: each round is one join + groupBy over the EDGE set (near-dup
+    pairs — tiny relative to the corpus); rounds ~ O(cluster diameter),
+    which for dup clusters is almost always <= 3. The corpus-sized
+    label table joins the aggregated neighbor-min, not raw edges.
+    """
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").union(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    labels = df.selectExpr(f"{id_col} AS id").withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == F.col("src"), "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nmin"), F.col("label")),
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_kept"),
+    )
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup_clusters(docs, minhash_lsh_pairs(docs))
+
+
+_ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE lsh AS (
+  {_ORACLE_MINHASH_LSH}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM lsh
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM lsh
+), reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT e.src AS id, reach.r
+  FROM edges e JOIN reach ON reach.id = e.dst
+)
+SELECT id AS doc_id, min(r) AS cluster_id,
+       (id = min(r)) AS is_kept
+FROM reach
+GROUP BY id
+"""
+
+
 QUERIES: dict = {
     "dedup_exact_documents": (_q_dedup_exact, _ORACLE_DEDUP_EXACT),
+    "dedup_clusters_documents": (_q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS),
     "dedup_ngram_jaccard_documents": (_q_dedup_ngram, _ORACLE_DEDUP_NGRAM),
     "dedup_minhash_signatures_documents": (
         _q_minhash_signatures,

@@ -226,8 +226,41 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# BPE-ish token counting (regex pre-tokenizer, portable alternation)
+# --------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenization simplified to an RE2/Java-portable
+# alternation: letter runs, single digits, punctuation runs.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\\\t\\\\n]+"
+_BPE_PATTERN_DUCK = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n]+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text",
+                    out_col: str = "bpe_token_count") -> DataFrame:
+    return df.selectExpr(
+        "*",
+        f"size(regexp_extract_all({text_col}, '{_BPE_PATTERN}', 0)) "
+        f"AS {out_col}",
+    )
+
+
+def _q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = token_count_bpe(load(spark, sf_dir, "documents"))
+    return df.selectExpr("doc_id", "bpe_token_count")
+
+
+_ORACLE_TOKEN_BPE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PATTERN_DUCK}', 0))
+         AS bpe_token_count
+FROM documents
+"""
+
+
 QUERIES: dict = {
     "text_stats_documents": (_q_text_stats, _ORACLE_TEXT_STATS),
+    "text_token_bpe_documents": (_q_token_bpe, _ORACLE_TOKEN_BPE),
     "text_langid_documents": (_q_lang_id, _ORACLE_LANG_ID),
     "text_fingerprint_documents": (_q_fingerprint, _ORACLE_FINGERPRINT),
 }

@@ -207,7 +207,60 @@ GROUP BY o_orderpriority
 """
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sessionization: classic gap-based session assignment as a
+    # cumulative sum over "new session" flags — pure window arithmetic,
+    # no UDF; integer epoch math keeps engines exact.
+    df = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("ts DIV 1000")
+    new_session = F.when(
+        (us - F.lag(us).over(w)) > SESSION_GAP_US, 1
+    ).otherwise(0)
+    sess = df.withColumn("__new", new_session).withColumn(
+        "session_id",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+    )
+
+
+_ORACLE_EVENTS_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       round(sum(value), {ROUND_DP}) AS sum_value,
+       max(us) - min(us) AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES: dict = {
+    "q_events_sessionize": (_q_events_sessionize, _ORACLE_EVENTS_SESSIONIZE),
     "q_overview_orders": (_q_overview_orders, _ORACLE_OVERVIEW_ORDERS),
     "q_revenue_by_nation": (_q_revenue_by_nation, _ORACLE_REVENUE_BY_NATION),
     "q_lineitem_order_revenue": (

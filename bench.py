@@ -54,6 +54,9 @@ def main() -> None:
         "validate_lineitem_values",
         "q_pricing_summary_lineitem",
         "q_events_hourly",
+        "q_events_sessionize",
+        "q_revenue_by_nation",
+        "q_lineitem_order_revenue",
         "text_stats_documents",
         "dedup_minhash_signatures_documents",
         "dedup_minhash_lsh_documents",
@@ -68,6 +71,8 @@ def main() -> None:
         "signals_": table_rows["events"],
         "validate_lineitem": table_rows["lineitem"],
         "q_pricing": table_rows["lineitem"],
+        "q_lineitem": table_rows["lineitem"],
+        "q_revenue": table_rows["orders"],
         "q_events": table_rows["events"],
         "text_": table_rows["documents"],
         "dedup_": table_rows["documents"],

@@ -259,8 +259,69 @@ GROUP BY user_id, session_id
 """
 
 
+def _q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OHLCV bars from raw events (value = price analog): the bar-builder
+    # the reference's pre-aggregated inputs come from.
+    from ..functions.bars import ohlcv_bars
+
+    df = load(spark, sf_dir, "events").withColumn(
+        "us", F.expr("ts DIV 1000")
+    )
+    bars = ohlcv_bars(
+        df, "us", "value", ["user_id"], bar_seconds=86400, ts_unit="us"
+    )
+    return bars.select(
+        "user_id", "bar_start",
+        F.round("open", ROUND_DP).alias("open"),
+        F.round("high", ROUND_DP).alias("high"),
+        F.round("low", ROUND_DP).alias("low"),
+        F.round("close", ROUND_DP).alias("close"),
+        "n_ticks",
+    )
+
+
+_ORACLE_EVENTS_OHLC = f"""
+SELECT user_id,
+       (epoch_us(ts) // {86400 * 1_000_000}) * 86400 AS bar_start,
+       round(arg_min(value, epoch_us(ts)), {ROUND_DP}) AS open,
+       round(max(value), {ROUND_DP}) AS high,
+       round(min(value), {ROUND_DP}) AS low,
+       round(arg_max(value, epoch_us(ts)), {ROUND_DP}) AS close,
+       count(*) AS n_ticks
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated quantiles per group (both engines implement the
+    # same linear-interpolation definition).
+    df = load(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), ROUND_DP).alias(
+            "median_price"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), ROUND_DP).alias(
+            "p90_price"
+        ),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+_ORACLE_QUANTILES_LINEITEM = f"""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), {ROUND_DP}) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), {ROUND_DP}) AS p90_price,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict = {
     "q_events_sessionize": (_q_events_sessionize, _ORACLE_EVENTS_SESSIONIZE),
+    "q_events_ohlc_daily": (_q_events_ohlc, _ORACLE_EVENTS_OHLC),
+    "q_quantiles_lineitem": (_q_quantiles_lineitem, _ORACLE_QUANTILES_LINEITEM),
     "q_overview_orders": (_q_overview_orders, _ORACLE_OVERVIEW_ORDERS),
     "q_revenue_by_nation": (_q_revenue_by_nation, _ORACLE_REVENUE_BY_NATION),
     "q_lineitem_order_revenue": (

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..plans.series import ROUND_DP
 from ..sources.tables import load
 from . import fasthash
-from .text import MOD, poly_hash_duck, poly_hash_spark
+from .text import poly_hash_duck
 
 PRIME = 2_147_483_647  # 2^31 - 1, modulus for minhash permutations
 SHINGLE_K = 5

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from datetime import date as date_t
+
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -26,7 +26,7 @@ This engine is the semantic oracle for the Structured Streaming path
 from __future__ import annotations
 
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 __all__ = [

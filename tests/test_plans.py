@@ -4,7 +4,6 @@ plan shape fail loudly (SURVEY §4 / 100 TB design goals)."""
 
 import re
 
-import pytest
 
 from datafusion_functions_financial_spark.plans.registry import all_queries
 

@@ -318,8 +318,88 @@ GROUP BY l_returnflag
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Static pivot via conditional aggregation (engine-portable form of
+    # PIVOT; dynamic pivots need a driver-side distinct first).
+    df = load(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    return df.groupBy("user_id").agg(
+        *aggs, F.count(F.lit(1)).alias("n_total")
+    )
+
+
+_ORACLE_EVENTS_PIVOT = f"""
+SELECT user_id,
+       {', '.join(
+           f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+           for t in _EVENT_TYPES
+       )},
+       count(*) AS n_total
+FROM events
+GROUP BY user_id
+"""
+
+
+def _q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Set operations (absent from the reference, SURVEY §2.C): customers
+    # with orders EXCEPT customers with any urgent order, INTERSECT with
+    # the account-balance-positive set.
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey"))
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    positive = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    # subtract == EXCEPT (set semantics): drop a custkey if it has ANY
+    # urgent order (exceptAll's bag semantics would keep it).
+    return with_orders.distinct().subtract(urgent).intersect(positive)
+
+
+_ORACLE_SET_OPS = """
+SELECT DISTINCT custkey FROM (
+  SELECT o_custkey AS custkey FROM orders
+  EXCEPT
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+"""
+
+
+def _q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROLLUP subtotals (beyond-reference grouping sets).
+    df = load(spark, sf_dir, "orders")
+    return df.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 0).alias("revenue"),
+    )
+
+
+_ORACLE_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 0) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES: dict = {
     "q_events_sessionize": (_q_events_sessionize, _ORACLE_EVENTS_SESSIONIZE),
+    "q_events_pivot": (_q_events_pivot, _ORACLE_EVENTS_PIVOT),
+    "q_set_ops_customers": (_q_set_ops_customers, _ORACLE_SET_OPS),
+    "q_rollup_orders": (_q_rollup_orders, _ORACLE_ROLLUP_ORDERS),
     "q_events_ohlc_daily": (_q_events_ohlc, _ORACLE_EVENTS_OHLC),
     "q_quantiles_lineitem": (_q_quantiles_lineitem, _ORACLE_QUANTILES_LINEITEM),
     "q_overview_orders": (_q_overview_orders, _ORACLE_OVERVIEW_ORDERS),

@@ -51,3 +51,70 @@ def test_windowed_agg_with_watermark(spark, tmp_path):
     assert out[0]["n"] == 4 and out[0]["max_price"] == 99.0
     assert out[1]["n"] == 2
     assert out[1]["avg_price"] == pytest.approx(21.0)
+
+
+@pytest.mark.slow
+def test_session_window_stream(spark, tmp_path):
+    """Native session windows (gap-based) on the tick stream — the
+    streaming counterpart of q_events_sessionize."""
+    from pyspark.sql import functions as F
+
+    base = datetime(2024, 1, 1, 9, 0, 0)
+    rows = []
+    # Two bursts separated by > 5 minutes -> two sessions.
+    for sec in (0, 10, 20, 1000, 1010):
+        rows.append(dict(
+            symbol="S",
+            timestamp=base.replace(minute=sec // 60, second=sec % 60),
+            price=1.0, volume=1, bid=None, ask=None,
+        ))
+    pdf = pd.DataFrame(rows)
+    src = tmp_path / "sess_ticks"
+    spark.createDataFrame(pdf, schema=TICK_SCHEMA).write.parquet(str(src))
+
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(str(src))
+    agg = (
+        stream.withWatermark("timestamp", "30 minutes")
+        .groupBy(F.session_window("timestamp", "5 minutes"), F.col("symbol"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sess_win")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = sorted(
+        (r["session_window"]["start"], r["n"])
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    )
+    assert [n for _, n in out] == [3, 2]
+
+
+@pytest.mark.slow
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark on a
+    replayed tick id — state-bounded by the watermark."""
+    base = datetime(2024, 1, 1, 9, 0, 0)
+    rows = []
+    for i, sec in enumerate((0, 10, 10, 20, 20, 20)):  # dup timestamps
+        rows.append(dict(
+            symbol="S",
+            timestamp=base.replace(second=sec),
+            price=float(i), volume=1, bid=None, ask=None,
+        ))
+    pdf = pd.DataFrame(rows)
+    src = tmp_path / "dup_ticks"
+    spark.createDataFrame(pdf, schema=TICK_SCHEMA).write.parquet(str(src))
+
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(str(src))
+    deduped = (
+        stream.withWatermark("timestamp", "10 minutes")
+        .dropDuplicatesWithinWatermark(["symbol", "timestamp"])
+    )
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_stream").collect()
+    assert len(out) == 3  # one row per distinct (symbol, timestamp)

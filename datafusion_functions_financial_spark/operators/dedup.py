@@ -262,7 +262,10 @@ def minhash_lsh_pairs(
     true 0.8-Jaccard pair fails the pre-filter with P ~ 4e-4
     (Binomial(16, 0.8) < 8) — the usual LSH recall trade, and fully
     deterministic (the oracle applies the identical filter)."""
-    sig = minhash_signatures(df, text_col, id_col)
+    # Materialize signatures once: the band self-join and the est-filter
+    # reference this subplan four times, and Spark re-executes (not
+    # CSEs) repeated subplans — recomputing the hash UDF 4x otherwise.
+    sig = minhash_signatures(df, text_col, id_col).localCheckpoint()
     # Distinguish bands by index to avoid cross-band key collisions.
     band_exprs = [
         f"named_struct('band', {b}, 'key', {_band_key_expr(b)})"
@@ -299,7 +302,7 @@ def minhash_lsh_pairs(
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(fasthash.shingle_hashes_udf(F.col(text_col))).alias("h"),
-    )
+    ).localCheckpoint()  # referenced by both sides of the pair join
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh.selectExpr("doc_id AS id_a", "h AS h_a"), "id_a")
@@ -512,12 +515,16 @@ def dedup_clusters(
     which for dup clusters is almost always <= 3. The corpus-sized
     label table joins the aggregated neighbor-min, not raw edges.
     """
+    # Materialize the edge set once — label propagation iterates over it
+    # and would otherwise re-execute the entire pair-generation pipeline
+    # (e.g. MinHash-LSH) every round.
+    pairs = pairs.localCheckpoint()
     edges = pairs.selectExpr("id_a AS src", "id_b AS dst").union(
         pairs.selectExpr("id_b AS src", "id_a AS dst")
     )
     labels = df.selectExpr(f"{id_col} AS id").withColumn(
         "label", F.col("id")
-    )
+    ).localCheckpoint()
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)

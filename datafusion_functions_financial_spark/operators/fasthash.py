@@ -18,7 +18,9 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType
+from pyspark.sql.types import (
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+)
 
 MOD = 1_000_000_007
 PRIME = 2_147_483_647
@@ -141,3 +143,38 @@ def cos_fold_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     na = _fold_dot(A, A)
     nb = _fold_dot(B, B)
     return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+
+_PUNCT = set(".,!?;:")
+
+
+def make_text_stats_udf(stopwords: tuple[str, ...]):
+    """Single-pass (tokens, chars, punct, stopwords) counter — same
+    integer results as the Catalyst regex expressions, one Arrow batch
+    pass instead of five interpreted regex evaluations per row."""
+    stop = set(stopwords)
+    schema = StructType([
+        StructField("n_tokens", LongType()),
+        StructField("chars_nospace", LongType()),
+        StructField("punct_count", LongType()),
+        StructField("stopword_count", LongType()),
+        StructField("n_len", LongType()),
+    ])
+
+    @pandas_udf(schema)
+    def text_stats_counts(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            toks = _WS.split(t.strip()) if t.strip() else [""]
+            # split(trim(x), '\s+') of empty -> [''] (Spark/DuckDB parity)
+            n_tokens = len(toks) if t.strip() else 1
+            nospace = sum(len(p) for p in _WS.split(t))
+            punct = sum(1 for c in t if c in _PUNCT)
+            stopc = sum(1 for w in toks if w.lower() in stop)
+            rows.append((n_tokens, nospace, punct, stopc, len(t)))
+        return pd.DataFrame(
+            rows, columns=["n_tokens", "chars_nospace", "punct_count",
+                           "stopword_count", "n_len"],
+        )
+
+    return text_stats_counts

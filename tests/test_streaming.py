@@ -265,3 +265,73 @@ def test_signal_stream_end_to_end(spark, tmp_path):
     got_kinds = {k for k, _, _ in fired}
     assert "Overbought" in got_kinds and "Oversold" in got_kinds
     assert "VolumeSpike" in got_kinds
+
+
+@pytest.mark.slow
+def test_streaming_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState + checkpoint: a restarted query resumes
+    per-symbol ring-buffer state instead of reseeding — indicator values
+    for late-arriving files match one continuous run."""
+    import pandas as pd
+    from datafusion_functions_financial_spark.streaming.spark import (
+        TICK_SCHEMA,
+        streaming_indicators,
+    )
+
+    prices = [100.0, 101.0, 99.0, 102.0, 104.0, 103.0, 105.0, 101.0,
+              98.0, 97.0, 99.5, 100.5]
+    ticks = make_ticks("R", prices)
+    first, second = ticks[:7], ticks[7:]
+
+    src = tmp_path / "restart_ticks"
+    out = tmp_path / "restart_out"
+    ckpt = tmp_path / "restart_ckpt"
+    src.mkdir()
+
+    def write_batch(batch, name):
+        pdf = pd.DataFrame([
+            dict(symbol=t.symbol, timestamp=t.timestamp, price=t.price,
+                 volume=t.volume, bid=None, ask=None) for t in batch
+        ])
+        spark.createDataFrame(pdf, schema=TICK_SCHEMA).write.parquet(
+            str(src / name)
+        )
+
+    def run_query():
+        stream = (
+            spark.readStream.schema(TICK_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            streaming_indicators(stream, window_size=3)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch(first, "b1")
+    run_query()
+    write_batch(second, "b2")
+    run_query()  # restart from checkpoint; must NOT reprocess/reseed
+
+    got = {
+        r["timestamp"]: r
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert len(got) == len(ticks)  # no duplicates from reprocessing
+
+    eng = StreamingIndicators("R", 3)
+    for t in ticks:
+        exp = eng.update(t)
+        row = got[t.timestamp]
+        for f in ("sma", "ema", "rsi"):
+            e, g = getattr(exp, f), row[f]
+            if e is None:
+                assert g is None or (isinstance(g, float) and math.isnan(g))
+            else:
+                assert g == pytest.approx(e, abs=1e-9), (t, f)

@@ -10,6 +10,7 @@ import pytest
     "examples/basic_usage.py",
     "examples/local_demo.py",
     "examples/pipeline_demo.py",
+    "examples/secure_polygon_integration.py",
 ])
 def test_example_runs(script):
     proc = subprocess.run(

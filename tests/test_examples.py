@@ -11,6 +11,8 @@ import pytest
     "examples/local_demo.py",
     "examples/pipeline_demo.py",
     "examples/secure_polygon_integration.py",
+    "examples/multi_asset_class_demo.py",
+    "examples/validate.py",
 ])
 def test_example_runs(script):
     proc = subprocess.run(

@@ -45,11 +45,18 @@ __all__ = ["IndicatorSpec", "sma", "ema", "rsi", "macd", "with_indicators",
 
 @dataclass(frozen=True)
 class IndicatorSpec:
-    """One requested indicator column."""
+    """One requested indicator column.
+
+    ``value_col`` overrides the transform-level default input column,
+    allowing cross-column enrichment (e.g. a price EMA and a volume SMA)
+    in one pass/shuffle — the batch analog of the streaming engine's
+    price+volume state (streaming.rs:56-84).
+    """
 
     kind: str  # 'sma' | 'ema' | 'rsi' | 'macd'
     window: int | None
     out_col: str
+    value_col: str | None = None
 
     def __post_init__(self):
         if self.kind not in ("sma", "ema", "rsi", "macd"):
@@ -58,20 +65,23 @@ class IndicatorSpec:
             raise ValueError(f"{self.kind} requires a positive window")
 
 
-def sma(window: int, out_col: str | None = None) -> IndicatorSpec:
-    return IndicatorSpec("sma", window, out_col or f"sma_{window}")
+def sma(window: int, out_col: str | None = None,
+        value_col: str | None = None) -> IndicatorSpec:
+    return IndicatorSpec("sma", window, out_col or f"sma_{window}", value_col)
 
 
-def ema(window: int, out_col: str | None = None) -> IndicatorSpec:
-    return IndicatorSpec("ema", window, out_col or f"ema_{window}")
+def ema(window: int, out_col: str | None = None,
+        value_col: str | None = None) -> IndicatorSpec:
+    return IndicatorSpec("ema", window, out_col or f"ema_{window}", value_col)
 
 
-def rsi(window: int, out_col: str | None = None) -> IndicatorSpec:
-    return IndicatorSpec("rsi", window, out_col or f"rsi_{window}")
+def rsi(window: int, out_col: str | None = None,
+        value_col: str | None = None) -> IndicatorSpec:
+    return IndicatorSpec("rsi", window, out_col or f"rsi_{window}", value_col)
 
 
-def macd(out_col: str = "macd") -> IndicatorSpec:
-    return IndicatorSpec("macd", None, out_col)
+def macd(out_col: str = "macd", value_col: str | None = None) -> IndicatorSpec:
+    return IndicatorSpec("macd", None, out_col, value_col)
 
 
 _KERNELS = {
@@ -139,9 +149,10 @@ def with_indicators(
         def compute(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(order_by, kind="mergesort",
                                   ignore_index=True)
-            values = pdf[value_col]
             for s in specs:
-                pdf[s.out_col] = _KERNELS[s.kind](values, s)
+                pdf[s.out_col] = _KERNELS[s.kind](
+                    pdf[s.value_col or value_col], s
+                )
             return pdf
 
         if partition_by:
@@ -171,11 +182,14 @@ def with_indicators(
         changed[0] = True
         starts = np.flatnonzero(changed)
         ends = np.append(starts[1:], len(pdf))
-        values = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+        value_arrays = {
+            c: pdf[c].to_numpy(dtype="float64", na_value=np.nan)
+            for c in {s.value_col or value_col for s in specs}
+        }
         outs = {s.out_col: np.full(len(pdf), np.nan) for s in specs}
         for st, en in zip(starts, ends):
-            seg = values[st:en]
             for s in specs:
+                seg = value_arrays[s.value_col or value_col][st:en]
                 outs[s.out_col][st:en] = _KERNELS[s.kind](seg, s)
         for name, arr in outs.items():
             pdf[name] = arr

@@ -184,6 +184,43 @@ def _segmented_ema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multicol_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "lineitem")
+    specs = [
+        ind.sma(5, "qty_sma_5", value_col="l_quantity"),
+        ind.ema(7, "price_ema_7", value_col="l_extendedprice"),
+    ]
+    out = ind.with_indicators(
+        df, "l_extendedprice",
+        ["l_shipdate", "l_orderkey", "l_linenumber"], ["l_suppkey"], specs,
+    )
+    return out.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        round_null(F.col("qty_sma_5")).alias("qty_sma_5"),
+        round_null(F.col("price_ema_7")).alias("price_ema_7"),
+    )
+
+
+_ORACLE_MULTICOL_LINEITEM = f"""
+WITH base AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+    row_number() OVER w AS rn,
+    avg(l_quantity) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      AS raw_sma,
+    list(l_extendedprice) OVER
+      (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber)
+)
+SELECT l_suppkey, l_orderkey, l_linenumber,
+  CASE WHEN rn >= 5 THEN round(raw_sma, {ROUND_DP}) END AS qty_sma_5,
+  round(list_reduce(pfx, (acc, v) -> (2.0/8.0)*v + (1.0 - (2.0/8.0))*acc),
+        {ROUND_DP}) AS price_ema_7
+FROM base
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -235,5 +272,12 @@ QUERIES: dict = {
     "ind_ema_events_segmented": (
         _segmented_ema_events,
         oracle_indicator_sql(EVENTS_SERIES, [ind.ema(12)]),
+    ),
+    # Cross-column enrichment: quantity SMA + price EMA per supplier in
+    # ONE pass/shuffle (per-spec value_col — the batch analog of the
+    # streaming engine's price+volume state).
+    "ind_multicol_lineitem": (
+        _multicol_lineitem,
+        _ORACLE_MULTICOL_LINEITEM,
     ),
 }

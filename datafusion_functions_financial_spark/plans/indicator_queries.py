@@ -186,9 +186,14 @@ def _segmented_ema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multicol_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "lineitem")
+    # NB window 12 -> alpha = 2/13, not exactly representable in
+    # binary. A dyadic alpha (e.g. window 7 -> 0.25) makes EMA values of
+    # 2-decimal prices land on exact decimal lattice points, hitting
+    # round-half-at-4dp cases where Spark (BigDecimal HALF_UP) and
+    # DuckDB (scaled-double rounding) legitimately disagree.
     specs = [
         ind.sma(5, "qty_sma_5", value_col="l_quantity"),
-        ind.ema(7, "price_ema_7", value_col="l_extendedprice"),
+        ind.ema(12, "price_ema_12", value_col="l_extendedprice"),
     ]
     out = ind.with_indicators(
         df, "l_extendedprice",
@@ -197,7 +202,7 @@ def _multicol_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_suppkey", "l_orderkey", "l_linenumber",
         round_null(F.col("qty_sma_5")).alias("qty_sma_5"),
-        round_null(F.col("price_ema_7")).alias("price_ema_7"),
+        round_null(F.col("price_ema_12")).alias("price_ema_12"),
     )
 
 
@@ -215,8 +220,8 @@ WITH base AS (
 )
 SELECT l_suppkey, l_orderkey, l_linenumber,
   CASE WHEN rn >= 5 THEN round(raw_sma, {ROUND_DP}) END AS qty_sma_5,
-  round(list_reduce(pfx, (acc, v) -> (2.0/8.0)*v + (1.0 - (2.0/8.0))*acc),
-        {ROUND_DP}) AS price_ema_7
+  round(list_reduce(pfx, (acc, v) -> (2.0/13.0)*v + (1.0 - (2.0/13.0))*acc),
+        {ROUND_DP}) AS price_ema_12
 FROM base
 """
 

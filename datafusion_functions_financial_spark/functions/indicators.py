@@ -177,8 +177,17 @@ def with_indicators(
         if len(pdf) == 0:
             return
         # Rows arrive sorted by (keys..., order...); find group bounds.
+        # Null-safe compare: pandas NaN != NaN is True, so a plain
+        # keys.ne(shift) would start a new group on EVERY null-keyed row,
+        # silently resetting indicators (groupBy treats nulls as one
+        # group — this path must agree with method='group').
         keys = pdf[partition_by]
-        changed = keys.ne(keys.shift()).any(axis=1).to_numpy()
+        shifted = keys.shift()
+        changed = (
+            (keys.ne(shifted) & ~(keys.isna() & shifted.isna()))
+            .any(axis=1)
+            .to_numpy()
+        )
         changed[0] = True
         starts = np.flatnonzero(changed)
         ends = np.append(starts[1:], len(pdf))

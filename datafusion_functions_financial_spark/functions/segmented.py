@@ -210,8 +210,8 @@ def with_indicators_segmented(
                         state[sp.out_col] = s["tail"]
                     elif sp.kind == "rsi":
                         assert s["seeded"], (
-                            "segmented RSI: first bucket must contain more "
-                            f"than {sp.window} changes"
+                            "segmented RSI: first bucket must contain at "
+                            f"least {sp.window} changes"
                         )
                         state[sp.out_col] = {
                             "ag": s["seed_ag"], "al": s["seed_al"]

@@ -91,7 +91,27 @@ def _parse_over(spec_text: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
         )
     m = re.search(r"ORDER\s+BY\s+(.*)$", spec, re.IGNORECASE | re.S)
     if m:
-        order = tuple(c.strip() for c in m.group(1).split(",") if c.strip())
+        cols = []
+        for c in m.group(1).split(","):
+            c = c.strip()
+            if not c:
+                continue
+            # Accept a redundant ASC; reject DESC and expressions up
+            # front rather than failing deep inside the executor sort.
+            stripped = re.sub(r"\s+ASC$", "", c, flags=re.IGNORECASE)
+            if re.search(r"\s+DESC$", stripped, re.IGNORECASE):
+                raise ValueError(
+                    f"DESC ordering is not supported in indicator OVER "
+                    f"clauses (got {c!r}): indicators are defined over "
+                    f"ascending arrival order"
+                )
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", stripped):
+                raise ValueError(
+                    f"only plain column names are supported in indicator "
+                    f"OVER ORDER BY (got {c!r})"
+                )
+            cols.append(stripped)
+        order = tuple(cols)
     return partition, order
 
 

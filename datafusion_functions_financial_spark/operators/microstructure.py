@@ -54,13 +54,23 @@ def sign_trades(
     keys: Sequence[str] = ("ticker",),
     ts_col: str = "sip_timestamp",
     price_col: str = "price",
+    tiebreak_cols: Sequence[str] = ("sequence_number",),
 ) -> DataFrame:
     """Tick-rule trade signing: +1 uptick, -1 downtick; zero-ticks carry
-    the previous nonzero sign (NULL until the first price change)."""
-    w = Window.partitionBy(*keys).orderBy(ts_col)
+    the previous nonzero sign (NULL until the first price change).
+
+    ``tiebreak_cols`` must make the ordering unique within a key —
+    exchange feeds routinely stamp multiple trades with the same
+    timestamp, and lag()/last() over a non-unique order are
+    nondeterministic across runs. Columns absent from the frame are
+    skipped (with the default, frames without ``sequence_number`` fall
+    back to timestamp-only ordering as before).
+    """
+    order = [ts_col] + [c for c in tiebreak_cols if c in trades.columns]
+    w = Window.partitionBy(*keys).orderBy(*order)
     chg = F.col(price_col) - F.lag(price_col).over(w)
     raw = F.when(chg > 0, 1).when(chg < 0, -1)  # NULL on zero-tick/first
-    cum = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
+    cum = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return trades.withColumn(

@@ -244,10 +244,12 @@ WITH flagged AS (
                    > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
   FROM events
 ), sessions AS (
-  SELECT *, sum(new_session) OVER (
+  -- CAST: DuckDB promotes windowed integer sum to HUGEINT, which lands
+  -- as float64 in the comparison frame; Spark emits bigint.
+  SELECT *, CAST(sum(new_session) OVER (
            PARTITION BY user_id ORDER BY us, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS session_id
+         ) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,

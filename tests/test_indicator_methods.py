@@ -33,6 +33,36 @@ def _collect(df, cols):
     return out
 
 
+def test_null_partition_keys_form_one_group(spark):
+    # Null keys must be ONE group in both paths (pandas NaN != NaN would
+    # otherwise split the fast path into per-row groups, silently
+    # resetting the indicators).
+    rows = [(None, i, 100.0 + i) for i in range(12)]
+    rows += [("a", i, 200.0 + i) for i in range(12)]
+    pdf = pd.DataFrame(rows, columns=["k", "seq", "x"])
+    df = spark.createDataFrame(pdf)
+    specs = [ind.sma(5), ind.ema(7)]
+    cols = [s.out_col for s in specs]
+    fast = _collect(
+        ind.with_indicators(df, "x", ["seq"], ["k"], specs,
+                            method="partition"),
+        cols,
+    )
+    slow = _collect(
+        ind.with_indicators(df, "x", ["seq"], ["k"], specs, method="group"),
+        cols,
+    )
+    assert fast.keys() == slow.keys()
+    for key in fast:
+        for a, b in zip(fast[key], slow[key]):
+            if a is None or (isinstance(a, float) and np.isnan(a)):
+                assert b is None or (isinstance(b, float) and np.isnan(b)), key
+            else:
+                assert a == b, key
+    # The null group must actually produce values (12 rows > window 5).
+    assert fast[(None, 11)][0] is not None
+
+
 def test_partition_and_group_methods_agree(random_series_df):
     cols = [s.out_col for s in SPECS]
     fast = _collect(

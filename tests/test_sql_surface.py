@@ -116,3 +116,26 @@ def test_register_binds_convenience(spark, prices_view):
 def test_plain_sql_passthrough(spark, prices_view):
     out = sql_with_indicators(spark, "SELECT count(*) c FROM prices")
     assert out.collect()[0]["c"] == 10
+
+
+def test_over_order_by_asc_suffix(spark, prices_view):
+    # Redundant ASC must parse as the bare column.
+    out = sql_with_indicators(spark, """
+        SELECT price, sma(price, 3) OVER (ORDER BY seq ASC) AS sma_3
+        FROM prices ORDER BY seq
+    """).collect()
+    assert [r["sma_3"] for r in out[:4]] == [None, None, 2.0, 3.0]
+
+
+def test_over_order_by_desc_rejected_eagerly(spark, prices_view):
+    with pytest.raises(ValueError, match="DESC"):
+        sql_with_indicators(spark, """
+            SELECT sma(price, 3) OVER (ORDER BY seq DESC) AS s FROM prices
+        """)
+
+
+def test_over_order_by_expression_rejected(spark, prices_view):
+    with pytest.raises(ValueError, match="plain column"):
+        sql_with_indicators(spark, """
+            SELECT sma(price, 3) OVER (ORDER BY seq + 1) AS s FROM prices
+        """)

@@ -15,8 +15,9 @@ Design for 100 TB:
   verified with exact Jaccard. Shuffle cost: one explode of B rows/doc
   plus a groupBy on (band, key) — linear, not quadratic.
 - **SimHash**: 31-bit vote fingerprint over token hashes; near-dup =
-  small Hamming distance. Pair scan is quadratic here (fine at test
-  scale); at 100 TB block on fingerprint prefixes.
+  small Hamming distance. The pair scan blocks on max_hamming+1 bit
+  bands (pigeonhole => lossless: identical output to the quadratic
+  scan, but candidates form inside band buckets via an equi-join).
 
 All hash arithmetic is engine-portable (same integer ops in the DuckDB
 oracles) — nothing depends on Spark's internal hash functions.
@@ -173,30 +174,21 @@ def shingle_pairs_jaccard(
 
 
 def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = shingle_pairs_jaccard(load(spark, sf_dir, "documents"))
+    # The gate runs the CANDIDATE-GATED path — exact string-shingle
+    # Jaccard verification over MinHash-LSH candidates only, the 100 TB
+    # composition. (The ungated self-join stays available for small
+    # corpora via candidates=None.)
+    docs = load(spark, sf_dir, "documents")
+    out = shingle_pairs_jaccard(
+        docs, candidates=minhash_lsh_candidates(docs)
+    )
     return out.selectExpr(
         "id_a", "id_b", f"round(jaccard, {ROUND_DP}) AS jaccard"
     )
 
 
-_ORACLE_DEDUP_NGRAM = f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, unnest({_shingles_duck('text')}) AS s
-  FROM documents
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT i.id_a, i.id_b,
-       round(i.inter / (sa.n + sb.n - i.inter), {ROUND_DP}) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.id_a
-JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
-"""
+# NOTE: _ORACLE_DEDUP_NGRAM is defined after the MinHash section below
+# (it reuses the shared LSH candidate CTE chain).
 
 
 # ==========================================================================
@@ -245,23 +237,23 @@ def _band_key_expr(band: int) -> str:
 EST_MIN_MATCHES = 8  # signature pre-filter: >= 8/16 perms must agree
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
-    """Full LSH pipeline: signatures -> band buckets -> candidate pairs
-    -> signature-agreement pre-filter -> exact-Jaccard verification over
-    shingle-hash sets.
+    """Candidate pairs (id_a < id_b) from MinHash LSH banding plus the
+    signature-agreement pre-filter — no exact verification yet. This is
+    the blocking stage any exact verifier (hashed-shingle Jaccard,
+    string-shingle Jaccard, edit distance...) should be fed at scale.
 
     Scale properties: band explode + groupBy is linear; the pair join
     only touches docs sharing a band bucket; the pre-filter (estimated
     Jaccard >= EST_MIN_MATCHES/N_PERMS, i.e. 0.5) kills most
-    low-similarity bucket collisions before the per-shingle join. A
+    low-similarity bucket collisions before any per-shingle join. A
     true 0.8-Jaccard pair fails the pre-filter with P ~ 4e-4
     (Binomial(16, 0.8) < 8) — the usual LSH recall trade, and fully
-    deterministic (the oracle applies the identical filter)."""
+    deterministic (the oracles apply the identical filter)."""
     # Materialize signatures once: the band self-join and the est-filter
     # reference this subplan four times, and Spark re-executes (not
     # CSEs) repeated subplans — recomputing the hash UDF 4x otherwise.
@@ -291,14 +283,24 @@ def minhash_lsh_pairs(
         F.when(F.col(f"sa.mh_{j}") == F.col(f"sb.mh_{j}"), 1).otherwise(0)
         for j in range(N_PERMS)
     )
-    cand = (
+    return (
         cand.join(sig.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
         .join(sig.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
         .filter(matches >= EST_MIN_MATCHES)
         .select("id_a", "id_b")
     )
-    # Exact-Jaccard verification over shingle-HASH sets, restricted to
-    # the candidate pairs — never the full pair space.
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Full LSH pipeline: ``minhash_lsh_candidates`` -> exact-Jaccard
+    verification over shingle-hash sets, restricted to candidates —
+    never the full pair space."""
+    cand = minhash_lsh_candidates(df, text_col, id_col)
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(fasthash.shingle_hashes_udf(F.col(text_col))).alias("h"),
@@ -355,8 +357,10 @@ def _duck_band_key(band: int) -> str:
     return f"concat_ws('-', {', '.join(cols)})"
 
 
-_ORACLE_MINHASH_LSH = f"""
-WITH hashed AS ({_DUCK_HASHES_CTE}
+# Shared candidate-generation CTE chain (signatures -> band buckets ->
+# distinct bucket-mates -> signature-agreement pre-filter); reused by
+# the LSH gate and the candidate-gated n-gram Jaccard gate.
+_DUCK_LSH_CAND_CTES = f"""hashed AS ({_DUCK_HASHES_CTE}
 ), sig AS (
   SELECT doc_id, {', '.join(_minhash_from_hashes_duck())} FROM hashed
 ), bands AS (
@@ -378,7 +382,11 @@ WITH hashed AS ({_DUCK_HASHES_CTE}
       f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END"
       for j in range(N_PERMS)
   )} >= {EST_MIN_MATCHES}
-), sh AS (
+)"""
+
+
+_ORACLE_MINHASH_LSH = f"""
+WITH {_DUCK_LSH_CAND_CTES}, sh AS (
   SELECT doc_id, unnest(list_distinct(__hashes)) AS h FROM hashed
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
@@ -387,6 +395,31 @@ WITH hashed AS ({_DUCK_HASHES_CTE}
   FROM cand c
   JOIN sh a ON a.doc_id = c.id_a
   JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.inter / (sa.n + sb.n - i.inter), {ROUND_DP}) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# Candidate-gated exact n-gram Jaccard: the same LSH candidate chain,
+# verified over distinct STRING shingles (not hashes) — mirrors
+# _q_dedup_ngram's shingle_pairs_jaccard(candidates=...) composition.
+_ORACLE_DEDUP_NGRAM = f"""
+WITH {_DUCK_LSH_CAND_CTES}, sh AS (
+  SELECT DISTINCT doc_id, unnest({_shingles_duck('text')}) AS s
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b,
@@ -453,17 +486,83 @@ def simhash(df: DataFrame, text_col: str = "text",
     )
 
 
+def _band_slices(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(offset, width) per band; widths differ by at most 1."""
+    base, extra = divmod(bits, n_bands)
+    out, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
-                  max_hamming: int = HAMMING_THRESHOLD) -> DataFrame:
-    s = simhash(df, text_col, id_col)
-    a, b = s.alias("a"), s.alias("b")
+                  max_hamming: int = HAMMING_THRESHOLD,
+                  method: str = "banded") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    ``method="banded"`` (default) is LOSSLESS blocking: the fingerprint
+    is split into ``max_hamming + 1`` bit-bands; two fingerprints within
+    ``max_hamming`` differing bits must agree exactly on >= 1 band
+    (pigeonhole: max_hamming diffs cannot touch all max_hamming+1
+    bands), so candidates = pairs sharing a (band, bucket) — an
+    equi-join, no all-pairs scan — and the result is identical to the
+    quadratic path. Blocking power: each band carries
+    ~bits/(max_hamming+1) bits, so low thresholds on short fingerprints
+    block weakly; production near-dup at 100 TB wants 64-bit
+    fingerprints (Manku et al., WWW'07) — width is a parameter here.
+
+    ``method="allpairs"``: the O(n^2) reference scan, for auditing.
+    """
+    if max_hamming + 1 > SIMHASH_BITS:
+        method = "allpairs"  # banding degenerates below 1 bit/band
+    if method == "allpairs":
+        s = simhash(df, text_col, id_col)
+        a, b = s.alias("a"), s.alias("b")
+        return (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    if method != "banded":
+        raise ValueError("method must be 'banded' or 'allpairs'")
+    # Fingerprints are referenced by the band explode AND both sides of
+    # the verify join — materialize once (Spark re-executes, not CSEs,
+    # repeated subplans, and simhash() runs a token-hash UDF per row).
+    s = simhash(df, text_col, id_col).localCheckpoint()
+    slices = _band_slices(SIMHASH_BITS, max_hamming + 1)
+    band_exprs = [
+        f"named_struct('band', {b}, 'bucket', "
+        f"shiftright(simhash, {off}) & {(1 << w) - 1}L)"
+        for b, (off, w) in enumerate(slices)
+    ]
+    bands = s.selectExpr(
+        "doc_id", f"explode(array({', '.join(band_exprs)})) AS bk"
+    ).selectExpr("doc_id", "bk.band AS band", "bk.bucket AS bucket")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        cand.join(s.selectExpr("doc_id AS id_a", "simhash AS sh_a"), "id_a")
+        .join(s.selectExpr("doc_id AS id_b", "simhash AS sh_b"), "id_b")
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            "id_a", "id_b",
+            F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -483,6 +582,9 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load(spark, sf_dir, "documents"))
 
 
+# All-pairs oracle stays valid for the banded Spark plan: banding into
+# max_hamming+1 bands is lossless (see simhash_pairs), so both compute
+# the same relation — the oracle declares WHAT, the plan chooses HOW.
 _ORACLE_SIMHASH_PAIRS = f"""
 WITH hashed AS ({_DUCK_TOKEN_HASHES_CTE}
 ), s AS (

@@ -145,6 +145,44 @@ def cos_fold_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
 
+def make_band_sig_udf(bands: int, planes_per_band: int, dim: int):
+    """Banded sign-random-projection signatures: one BIGINT bucket per
+    band (``planes_per_band`` sign bits folded as acc*2+bit).
+
+    Hyperplane components are the same deterministic LCG as the SQL
+    ``_plane_component`` (plane p, dim i -> ((1103515245*(p*dim+i+1) +
+    12345) % 2^31)/2^31 - 0.5 — all exact in float64), and the dot
+    product accumulates dimension-by-dimension in the same sequential
+    order as the SQL fold, so bucket signs are bit-identical to the
+    Catalyst/DuckDB expressions."""
+    n_planes = bands * planes_per_band
+    idx = (
+        np.arange(n_planes, dtype=np.int64)[:, None] * dim
+        + np.arange(dim, dtype=np.int64)[None, :] + 1
+    )
+    planes = (
+        ((1103515245 * idx + 12345) % 2147483648).astype(np.float64)
+        / 2147483648.0 - 0.5
+    )
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        acc = np.zeros((X.shape[0], n_planes), dtype=np.float64)
+        for i in range(dim):
+            acc = acc + X[:, i:i + 1] * planes[:, i]
+        bits = (acc >= 0).astype(np.int64)
+        sig = np.zeros((X.shape[0], bands), dtype=np.int64)
+        for b in range(bands):
+            for j in range(planes_per_band):
+                sig[:, b] = sig[:, b] * 2 + bits[:, b * planes_per_band + j]
+        return pd.Series([[int(x) for x in row] for row in sig])
+
+    return band_sigs
+
+
 _PUNCT = set(".,!?;:")
 
 

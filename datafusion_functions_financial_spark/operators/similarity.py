@@ -161,18 +161,78 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", w).filter(F.col("rank") <= k)
 
 
+NEARDUP_BANDS = 16
+NEARDUP_PLANES_PER_BAND = 4
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = NEARDUP_COS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    bands: int = NEARDUP_BANDS,
+    planes_per_band: int = NEARDUP_PLANES_PER_BAND,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (exact; LSH-gate at scale)."""
-    a = vectors.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS va")
-    b = vectors.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS vb")
+    """Near-duplicate pairs by cosine similarity.
+
+    ``method="lsh"`` (default, the scale path): banded
+    sign-random-projection candidates — B bands of r hyperplanes each;
+    a pair is a candidate iff it agrees on ALL r signs in >= 1 band —
+    then exact-cosine verification of candidates only. No cartesian
+    product anywhere: the band bucket self-join is an equi-join, linear
+    in bucket occupancy. Recall per pair at cosine c is
+    1-(1-p^r)^B with p = 1 - arccos(c)/pi: ~0.9997 at c=0.8 (a
+    realistic near-dup threshold) with the default 16x4; pairs sitting
+    AT a low threshold like 0.4 (p~0.63) get ~0.8 — raise ``bands`` or
+    lower ``planes_per_band`` to trade cost for recall.
+
+    ``method="exact"``: all-pairs crossJoin + filter — exact at any
+    threshold, quadratic; only for small corpora or auditing recall.
+    """
+    if method == "exact":
+        a = vectors.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS va")
+        b = vectors.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS vb")
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                fasthash.cos_fold_udf(F.col("va"), F.col("vb")).alias(
+                    "cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+    if method != "lsh":
+        raise ValueError("method must be 'lsh' or 'exact'")
+    sig_udf = fasthash.make_band_sig_udf(bands, planes_per_band, DIM)
+    # (doc, band, bucket) — narrow; localCheckpoint because the
+    # candidate self-join references this subplan twice and Spark
+    # re-executes (does not CSE) repeated subplans.
+    bb = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(sig_udf(F.col(vec_col))).alias("band", "bucket"),
+        )
+        .localCheckpoint()
+    )
+    cand = (
+        bb.alias("a")
+        .join(
+            bb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = vectors.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS va")
+    vb = vectors.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS vb")
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a", "id_b",
             fasthash.cos_fold_udf(F.col("va"), F.col("vb")).alias("cos_sim"),
@@ -239,20 +299,50 @@ FROM ranked WHERE rank <= {K_LSH}
 """
 
 
+def _band_bucket_duck(vec: str, band: str, r: int) -> str:
+    """Integer bucket for one band: fold r sign bits as acc*2+bit, with
+    plane index p = band*r + j over the shared LCG hyperplanes."""
+    p = f"(CAST({band} AS BIGINT) * {r} + j)"
+    dot = (
+        f"list_reduce(list_concat([CAST(0 AS DOUBLE)], "
+        f"list_transform(range(1, {DIM} + 1), i -> "
+        f"CAST({vec}[i] AS DOUBLE) * {_plane_component(p, '(i - 1)')})), "
+        f"(acc, v) -> acc + v)"
+    )
+    return (
+        f"list_reduce(list_concat([CAST(0 AS BIGINT)], "
+        f"list_transform(range(0, {r}), j -> CASE WHEN {dot} >= 0 "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), "
+        f"(a1, a2) -> a1 * 2 + a2)"
+    )
+
+
 def _q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    out = embedding_neardup_pairs(emb)
+    out = embedding_neardup_pairs(emb)  # method="lsh", no cartesian
     return out.selectExpr(
         "id_a", "id_b", f"round(cos_sim, {ROUND_DP}) AS cos_sim"
     )
 
 
 _ORACLE_NEARDUP = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_cos_duck('a.embedding', 'b.embedding')}, {ROUND_DP}) AS cos_sim
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND {_cos_duck('a.embedding', 'b.embedding')} >= {NEARDUP_COS}
+WITH bb AS (
+  SELECT e.vec_id, b.range AS band,
+         {_band_bucket_duck('e.embedding', 'b.range',
+                            NEARDUP_PLANES_PER_BAND)} AS bucket
+  FROM embeddings e, range(0, {NEARDUP_BANDS}) b
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM bb a JOIN bb b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round({_cos_duck('ea.embedding', 'eb.embedding')}, {ROUND_DP})
+         AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE {_cos_duck('ea.embedding', 'eb.embedding')} >= {NEARDUP_COS}
 """
 
 

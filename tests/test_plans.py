@@ -72,3 +72,59 @@ def test_events_hourly_partial_agg(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_events_hourly")
     assert count_exchanges(plan) == 1, plan
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def _no_cartesian(plan: str):
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in plan, f"quadratic join in plan: {marker}"
+
+
+def test_embedding_neardup_no_cartesian(spark, sf_dir):
+    # Banded sign-LSH candidates + exact-cos verify: every join is an
+    # equi-join (band/bucket or vec_id) — no all-pairs scan.
+    _no_cartesian(plan_of(spark, sf_dir, "embedding_neardup_pairs"))
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir):
+    _no_cartesian(plan_of(spark, sf_dir, "dedup_simhash_pairs_documents"))
+
+
+def test_ngram_jaccard_gated_no_cartesian(spark, sf_dir):
+    _no_cartesian(plan_of(spark, sf_dir, "dedup_ngram_jaccard_documents"))
+
+
+def test_simhash_banding_is_lossless(spark, sf_dir):
+    # Pigeonhole guarantee: banded blocking returns EXACTLY the
+    # all-pairs result (max_hamming diffs cannot dirty all
+    # max_hamming+1 bands).
+    from datafusion_functions_financial_spark.operators.dedup import (
+        simhash_pairs,
+    )
+    from datafusion_functions_financial_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(120)
+    banded = {(r.id_a, r.id_b, r.hamming)
+              for r in simhash_pairs(docs, method="banded").collect()}
+    allp = {(r.id_a, r.id_b, r.hamming)
+            for r in simhash_pairs(docs, method="allpairs").collect()}
+    assert banded == allp and len(banded) > 0
+
+
+def test_neardup_lsh_subset_of_exact(spark, sf_dir):
+    # LSH near-dup must return a SUBSET of the exact result with the
+    # same cosine values on shared pairs (recall < 1 by design at
+    # low thresholds).
+    from datafusion_functions_financial_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from datafusion_functions_financial_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    lsh = {(r.id_a, r.id_b): r.cos_sim
+           for r in embedding_neardup_pairs(emb, method="lsh").collect()}
+    exact = {(r.id_a, r.id_b): r.cos_sim
+             for r in embedding_neardup_pairs(emb, method="exact").collect()}
+    assert set(lsh) <= set(exact)
+    assert len(lsh) > 0
+    for k, v in lsh.items():
+        assert exact[k] == v  # identical cosine arithmetic on both paths

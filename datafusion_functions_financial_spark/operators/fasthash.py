@@ -46,46 +46,123 @@ def shingle_list(norm: str, k: int = SHINGLE_K) -> list[str]:
 
 def _hash_strings(strings: list[str], k: int = SHINGLE_K) -> np.ndarray:
     """Polynomial fold (h*31 + codepoint) % MOD per string, vectorized
-    for the common fixed-length case."""
+    by grouping strings of equal length (numpy column folds; no per-
+    char Python loop). ``k`` is accepted for signature compatibility
+    but unused — all lengths vectorize."""
     if not strings:
         return np.empty(0, dtype=np.int64)
+    lens = np.array([len(s) for s in strings], dtype=np.int64)
     out = np.empty(len(strings), dtype=np.int64)
-    regular_idx = [i for i, s in enumerate(strings) if len(s) == k]
-    if regular_idx:
-        joined = "".join(strings[i] for i in regular_idx)
-        codes = (
-            np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
-            .reshape(-1, k)
-            .astype(np.int64)
-        )
-        h = np.zeros(len(regular_idx), dtype=np.int64)
-        for col in range(k):
-            h = (h * 31 + codes[:, col]) % MOD
-        out[regular_idx] = h
-    for i, s in enumerate(strings):
-        if len(s) != k:
-            h1 = 0
-            for c in s:
-                h1 = (h1 * 31 + ord(c)) % MOD
-            out[i] = h1
+    joined = "".join(strings)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(
+        np.int64
+    )
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    for length in np.unique(lens):
+        idx = np.flatnonzero(lens == length)
+        if length == 0:
+            out[idx] = 0
+            continue
+        starts = offs[idx]
+        h = np.zeros(len(idx), dtype=np.int64)
+        for col in range(length):
+            h = (h * 31 + codes[starts + col]) % MOD
+        out[idx] = h
     return out
+
+
+def _batch_shingle_hashes(
+    norms: list[str], k: int = SHINGLE_K
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling polynomial hash of every k-shingle position for a whole
+    batch of normalized docs — (seg_starts, hashes), where doc d's
+    hashes occupy hashes[seg_starts[d]:seg_starts[d+1]-ish] in position
+    order, duplicates included. No shingle strings are materialized:
+    the k-window fold runs directly on the concatenated char-code
+    array (sum of code*31^j stays < 1.1e6 * 31^5 << 2^63, and one
+    final %MOD equals the reference's per-step mod).
+
+    Docs shorter than k contribute ONE hash — the fold of the whole
+    (clamped) string, mirroring substring(norm, 1, k) clamping.
+    """
+    n_docs = len(norms)
+    lens = np.array([len(s) for s in norms], dtype=np.int64)
+    m = np.maximum(lens - (k - 1), 1)  # hash positions per doc
+    seg_starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+    total = int(m.sum())
+    hashes = np.zeros(total, dtype=np.int64)
+
+    regular = lens >= k
+    if regular.any():
+        joined = "".join(s for s, r in zip(norms, regular) if r)
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+        codes = codes.astype(np.int64)
+        rl = lens[regular]
+        rm = m[regular]
+        roffs = np.concatenate([[0], np.cumsum(rl)[:-1]])
+        w = int(rm.sum())
+        # Window-start index into `codes` for every hash position.
+        pos = np.arange(w, dtype=np.int64)
+        seg = np.repeat(np.arange(len(rl), dtype=np.int64), rm)
+        within = pos - np.repeat(
+            np.concatenate([[0], np.cumsum(rm)[:-1]]), rm
+        )
+        starts = roffs[seg] + within
+        h = np.zeros(w, dtype=np.int64)
+        for j in range(k):
+            h = h * 31 + codes[starts + j]
+        h %= MOD
+        # Scatter back into the all-docs layout.
+        out_seg = np.repeat(seg_starts[regular], rm)
+        out_within = within
+        hashes[out_seg + out_within] = h
+    short = ~regular
+    if short.any():
+        short_idx = np.flatnonzero(short)
+        sh = _hash_strings([norms[i] for i in short_idx])
+        hashes[seg_starts[short_idx]] = sh
+    return seg_starts, hashes
 
 
 def make_minhash_udf(perms: list[tuple[int, int]]):
     A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
     B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
 
+    n_perms = len(perms)
+
     @pandas_udf(ArrayType(LongType()))
     def minhash_sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            hs = _hash_strings(shingle_list(normalize(t)))
-            if hs.size == 0:
-                out.append([int(x) for x in (A[:, 0] * 0 + B[:, 0]) % PRIME])
-                continue
-            mins = ((A * hs[None, :] + B) % PRIME).min(axis=1)
-            out.append([int(x) for x in mins])
-        return pd.Series(out)
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        norms = [normalize(t) for t in texts]
+        seg_starts, hashes = _batch_shingle_hashes(norms)
+        n_docs = len(norms)
+        ends = np.concatenate([seg_starts[1:], [len(hashes)]])
+        # Permute + per-doc min in doc blocks over ONE reused buffer:
+        # a full (n_perms, total) matrix is hundreds of MB whose
+        # allocation/page-faults dominate (~30x slower measured); a
+        # cache-resident block is compute-bound. a*h+b < 2^31*(1e9+7)
+        # + 2^31 << 2^63 — no overflow.
+        blk = 64
+        maxw = 0
+        for s in range(0, n_docs, blk):
+            e = min(s + blk, n_docs)
+            maxw = max(maxw, int(ends[e - 1] - seg_starts[s]))
+        buf = np.empty((n_perms, maxw), dtype=np.int64)
+        mins = np.empty((n_perms, n_docs), dtype=np.int64)
+        for s in range(0, n_docs, blk):
+            e = min(s + blk, n_docs)
+            lo, hi = int(seg_starts[s]), int(ends[e - 1])
+            p = buf[:, : hi - lo]
+            np.multiply(A, hashes[None, lo:hi], out=p)
+            p += B
+            p %= PRIME
+            mins[:, s:e] = np.minimum.reduceat(
+                p, seg_starts[s:e] - lo, axis=1
+            )
+        return pd.Series(
+            [[int(x) for x in mins[:, d]] for d in range(n_docs)]
+        )
 
     return minhash_sig
 
@@ -97,15 +174,26 @@ def shingles_udf(texts: pd.Series) -> pd.Series:
 
 @pandas_udf(ArrayType(LongType()))
 def shingle_hashes_udf(texts: pd.Series) -> pd.Series:
-    """Distinct shingle-hash set per document (order-stable)."""
-    out = []
-    for t in texts:
-        hs = _hash_strings(shingle_list(normalize(t)))
-        seen: dict[int, None] = {}
-        for h in hs:
-            seen.setdefault(int(h))
-        out.append(list(seen))
-    return pd.Series(out)
+    """Distinct shingle-hash set per document (sorted by hash; all
+    consumers treat it as a set — explode/join or min)."""
+    if len(texts) == 0:
+        return pd.Series([], dtype=object)
+    norms = [normalize(t) for t in texts]
+    seg_starts, hashes = _batch_shingle_hashes(norms)
+    n_docs = len(norms)
+    doc_ids = np.repeat(
+        np.arange(n_docs, dtype=np.int64),
+        np.diff(np.concatenate([seg_starts, [len(hashes)]])),
+    )
+    order = np.lexsort((hashes, doc_ids))
+    d_s, h_s = doc_ids[order], hashes[order]
+    keep = np.ones(len(h_s), dtype=bool)
+    keep[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
+    d_k, h_k = d_s[keep], h_s[keep]
+    bounds = np.searchsorted(d_k, np.arange(1, n_docs))
+    return pd.Series(
+        [[int(x) for x in arr] for arr in np.split(h_k, bounds)]
+    )
 
 
 @pandas_udf(ArrayType(LongType()))

@@ -57,11 +57,19 @@ def poly_hash_spark(str_expr: str) -> str:
 
 
 def poly_hash_duck(str_expr: str) -> str:
-    """Same hash in DuckDB SQL (unicode() == Spark's ascii code point)."""
-    return (
+    """Same hash in DuckDB SQL (unicode() == Spark's ascii code point).
+
+    Empty-string guard: DuckDB's string_split('', '') yields [''] and
+    unicode('') is -1, which would hash '' to -1; the engine folds an
+    empty string to the seed 0, so the oracle must too."""
+    fold = (
         f"list_reduce(list_concat([CAST(0 AS BIGINT)], "
         f"list_transform(string_split({str_expr}, ''), "
         f"c -> CAST(unicode(c) AS BIGINT))), (h, c) -> (h*31 + c) % {MOD})"
+    )
+    return (
+        f"CASE WHEN length({str_expr}) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE {fold} END"
     )
 
 

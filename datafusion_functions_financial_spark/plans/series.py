@@ -42,6 +42,16 @@ EVENTS_SERIES = SeriesCfg(
     out_cols=("user_id", "event_id", "value"),
 )
 
+# Long per-key series (600 rows/supplier at sf0.001, 6000 at sf0.01):
+# the right length for the reference's 20/50 crossover windows.
+LINEITEM_SUPPLIER_SERIES = SeriesCfg(
+    table="lineitem",
+    keys=("l_suppkey",),
+    order=("l_shipdate", "l_orderkey", "l_linenumber"),
+    value="l_extendedprice",
+    out_cols=("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+)
+
 ORDERS_SERIES = SeriesCfg(
     table="orders",
     keys=("o_custkey",),

@@ -27,7 +27,13 @@ from pyspark.sql import Window
 from ..functions import indicators as ind
 from ..sources.tables import load
 from .indicator_queries import oracle_indicator_sql
-from .series import EVENTS_SERIES, ROUND_DP, SeriesCfg, round_null
+from .series import (
+    EVENTS_SERIES,
+    LINEITEM_SUPPLIER_SERIES,
+    ROUND_DP,
+    SeriesCfg,
+    round_null,
+)
 
 BUY = "Buy"
 SELL = "Sell"
@@ -204,5 +210,11 @@ QUERIES: dict = {
     "signals_ma_crossover_events": (
         _xover_query(EVENTS_SERIES, 5, 10),
         _xover_oracle(EVENTS_SERIES, 5, 10),
+    ),
+    # The reference's exact 20/50 configuration (signals.rs:104-110) on
+    # series long enough to exercise it (per-supplier lineitem prices).
+    "signals_ma_crossover_lineitem_2050": (
+        _xover_query(LINEITEM_SUPPLIER_SERIES, 20, 50),
+        _xover_oracle(LINEITEM_SUPPLIER_SERIES, 20, 50),
     ),
 }

@@ -119,6 +119,100 @@ def validate_day_aggs(df: DataFrame, date_col: str = "date") -> ValidationReport
     return report
 
 
+US_DAY = 86_400_000_000
+
+
+def keyed_time_gaps(
+    df: DataFrame,
+    keys: list[str],
+    ts_us: F.Column,
+    tiebreak: list[str],
+    bucket_us: int = US_DAY,
+) -> DataFrame:
+    """All consecutive-row time gaps per key — (keys..., gap_us) —
+    WITHOUT a global or whole-key single-task sort.
+
+    Lossless decomposition of the per-key ordered scan: rows bucket by
+    time (default 1 day); within-bucket gaps come from a window
+    hash-partitioned on (keys, bucket) — parallel across buckets even
+    for one giant key — and the bucket-boundary gaps are recovered from
+    per-bucket (min, max) aggregates via a window over the tiny
+    aggregated table (one row per key-bucket). The union equals the
+    gap multiset of ``lag() OVER (PARTITION BY keys ORDER BY ts)``
+    exactly: bucketing is monotonic in ts, so bucket-local adjacency
+    plus boundary adjacency is global adjacency.
+    """
+    # Integer DIV: epoch-ns/us magnitudes exceed double's exact-integer
+    # range, so float division would mis-bucket boundary rows.
+    d = df.select(*keys, *tiebreak, ts_us.alias("__us")).withColumn(
+        "__bucket", F.expr(f"__us DIV {bucket_us}")
+    )
+    w_in = Window.partitionBy(*keys, "__bucket").orderBy("__us", *tiebreak)
+    within = (
+        d.select(
+            *keys,
+            (F.col("__us") - F.lag("__us").over(w_in)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    seg = d.groupBy(*keys, "__bucket").agg(
+        F.min("__us").alias("__mn"), F.max("__us").alias("__mx")
+    )
+    w_b = Window.partitionBy(*keys).orderBy("__bucket")
+    boundary = (
+        seg.select(
+            *keys,
+            (F.col("__mn") - F.lag("__mx").over(w_b)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return within.unionByName(boundary)
+
+
+def validate_minute_aggs_partitioned(
+    df: DataFrame,
+    keys: list[str] = ["ticker"],
+    ts_col: str = "window_start",
+    gap_ns: int = NS_MINUTE,
+    tiebreak: list[str] = [],
+    bucket_us: int = US_DAY,
+) -> ValidationReport:
+    """The reference minute-agg checks with the gap scan partitioned
+    per key (and day-bucketed within a key) — the variant a 100 TB
+    deployment runs instead of the reference's global ORDER BY. Value
+    checks are identical to ``validate_minute_aggs``."""
+    gaps = (
+        keyed_time_gaps(
+            df, keys, F.expr(f"{ts_col} DIV 1000"), tiebreak, bucket_us
+        )
+        .filter(F.col("gap_us") > gap_ns // 1000)
+        .count()
+    )
+    row = df.agg(
+        F.count(F.lit(1)).alias("total"),
+        (
+            _count_if(F.col("volume") < 0)
+            + _count_if(F.col("open") <= 0)
+            + _count_if(F.col("close") <= 0)
+            + _count_if(F.col("high") <= 0)
+            + _count_if(F.col("low") <= 0)
+        ).alias("negative_values"),
+        _count_if(
+            (F.col("high") < F.col("low"))
+            | (F.col("high") < F.col("open"))
+            | (F.col("high") < F.col("close"))
+            | (F.col("low") > F.col("open"))
+            | (F.col("low") > F.col("close"))
+        ).alias("logic_errors"),
+    ).collect()[0]
+    report = ValidationReport()
+    report.set_total_rows(row["total"])
+    report.add_check("Negative Values", row["negative_values"])
+    report.add_check("Time Gaps", gaps)
+    report.add_check("Logic Errors", row["logic_errors"])
+    return report
+
+
 # ---------------------------------------------------------------------------
 # Registry query/oracle pairs over the driver testdata
 # ---------------------------------------------------------------------------
@@ -204,8 +298,48 @@ FROM orders
 """
 
 
+def _q_validate_events_gaps_keyed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Per-user keyed gap validation through the bucketed lossless
+    # decomposition (keyed_time_gaps) — the scale-safe variant of
+    # _q_validate_events_gaps. The oracle declares the equivalent
+    # per-key window; results match because the decomposition is exact.
+    df = load(spark, sf_dir, "events")
+    gaps = keyed_time_gaps(
+        df, ["user_id"], F.expr("ts DIV 1000"), ["event_id"]
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.count(F.when(F.col("gap_us") > 10 * US_MINUTE, 1)).alias(
+            "gap_count"
+        ),
+        F.max("gap_us").alias("max_gap_us"),
+        F.countDistinct(*["user_id"]).alias("n_keys"),
+    )
+
+
+_ORACLE_EVENTS_GAPS_KEYED = f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT count(*) AS n_gaps,
+       count(CASE WHEN gap_us > {10 * US_MINUTE} THEN 1 END) AS gap_count,
+       max(gap_us) AS max_gap_us,
+       count(DISTINCT user_id) AS n_keys
+FROM g WHERE gap_us IS NOT NULL
+"""
+
+
 QUERIES: dict = {
     "validate_events_gaps": (_q_validate_events_gaps, _ORACLE_EVENTS_GAPS),
+    "validate_events_gaps_keyed": (
+        _q_validate_events_gaps_keyed,
+        _ORACLE_EVENTS_GAPS_KEYED,
+    ),
     "validate_lineitem_values": (
         _q_validate_lineitem_values,
         _ORACLE_LINEITEM_VALUES,

@@ -80,11 +80,17 @@ class PolygonConfig:
 
 @dataclass
 class PolygonClient:
-    """Loads Polygon flat files as Spark DataFrames (local FS or s3a)."""
+    """Loads Polygon flat files as Spark DataFrames (local FS or s3a).
+
+    ``lister``, when provided, overrides remote listing: a callable
+    taking the listing base (e.g. ``s3a://bucket/prefix``) and
+    returning an iterable of paths — for tests or non-Hadoop stores.
+    """
 
     spark: SparkSession
     config: PolygonConfig = field(default_factory=PolygonConfig.from_env)
     local_root: str | None = None  # if set, read from local FS instead of S3
+    lister: object | None = None  # Callable[[str], Iterable[str]]
 
     def __post_init__(self) -> None:
         if self.local_root is None and self.config.access_key:
@@ -173,12 +179,16 @@ class PolygonClient:
 
     def list_available_files(self, prefix: str = "") -> list[str]:
         root = self._root()
+        base = f"{root}/{prefix.strip('/')}" if prefix else root
+        if self.lister is not None:
+            out = []
+            for p in self.lister(base):
+                out.append(p)
+                if len(out) >= DISCOVERY_CAP:
+                    break
+            return out
         if self.local_root is None:
-            raise NotImplementedError(
-                "S3 listing requires cluster credentials; use local_root "
-                "for filesystem discovery"
-            )
-        base = os.path.join(root, prefix) if prefix else root
+            return self._list_hadoop(base)
         found: list[str] = []
         for dirpath, _dirs, files in sorted(os.walk(base)):
             for f in sorted(files):
@@ -187,6 +197,32 @@ class PolygonClient:
                     if len(found) >= DISCOVERY_CAP:
                         return found
         return found
+
+    def _list_hadoop(self, base: str, cap: int = DISCOVERY_CAP) -> list[str]:
+        """Recursive object listing through the Hadoop FileSystem API —
+        the same client.rs:169-184 stream-with-cap shape, but scheme-
+        agnostic (s3a://, file://, hdfs://) and using the credentials
+        already placed in the Hadoop conf by ``_configure_s3a``. The
+        cap bounds listing cost on huge buckets exactly like the
+        reference's ``files.len() >= 20`` break."""
+        sc = self.spark.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        try:
+            path = jvm.org.apache.hadoop.fs.Path(base)
+            fs = path.getFileSystem(hconf)
+            it = fs.listFiles(path, True)
+            out: list[str] = []
+            while it.hasNext() and len(out) < cap:
+                out.append(it.next().getPath().toString())
+            return out
+        except Exception as e:  # surface an actionable message
+            raise RuntimeError(
+                f"listing {base!r} failed: {e}. For s3a:// paths the "
+                "cluster needs the hadoop-aws jars and credentials "
+                "(set POLYGON_ACCESS_KEY_ID/POLYGON_SECRET_ACCESS_KEY); "
+                "alternatively pass lister= for a custom object store."
+            ) from e
 
     def discover_asset_classes(self) -> list[str]:
         files = self.list_available_files()

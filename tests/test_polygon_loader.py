@@ -116,3 +116,51 @@ def test_register_with_indicators(spark, flatfile_root):
         [ind.sma(1)],
     )
     assert out.filter("sma_1 = close").count() == 5
+
+
+def test_remote_listing_via_hadoop_fs(spark, flatfile_root):
+    # Exercises the REAL remote-listing code path (Hadoop FileSystem
+    # stream + cap) through the file:// scheme — same JVM machinery
+    # s3a:// uses, no credentials needed.
+    client = PolygonClient(spark, PolygonConfig.demo(), local_root="/x")
+    files = client._list_hadoop(f"file://{flatfile_root}")
+    assert len(files) == 2
+    assert any(f.endswith("2023-01-15.csv.gz") for f in files)
+    assert all(f.startswith("file:") for f in files)
+
+
+def test_remote_listing_cap(spark, tmp_path):
+    d = tmp_path / "us_stocks_sip" / "trades_v1" / "2023"
+    d.mkdir(parents=True)
+    for i in range(DISCOVERY_CAP + 15):
+        (d / f"2023-02-{i:02d}.csv").write_text("ticker\nX\n")
+    client = PolygonClient(spark, PolygonConfig.demo(), local_root="/x")
+    files = client._list_hadoop(f"file://{tmp_path}")
+    assert len(files) == DISCOVERY_CAP  # client.rs:173-176 cap parity
+
+
+def test_s3_discovery_with_injected_lister(spark):
+    # S3-configured client (no local_root): discovery must work through
+    # the lister without NotImplementedError (A19).
+    keys = [
+        "s3a://flatfiles/us_stocks_sip/minute_aggs_v1/2024/2024-01-02.csv.gz",
+        "s3a://flatfiles/us_stocks_sip/trades_v1/2024/2024-01-02.csv.gz",
+        "s3a://flatfiles/global_crypto/day_aggs_v1/2024/2024-01-02.csv.gz",
+    ]
+    client = PolygonClient(
+        spark, PolygonConfig.demo(),
+        lister=lambda base: [k for k in keys if k.startswith(base)],
+    )
+    assert set(client.discover_asset_classes()) == {
+        "us_stocks_sip", "global_crypto"
+    }
+    assert set(client.discover_data_types("us_stocks_sip")) == {
+        "minute_aggs_v1", "trades_v1"
+    }
+
+
+def test_injected_lister_cap(spark):
+    many = [f"s3a://flatfiles/us_stocks_sip/f{i}.csv" for i in range(50)]
+    client = PolygonClient(spark, PolygonConfig.demo(),
+                           lister=lambda base: many)
+    assert len(client.list_available_files()) == DISCOVERY_CAP

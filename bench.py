@@ -51,7 +51,10 @@ def main() -> None:
         "ind_combined_events",        # all four in one pass (flagship)
         "signals_rsi_events",
         "signals_ma_crossover_events",
+        "signals_ma_crossover_lineitem_2050",  # reference 20/50 windows
         "validate_lineitem_values",
+        "validate_events_gaps_keyed",  # partitioned (scale-path) gap scan
+        "asof_events_snapshots",       # as-of join (union+window, no join op)
         "q_pricing_summary_lineitem",
         "q_events_hourly",
         "q_events_sessionize",
@@ -60,6 +63,11 @@ def main() -> None:
         "text_stats_documents",
         "dedup_minhash_signatures_documents",
         "dedup_minhash_lsh_documents",
+        # dedup_simhash_pairs_documents is excluded: the synthetic
+        # corpus's tiny vocabulary makes 83% of ALL pairs qualify
+        # (~10M output rows at sf0.1), so the timing measures output
+        # materialization, not the banded-blocking operator.
+        "embedding_neardup_pairs",         # banded LSH + exact verify
         "knn_bruteforce_embeddings",
         "knn_lsh_embeddings",
     ]
@@ -68,14 +76,18 @@ def main() -> None:
         table_rows[t] = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     rows_for = {
         "ind_": table_rows["events"],
+        "signals_ma_crossover_lineitem": table_rows["lineitem"],
         "signals_": table_rows["events"],
         "validate_lineitem": table_rows["lineitem"],
+        "validate_events": table_rows["events"],
+        "asof_": table_rows["events"],
         "q_pricing": table_rows["lineitem"],
         "q_lineitem": table_rows["lineitem"],
         "q_revenue": table_rows["orders"],
         "q_events": table_rows["events"],
         "text_": table_rows["documents"],
         "dedup_": table_rows["documents"],
+        "embedding_": table_rows["embeddings"],
         "knn_": table_rows["embeddings"],
     }
 

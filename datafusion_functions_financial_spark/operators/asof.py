@@ -1,0 +1,180 @@
+"""As-of (time-series) join — the classic operator Spark lacks.
+
+For each left row, attach the most recent right row per key with
+``right_on <= left_on`` (direction="backward"; "forward" matches the
+earliest right row at-or-after). The reference engine family exposes
+this for trades-vs-quotes alignment; here it is built as a pure
+DataFrame composition — no join operator at all:
+
+1. Union left and right on (keys, time) with a side marker, filling
+   each side's missing columns with NULL (``unionByName(...,
+   allowMissingColumns=True)``).
+2. One window partitioned by the keys, ordered by (time, side) with
+   right-before-left at equal timestamps, carries the latest right
+   values forward via ``last(..., ignorenulls=True)``.
+3. Keep the left rows; apply tolerance / inner-vs-left semantics.
+
+Scale: ONE hash shuffle on the keys (the window), linear scan within
+partitions — the same cost as sorting both inputs once. No cartesian,
+no range-explosion, no per-row Python. Skewed keys behave like any
+keyed window (salt or split the hot key upstream if needed).
+
+Oracle parity: DuckDB implements ``ASOF JOIN`` natively, so gate
+queries compare this composition against the real thing.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_on: str,
+    right_on: str,
+    right_values: Sequence[str],
+    direction: str = "backward",
+    tolerance: int | float | None = None,
+    how: str = "left",
+    matched_on_col: str | None = None,
+) -> DataFrame:
+    """As-of join ``left`` to ``right`` per ``keys``.
+
+    ``left_on`` / ``right_on`` must be numeric (e.g. epoch-us longs) and
+    ``right_on`` must be unique per key (add a tiebreaker upstream
+    otherwise — carry-forward over a non-unique order is
+    nondeterministic). ``right_values`` are the columns pulled from the
+    matched right row; names must not collide with left columns.
+    ``tolerance`` (same unit as the time columns) unmatches rows whose
+    time difference exceeds it. ``matched_on_col`` optionally exposes
+    the matched right timestamp.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    keys = list(keys)
+    right_values = list(right_values)
+    collisions = set(right_values) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right_values collide with left columns: {sorted(collisions)}"
+        )
+
+    # Forward = backward on the negated time axis.
+    sign = F.lit(1) if direction == "backward" else F.lit(-1)
+    l_t = (F.col(left_on) * sign).alias("__t")
+    r_t = (F.col(right_on) * sign).alias("__t")
+
+    l = left.select(
+        "*", l_t, F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__rt"),
+    )
+    r = right.select(
+        *keys, r_t, F.lit(0).alias("__side"),
+        F.col(right_on).cast("long").alias("__rt"), *right_values,
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    # Right rows sort BEFORE left rows at equal time, so an exact-tie
+    # right row is visible to the left row (<=/>= semantics).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(v, ignorenulls=True).over(w).alias(f"__m_{v}")
+            for v in right_values
+        ],
+        F.last("__rt", ignorenulls=True).over(w).alias("__m_rt"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+
+    matched = F.col("__m_rt").isNotNull()
+    if tolerance is not None:
+        delta = (F.col(left_on) - F.col("__m_rt")) * sign
+        matched = matched & (delta <= F.lit(tolerance))
+    sel = [F.col(c) for c in left.columns]
+    sel += [
+        F.when(matched, F.col(f"__m_{v}")).alias(v) for v in right_values
+    ]
+    if matched_on_col is not None:
+        sel.append(F.when(matched, F.col("__m_rt")).alias(matched_on_col))
+    sel.append(matched.alias("__matched"))
+    out = out.select(*sel)
+    if how == "inner":
+        # Filter on the match marker, not a value column — a matched
+        # right row may legitimately carry NULL values.
+        out = out.filter(F.col("__matched"))
+    return out.drop("__matched")
+
+
+# --------------------------------------------------------------------------
+# Registry query/oracle pair
+# --------------------------------------------------------------------------
+
+US_DAY = 86_400_000_000
+
+
+def _q_asof_events_snapshots(spark, sf_dir):
+    """Each event joined as-of to its user's most recent daily-low
+    snapshot, where snapshots exist only every 3rd day — events on
+    other days must carry the last snapshot forward, and events before
+    the first snapshot stay unmatched (left semantics)."""
+    from ..plans.series import ROUND_DP
+    from ..sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("us"), "value"
+    )
+    snaps = (
+        ev.withColumn("day", F.expr(f"us DIV {US_DAY}"))
+        .groupBy("user_id", "day")
+        .agg(F.min("value").alias("day_low"))
+        .filter(F.col("day") % 3 == 0)
+        .select(
+            "user_id",
+            (F.col("day") * US_DAY).alias("snap_us"),
+            "day_low",
+        )
+    )
+    out = asof_join(
+        ev, snaps, ["user_id"], "us", "snap_us", ["day_low"],
+        how="left", matched_on_col="snap_us",
+    )
+    return out.select(
+        "user_id", "event_id", "us",
+        F.round("day_low", ROUND_DP).alias("day_low"), "snap_us",
+    )
+
+
+_ORACLE_ASOF_EVENTS = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+), snaps AS (
+  SELECT user_id, day * 86400000000 AS snap_us, day_low
+  FROM (
+    SELECT user_id, us // 86400000000 AS day, min(value) AS day_low
+    FROM ev GROUP BY 1, 2
+  ) WHERE day % 3 = 0
+)
+SELECT e.user_id, e.event_id, e.us,
+       round(s.day_low, 4) AS day_low, s.snap_us
+FROM ev e ASOF LEFT JOIN snaps s
+  ON e.user_id = s.user_id AND e.us >= s.snap_us
+"""
+
+
+QUERIES: dict = {
+    "asof_events_snapshots": (_q_asof_events_snapshots, _ORACLE_ASOF_EVENTS),
+}

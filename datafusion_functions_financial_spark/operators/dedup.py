@@ -237,10 +237,39 @@ def _band_key_expr(band: int) -> str:
 EST_MIN_MATCHES = 8  # signature pre-filter: >= 8/16 perms must agree
 
 
+def _cap_hot_buckets(bands: DataFrame, key_cols: list[str],
+                     max_bucket_size: int) -> DataFrame:
+    """Drop rows belonging to band buckets with more than
+    ``max_bucket_size`` members before the candidate self-join.
+
+    A bucket of size m emits m*(m-1)/2 candidate pairs, so one
+    boilerplate bucket (every doc sharing a header, a degenerate
+    hyperplane region...) can dominate the whole join — the classic
+    LSH skew failure at scale. Hot buckets are by definition FEW, so
+    the over-cap key list is tiny: aggregate it and broadcast it into
+    a left_anti join (no extra shuffle of the big side beyond the
+    count agg, which is map-side partial on the same keys).
+
+    Capping is a recall trade: pairs whose ONLY shared bucket is hot
+    are lost. For near-dup workloads hot buckets are dominated by
+    boilerplate that exact verification would mostly reject anyway;
+    true near-dups overwhelmingly co-occur in additional, smaller
+    buckets (they agree on many bands).
+    """
+    hot = (
+        bands.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket_size)
+        .select(*key_cols)
+    )
+    return bands.join(F.broadcast(hot), key_cols, "left_anti")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from MinHash LSH banding plus the
     signature-agreement pre-filter — no exact verification yet. This is
@@ -253,7 +282,13 @@ def minhash_lsh_candidates(
     low-similarity bucket collisions before any per-shingle join. A
     true 0.8-Jaccard pair fails the pre-filter with P ~ 4e-4
     (Binomial(16, 0.8) < 8) — the usual LSH recall trade, and fully
-    deterministic (the oracles apply the identical filter)."""
+    deterministic (the oracles apply the identical filter).
+
+    ``max_bucket_size`` (None = unlimited) caps band-bucket occupancy:
+    buckets larger than the cap are excluded from candidate
+    generation (see ``_cap_hot_buckets``). At 100 TB ALWAYS set this —
+    a single boilerplate bucket of 10^6 docs would otherwise emit
+    ~5*10^11 pairs from one reducer."""
     # Materialize signatures once: the band self-join and the est-filter
     # reference this subplan four times, and Spark re-executes (not
     # CSEs) repeated subplans — recomputing the hash UDF 4x otherwise.
@@ -266,6 +301,9 @@ def minhash_lsh_candidates(
     bands = sig.selectExpr(
         "doc_id", f"explode(array({', '.join(band_exprs)})) AS bk"
     ).selectExpr("doc_id", "bk.band AS band", "bk.key AS band_key")
+    if max_bucket_size is not None:
+        bands = _cap_hot_buckets(bands, ["band", "band_key"],
+                                 max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -296,11 +334,13 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = JACCARD_THRESHOLD,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full LSH pipeline: ``minhash_lsh_candidates`` -> exact-Jaccard
     verification over shingle-hash sets, restricted to candidates —
-    never the full pair space."""
-    cand = minhash_lsh_candidates(df, text_col, id_col)
+    never the full pair space. ``max_bucket_size`` forwards to the
+    candidate stage (hot-bucket skew cap; None = unlimited)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, max_bucket_size)
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(fasthash.shingle_hashes_udf(F.col(text_col))).alias("h"),

@@ -233,6 +233,69 @@ def cos_fold_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
 
+def make_bucket_pairs_fn(threshold: float, vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         max_bucket_size: int | None = None,
+                         tile: int = 2048):
+    """``applyInPandas`` function computing all qualifying cosine pairs
+    WITHIN one LSH band bucket.
+
+    The pairwise dot matrix is accumulated dimension-by-dimension
+    (rank-1 ``np.outer`` updates), so every pair's dot product sees the
+    exact add sequence of ``_fold_dot`` / the SQL fold — bit-identical
+    cosines, but computed as vectorized m x m blocks instead of one
+    Arrow-shipped row per candidate pair. Row tiles bound memory to
+    ``tile * m`` doubles for hot buckets.
+
+    ``max_bucket_size``: buckets larger than this return no pairs (the
+    hot-bucket skew cap — see dedup._cap_hot_buckets for semantics);
+    here it costs nothing extra since the group is already assembled.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "cos_sim": pd.Series([], dtype="float64"),
+        })
+        m = len(pdf)
+        if m < 2 or (max_bucket_size is not None and m > max_bucket_size):
+            return empty
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        dim = X.shape[1]
+        norms = np.zeros(m, dtype=np.float64)
+        for i in range(dim):
+            norms = norms + X[:, i] * X[:, i]
+        rn = np.sqrt(norms)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, m, tile):
+            e = min(s + tile, m)
+            # Columns < s can never pair upper-triangle with rows >= s.
+            acc = np.zeros((e - s, m - s), dtype=np.float64)
+            for i in range(dim):
+                acc = acc + np.outer(X[s:e, i], X[s:, i])
+            cos = acc / (rn[s:e, None] * rn[None, s:])
+            rows, cols = np.nonzero(cos >= threshold)
+            keep = cols > rows  # strict upper triangle (global ids share s)
+            rows, cols = rows[keep], cols[keep]
+            out_a.append(ids[rows + s])
+            out_b.append(ids[cols + s])
+            out_c.append(cos[rows, cols])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cos_sim": np.concatenate(out_c),
+        })
+
+    return fn
+
+
 def make_band_sig_udf(bands: int, planes_per_band: int, dim: int):
     """Banded sign-random-projection signatures: one BIGINT bucket per
     band (``planes_per_band`` sign bits folded as acc*2+bit).

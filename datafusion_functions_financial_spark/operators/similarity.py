@@ -173,19 +173,34 @@ def embedding_neardup_pairs(
     method: str = "lsh",
     bands: int = NEARDUP_BANDS,
     planes_per_band: int = NEARDUP_PLANES_PER_BAND,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity.
 
     ``method="lsh"`` (default, the scale path): banded
     sign-random-projection candidates — B bands of r hyperplanes each;
-    a pair is a candidate iff it agrees on ALL r signs in >= 1 band —
-    then exact-cosine verification of candidates only. No cartesian
-    product anywhere: the band bucket self-join is an equi-join, linear
-    in bucket occupancy. Recall per pair at cosine c is
-    1-(1-p^r)^B with p = 1 - arccos(c)/pi: ~0.9997 at c=0.8 (a
-    realistic near-dup threshold) with the default 16x4; pairs sitting
-    AT a low threshold like 0.4 (p~0.63) get ~0.8 — raise ``bands`` or
-    lower ``planes_per_band`` to trade cost for recall.
+    a pair is a candidate iff it agrees on ALL r signs in >= 1 band.
+    Verification happens INSIDE each (band, bucket) group via one
+    ``applyInPandas`` stage: the group's pairwise-cosine matrix is
+    accumulated dimension-by-dimension (rank-1 numpy updates — the
+    exact add order of the per-pair SQL fold, so cosines stay
+    bit-identical), the threshold filters before anything leaves
+    Python, and only qualifying pairs reach the final ``distinct``.
+    Plan shape: ONE shuffle of corpus x B (band, bucket, vector) rows,
+    no pair-space join or shuffle at all — the previous design
+    materialized every candidate pair (with both vectors) through a
+    distinct + two joins + a per-pair UDF, which at low thresholds
+    approaches the all-pairs relation. The trade: the band explode
+    ships the vector payload B times; at 100 TB cap hot buckets
+    (``max_bucket_size`` — buckets above the cap contribute no pairs,
+    see ``dedup._cap_hot_buckets`` for the recall argument) and the
+    per-bucket work stays bounded by ``max_bucket_size**2``.
+
+    Recall per pair at cosine c is 1-(1-p^r)^B with
+    p = 1 - arccos(c)/pi: ~0.9997 at c=0.8 (a realistic near-dup
+    threshold) with the default 16x4; pairs sitting AT a low threshold
+    like 0.4 (p~0.63) get ~0.8 — raise ``bands`` or lower
+    ``planes_per_band`` to trade cost for recall.
 
     ``method="exact"``: all-pairs crossJoin + filter — exact at any
     threshold, quadratic; only for small corpora or auditing recall.
@@ -206,39 +221,21 @@ def embedding_neardup_pairs(
     if method != "lsh":
         raise ValueError("method must be 'lsh' or 'exact'")
     sig_udf = fasthash.make_band_sig_udf(bands, planes_per_band, DIM)
-    # (doc, band, bucket) — narrow; localCheckpoint because the
-    # candidate self-join references this subplan twice and Spark
-    # re-executes (does not CSE) repeated subplans.
-    bb = (
-        vectors.select(
-            F.col(id_col).alias("vec_id"),
-            F.posexplode(sig_udf(F.col(vec_col))).alias("band", "bucket"),
-        )
-        .localCheckpoint()
+    bb = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("band", "bucket"),
     )
-    cand = (
-        bb.alias("a")
-        .join(
-            bb.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"),
-                F.col("b.vec_id").alias("id_b"))
-        .distinct()
+    pair_fn = fasthash.make_bucket_pairs_fn(
+        threshold, max_bucket_size=max_bucket_size
     )
-    va = vectors.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS va")
-    vb = vectors.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS vb")
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a", "id_b",
-            fasthash.cos_fold_udf(F.col("va"), F.col("vb")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    pairs = bb.groupBy("band", "bucket").applyInPandas(
+        pair_fn, schema="id_a long, id_b long, cos_sim double"
     )
+    # The same pair emerges (with a bit-identical cosine) from every
+    # band it collides in — distinct over the already-thresholded,
+    # tiny output.
+    return pairs.distinct()
 
 
 # --------------------------------------------------------------------------

@@ -70,6 +70,7 @@ def main() -> None:
         "embedding_neardup_pairs",         # banded LSH + exact verify
         "knn_bruteforce_embeddings",
         "knn_lsh_embeddings",
+        "knn_ivf_embeddings",
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings"):

@@ -1,0 +1,232 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+The scale path for ANN beyond LSH bucketing (`similarity.py`): a
+coarse quantizer partitions the corpus into cells (inverted lists);
+queries probe only the ``nprobe`` nearest cells and rank candidates by
+exact cosine. This is the standard IVF-Flat structure (Jegou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI'11 — the IVF
+part, without PQ compression).
+
+Engine-portable determinism (the oracle must reproduce the index
+bit-for-bit):
+
+- **Seeds**: every vector with ``vec_id % seed_mod == 0`` — no RNG.
+- **Lloyd round**: members assign to their nearest seed by cosine
+  (bit-identical sequential fold, ties broken by seed id); the
+  centroid mean is computed over ``floor(component * 2^20)`` BIGINT
+  quantizations, so the cross-row sum is exact integer arithmetic —
+  order-independent, hence identical in Spark and DuckDB despite
+  nondeterministic aggregation order. The float division back is one
+  deterministic expression.
+- **Probing/ranking**: row_number over (cosine DESC, id ASC) with
+  bit-identical cosines on both engines.
+
+Plan shape at 100 TB: the corpus is scanned twice with a BROADCAST
+centroid table (K centroids — tiny) and never shuffles for the
+assignment; the centroid aggregation shuffles only K x dim partial
+sums (map-side combine applies); the query probe is a broadcast
+equi-join on cell id. Persist the cell assignment partitioned by
+``cell_id`` and probes become partition-pruned scans.
+
+Reference anchor: extends the reference's similarity surface (it has
+none — this is a beyond-reference pipeline operator per SURVEY.md
+extension scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.series import ROUND_DP
+from ..sources.tables import load
+from . import fasthash
+from .similarity import DIM, N_QUERIES, _cos_duck
+
+IVF_SEED_MOD = 32     # seeds = vec_id % 32 == 0 -> K ~ n/32 cells
+IVF_NPROBE = 4
+K_IVF = 5
+QUANT = 1 << 20       # component quantizer for exact integer mean
+
+
+def _nearest(vectors: DataFrame, cents: DataFrame, cent_id: str,
+             cent_vec: str, keep: int) -> DataFrame:
+    """Rank broadcast centroids per vector by cosine (fold UDF,
+    bit-identical to the SQL fold); keep the top ``keep``."""
+    scored = vectors.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", cent_id,
+        fasthash.cos_fold_udf(F.col("embedding"), F.col(cent_vec))
+        .alias("cs"),
+    )
+    w = F.expr(
+        f"row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY cs DESC, {cent_id} ASC)"
+    )
+    return scored.withColumn("rn", w).filter(F.col("rn") <= keep)
+
+
+def ivf_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = IVF_SEED_MOD,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: returns ``(centroids, cells)``.
+
+    ``centroids``: cell_id, centroid (array<double>) — one Lloyd round
+    from the deterministic seed sample, means over integer-quantized
+    components (see module docstring).
+    ``cells``: vec_id, embedding, cell_id — the inverted lists (each
+    vector assigned to its nearest refined centroid).
+    """
+    v = vectors.selectExpr(f"{id_col} AS vec_id",
+                           f"{vec_col} AS embedding")
+    seeds = v.filter(F.col("vec_id") % seed_mod == 0).selectExpr(
+        "vec_id AS seed_id", "embedding AS seed_vec"
+    )
+    m1 = _nearest(v, seeds, "seed_id", "seed_vec", 1).selectExpr(
+        "vec_id", "embedding", "seed_id AS cell_id"
+    )
+    comp = m1.select(
+        "cell_id",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).groupBy("cell_id", "pos").agg(
+        F.sum(
+            F.floor(F.col("val").cast("double") * F.lit(float(QUANT)))
+            .cast("long")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    cents = (
+        comp.withColumn(
+            "cval",
+            F.col("s").cast("double")
+            / (F.lit(float(QUANT)) * F.col("c").cast("double")),
+        )
+        .groupBy("cell_id")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(pos, cval))), "
+            "x -> x.cval)"
+        ).alias("centroid"))
+    )
+    # Centroids are referenced by the reassignment AND every probe;
+    # they are K rows — checkpoint so the seed-assignment pipeline
+    # does not re-execute per reference.
+    cents = cents.localCheckpoint()
+    cells = _nearest(v, cents, "cell_id", "centroid", 1).select(
+        "vec_id", "embedding", F.col("cell_id").alias("cell")
+    ).selectExpr("vec_id", "embedding", "cell AS cell_id")
+    return cents, cells
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = K_IVF,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = IVF_SEED_MOD,
+) -> DataFrame:
+    """ANN top-k: candidates restricted to each query's ``nprobe``
+    nearest IVF cells, ranked by exact cosine."""
+    cents, cells = ivf_index(vectors, id_col, vec_col, seed_mod)
+    q = queries.selectExpr(f"{id_col} AS vec_id",
+                           f"{vec_col} AS embedding")
+    probes = _nearest(q, cents, "cell_id", "centroid", nprobe).selectExpr(
+        "vec_id AS q_id", "embedding AS q_vec", "cell_id"
+    )
+    cand = cells.join(F.broadcast(probes), "cell_id").filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        fasthash.cos_fold_udf(F.col("q_vec"), F.col("embedding"))
+        .alias("cos_sim"),
+    )
+    w = F.expr(
+        "row_number() OVER (PARTITION BY q_id "
+        "ORDER BY cos_sim DESC, n_id ASC)"
+    )
+    return scored.withColumn("rank", w).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
+# Registry query + oracle
+# --------------------------------------------------------------------------
+
+
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+    return out.selectExpr(
+        "q_id", "n_id", "rank", f"round(cos_sim, {ROUND_DP}) AS cos_sim"
+    )
+
+
+_ORACLE_KNN_IVF = f"""
+WITH v AS (
+  SELECT vec_id, embedding FROM embeddings
+), seeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed_vec
+  FROM v WHERE vec_id % {IVF_SEED_MOD} = 0
+), a1 AS (
+  SELECT v.vec_id, v.embedding, s.seed_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_cos_duck('v.embedding', 's.seed_vec')} DESC,
+                    s.seed_id ASC) AS rn
+  FROM v, seeds s
+), m1 AS (
+  SELECT vec_id, embedding, seed_id AS cell_id FROM a1 WHERE rn = 1
+), comp AS (
+  SELECT cell_id, r.range AS pos,
+         sum(CAST(floor(CAST(embedding[r.range] AS DOUBLE) * {QUANT}.0)
+                  AS BIGINT)) AS s,
+         count(*) AS c
+  FROM m1, range(1, {DIM} + 1) r
+  GROUP BY 1, 2
+), cent AS (
+  SELECT cell_id,
+         list(CAST(s AS DOUBLE) / ({QUANT}.0 * CAST(c AS DOUBLE))
+              ORDER BY pos) AS centroid
+  FROM comp GROUP BY 1
+), a2 AS (
+  SELECT v.vec_id, v.embedding, c.cell_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_cos_duck('v.embedding', 'c.centroid')} DESC,
+                    c.cell_id ASC) AS rn
+  FROM v, cent c
+), cells AS (
+  SELECT vec_id, embedding, cell_id FROM a2 WHERE rn = 1
+), probes AS (
+  SELECT * FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos_duck('q.embedding', 'c.centroid')} DESC,
+                      c.cell_id ASC) AS rn
+    FROM v q, cent c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+), scored AS (
+  SELECT p.q_id, cl.vec_id AS n_id,
+         {_cos_duck('p.q_vec', 'cl.embedding')} AS cos_sim
+  FROM probes p JOIN cells cl ON cl.cell_id = p.cell_id
+  WHERE p.q_id != cl.vec_id
+), ranked AS (
+  SELECT q_id, n_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, n_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(cos_sim, {ROUND_DP}) AS cos_sim
+FROM ranked WHERE rank <= {K_IVF}
+"""
+
+
+QUERIES: dict = {
+    "knn_ivf_embeddings": (_q_knn_ivf, _ORACLE_KNN_IVF),
+}

@@ -270,6 +270,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from MinHash LSH banding plus the
     signature-agreement pre-filter — no exact verification yet. This is
@@ -288,11 +289,17 @@ def minhash_lsh_candidates(
     buckets larger than the cap are excluded from candidate
     generation (see ``_cap_hot_buckets``). At 100 TB ALWAYS set this —
     a single boilerplate bucket of 10^6 docs would otherwise emit
-    ~5*10^11 pairs from one reducer."""
-    # Materialize signatures once: the band self-join and the est-filter
-    # reference this subplan four times, and Spark re-executes (not
-    # CSEs) repeated subplans — recomputing the hash UDF 4x otherwise.
-    sig = minhash_signatures(df, text_col, id_col).localCheckpoint()
+    ~5*10^11 pairs from one reducer.
+
+    ``sig``: optionally pass precomputed signatures (doc_id, mh_0..N —
+    already materialized/checkpointed) to share one hashing pass with
+    a downstream verifier; see ``minhash_lsh_pairs``."""
+    if sig is None:
+        # Materialize signatures once: the band self-join and the
+        # est-filter reference this subplan four times, and Spark
+        # re-executes (not CSEs) repeated subplans — recomputing the
+        # hash UDF 4x otherwise.
+        sig = minhash_signatures(df, text_col, id_col).localCheckpoint()
     # Distinguish bands by index to avoid cross-band key collisions.
     band_exprs = [
         f"named_struct('band', {b}, 'key', {_band_key_expr(b)})"
@@ -339,12 +346,26 @@ def minhash_lsh_pairs(
     """Full LSH pipeline: ``minhash_lsh_candidates`` -> exact-Jaccard
     verification over shingle-hash sets, restricted to candidates —
     never the full pair space. ``max_bucket_size`` forwards to the
-    candidate stage (hot-bucket skew cap; None = unlimited)."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, max_bucket_size)
-    sh = df.select(
+    candidate stage (hot-bucket skew cap; None = unlimited).
+
+    Signatures and shingle-hash sets come from ONE fused hashing pass
+    (``make_minhash_with_hashes_udf``) — the corpus is normalized and
+    shingled exactly once, then checkpointed for the four downstream
+    references."""
+    base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(fasthash.shingle_hashes_udf(F.col(text_col))).alias("h"),
-    ).localCheckpoint()  # referenced by both sides of the pair join
+        fasthash.make_minhash_with_hashes_udf(PERMS)(
+            F.col(text_col)
+        ).alias("__mh"),
+    ).localCheckpoint()
+    sig = base.selectExpr(
+        "doc_id", *[f"__mh.sig[{j}] AS mh_{j}" for j in range(N_PERMS)]
+    )
+    cand = minhash_lsh_candidates(df, text_col, id_col, max_bucket_size,
+                                  sig=sig)
+    sh = base.select(
+        "doc_id", F.explode("__mh.hashes").alias("h")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh.selectExpr("doc_id AS id_a", "h AS h_a"), "id_a")

@@ -172,15 +172,10 @@ def shingles_udf(texts: pd.Series) -> pd.Series:
     return pd.Series([shingle_list(normalize(t)) for t in texts])
 
 
-@pandas_udf(ArrayType(LongType()))
-def shingle_hashes_udf(texts: pd.Series) -> pd.Series:
-    """Distinct shingle-hash set per document (sorted by hash; all
-    consumers treat it as a set — explode/join or min)."""
-    if len(texts) == 0:
-        return pd.Series([], dtype=object)
-    norms = [normalize(t) for t in texts]
-    seg_starts, hashes = _batch_shingle_hashes(norms)
-    n_docs = len(norms)
+def _distinct_per_doc(
+    seg_starts: np.ndarray, hashes: np.ndarray, n_docs: int
+) -> list:
+    """Per-doc distinct hash lists from the positional hash layout."""
     doc_ids = np.repeat(
         np.arange(n_docs, dtype=np.int64),
         np.diff(np.concatenate([seg_starts, [len(hashes)]])),
@@ -191,9 +186,65 @@ def shingle_hashes_udf(texts: pd.Series) -> pd.Series:
     keep[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
     d_k, h_k = d_s[keep], h_s[keep]
     bounds = np.searchsorted(d_k, np.arange(1, n_docs))
-    return pd.Series(
-        [[int(x) for x in arr] for arr in np.split(h_k, bounds)]
-    )
+    return [[int(x) for x in arr] for arr in np.split(h_k, bounds)]
+
+
+def make_minhash_with_hashes_udf(perms: list[tuple[int, int]]):
+    """ONE shingling pass producing BOTH the minhash signature and the
+    distinct shingle-hash set per doc (struct<sig, hashes>). The LSH
+    pipeline needs both (signatures for banding/pre-filter, hash sets
+    for exact-Jaccard verify); computing them from separate UDFs costs
+    a second full normalize+shingle+hash pass over the corpus."""
+    A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+    n_perms = len(perms)
+    out_type = StructType([
+        StructField("sig", ArrayType(LongType())),
+        StructField("hashes", ArrayType(LongType())),
+    ])
+
+    @pandas_udf(out_type)
+    def minhash_with_hashes(texts: pd.Series) -> pd.DataFrame:
+        if len(texts) == 0:
+            return pd.DataFrame({"sig": [], "hashes": []})
+        norms = [normalize(t) for t in texts]
+        seg_starts, hashes = _batch_shingle_hashes(norms)
+        n_docs = len(norms)
+        ends = np.concatenate([seg_starts[1:], [len(hashes)]])
+        blk = 64
+        maxw = 0
+        for s in range(0, n_docs, blk):
+            e = min(s + blk, n_docs)
+            maxw = max(maxw, int(ends[e - 1] - seg_starts[s]))
+        buf = np.empty((n_perms, maxw), dtype=np.int64)
+        mins = np.empty((n_perms, n_docs), dtype=np.int64)
+        for s in range(0, n_docs, blk):
+            e = min(s + blk, n_docs)
+            lo, hi = int(seg_starts[s]), int(ends[e - 1])
+            p = buf[:, : hi - lo]
+            np.multiply(A, hashes[None, lo:hi], out=p)
+            p += B
+            p %= PRIME
+            mins[:, s:e] = np.minimum.reduceat(
+                p, seg_starts[s:e] - lo, axis=1
+            )
+        return pd.DataFrame({
+            "sig": [[int(x) for x in mins[:, d]] for d in range(n_docs)],
+            "hashes": _distinct_per_doc(seg_starts, hashes, n_docs),
+        })
+
+    return minhash_with_hashes
+
+
+@pandas_udf(ArrayType(LongType()))
+def shingle_hashes_udf(texts: pd.Series) -> pd.Series:
+    """Distinct shingle-hash set per document (sorted by hash; all
+    consumers treat it as a set — explode/join or min)."""
+    if len(texts) == 0:
+        return pd.Series([], dtype=object)
+    norms = [normalize(t) for t in texts]
+    seg_starts, hashes = _batch_shingle_hashes(norms)
+    return pd.Series(_distinct_per_doc(seg_starts, hashes, len(norms)))
 
 
 @pandas_udf(ArrayType(LongType()))

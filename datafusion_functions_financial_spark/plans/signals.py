@@ -78,13 +78,31 @@ def detect_ma_crossover_signals(
     partition_by,
     fast: int = 20,
     slow: int = 50,
+    method: str = "kernel",
 ) -> DataFrame:
-    """SMA fast/slow crossover detector (reference windows: 20/50)."""
+    """SMA fast/slow crossover detector (reference windows: 20/50).
+
+    ``method="kernel"`` runs the null-skipping indicator kernels
+    (exact reference semantics for any input). ``method="native"``
+    uses the pure-JVM windowed-avg SMA (``ind.sma_native``) — bit-
+    identical whenever ``value_col`` has no NULLs/NaNs, and the whole
+    detector then stays in whole-stage codegen with ONE shuffle (both
+    SMAs, both LAGs, and the predicate share the same window spec).
+    Prefer it for null-free price series at scale.
+    """
     f_col, s_col = f"sma_{fast}", f"sma_{slow}"
-    out = ind.with_indicators(
-        df, value_col, order_by, partition_by,
-        [ind.sma(fast, f_col), ind.sma(slow, s_col)],
-    )
+    if method == "native":
+        out = ind.sma_native(df, value_col, order_by, partition_by,
+                             fast, f_col)
+        out = ind.sma_native(out, value_col, order_by, partition_by,
+                             slow, s_col)
+    elif method == "kernel":
+        out = ind.with_indicators(
+            df, value_col, order_by, partition_by,
+            [ind.sma(fast, f_col), ind.sma(slow, s_col)],
+        )
+    else:
+        raise ValueError("method must be 'kernel' or 'native'")
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     fa, sl = F.col(f_col), F.col(s_col)
     pf, ps = F.lag(f_col).over(w), F.lag(s_col).over(w)
@@ -146,11 +164,12 @@ def _rsi_signals_oracle(cfg: SeriesCfg, window: int) -> str:
     )
 
 
-def _xover_query(cfg: SeriesCfg, fast: int, slow: int):
+def _xover_query(cfg: SeriesCfg, fast: int, slow: int,
+                 method: str = "kernel"):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = load(spark, sf_dir, cfg.table)
         out = detect_ma_crossover_signals(
-            df, cfg.value, cfg.order, cfg.keys, fast, slow
+            df, cfg.value, cfg.order, cfg.keys, fast, slow, method
         )
         return out.select(
             *[F.col(c) for c in cfg.out_cols],
@@ -213,8 +232,11 @@ QUERIES: dict = {
     ),
     # The reference's exact 20/50 configuration (signals.rs:104-110) on
     # series long enough to exercise it (per-supplier lineitem prices).
+    # method='native': l_extendedprice is null-free, so the pure-JVM
+    # windowed-avg SMA is bit-identical to the kernel and the whole
+    # detector stays in whole-stage codegen (one shuffle).
     "signals_ma_crossover_lineitem_2050": (
-        _xover_query(LINEITEM_SUPPLIER_SERIES, 20, 50),
+        _xover_query(LINEITEM_SUPPLIER_SERIES, 20, 50, method="native"),
         _xover_oracle(LINEITEM_SUPPLIER_SERIES, 20, 50),
     ),
 }

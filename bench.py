@@ -71,6 +71,7 @@ def main() -> None:
         "knn_bruteforce_embeddings",
         "knn_lsh_embeddings",
         "knn_ivf_embeddings",
+        "pipeline_clean_corpus_documents",  # composed curation flagship
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings"):
@@ -88,6 +89,7 @@ def main() -> None:
         "q_events": table_rows["events"],
         "text_": table_rows["documents"],
         "dedup_": table_rows["documents"],
+        "pipeline_": table_rows["documents"],
         "embedding_": table_rows["embeddings"],
         "knn_": table_rows["embeddings"],
     }

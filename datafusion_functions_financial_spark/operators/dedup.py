@@ -395,10 +395,16 @@ def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(load(spark, sf_dir, "documents"))
 
 
-_DUCK_HASHES_CTE = (
-    "SELECT doc_id, list_transform({sh}, s -> {ph}) AS __hashes "
-    "FROM documents"
-).format(sh=_shingles_duck("text"), ph=poly_hash_duck("s"))
+def duck_hashes_cte(src: str = "documents") -> str:
+    """Per-doc shingle-hash arrays from any source relation (the
+    composed-pipeline oracles run the LSH chain over filtered CTEs)."""
+    return (
+        "SELECT doc_id, list_transform({sh}, s -> {ph}) AS __hashes "
+        "FROM {src}"
+    ).format(sh=_shingles_duck("text"), ph=poly_hash_duck("s"), src=src)
+
+
+_DUCK_HASHES_CTE = duck_hashes_cte()
 
 _ORACLE_MINHASH_SIG = (
     f"WITH hashed AS ({_DUCK_HASHES_CTE})\n"
@@ -420,8 +426,12 @@ def _duck_band_key(band: int) -> str:
 
 # Shared candidate-generation CTE chain (signatures -> band buckets ->
 # distinct bucket-mates -> signature-agreement pre-filter); reused by
-# the LSH gate and the candidate-gated n-gram Jaccard gate.
-_DUCK_LSH_CAND_CTES = f"""hashed AS ({_DUCK_HASHES_CTE}
+# the LSH gate, the candidate-gated n-gram Jaccard gate, and the
+# composed corpus-cleaning pipeline (parameterized source).
+
+
+def duck_lsh_cand_ctes(src: str = "documents") -> str:
+    return f"""hashed AS ({duck_hashes_cte(src)}
 ), sig AS (
   SELECT doc_id, {', '.join(_minhash_from_hashes_duck())} FROM hashed
 ), bands AS (
@@ -444,6 +454,31 @@ _DUCK_LSH_CAND_CTES = f"""hashed AS ({_DUCK_HASHES_CTE}
       for j in range(N_PERMS)
   )} >= {EST_MIN_MATCHES}
 )"""
+
+
+def duck_lsh_pairs_ctes(src: str = "documents") -> str:
+    """Full LSH near-dup pair CTE chain ending in ``lshpairs``
+    (id_a, id_b) with exact-Jaccard >= threshold verification."""
+    return f"""{duck_lsh_cand_ctes(src)}, sh AS (
+  SELECT doc_id, unnest(list_distinct(__hashes)) AS h FROM hashed
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+  GROUP BY 1, 2
+), lshpairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.inter / (sa.n + sb.n - i.inter) >= {JACCARD_THRESHOLD}
+)"""
+
+
+_DUCK_LSH_CAND_CTES = duck_lsh_cand_ctes()
 
 
 _ORACLE_MINHASH_LSH = f"""

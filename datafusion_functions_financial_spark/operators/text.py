@@ -164,10 +164,9 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         for lang, ws in LANG_MARKERS.items()
     ]
     cjk = (
-        f"length({t}) - length(regexp_replace({t}, '[^{_CJK}]', '')) AS s_zh"
+        f"length({t}) - length(regexp_replace({t}, '[{_CJK}]', '')) AS s_zh"
     )
-    # NB: the Spark pattern above strips non-CJK; see oracle for the
-    # mirrored DuckDB form.
+    # s_zh = #CJK chars: strip the CJK range and count what vanished.
     return df.selectExpr("*", *scores, cjk).selectExpr(
         "*",
         "CASE WHEN s_zh > 0 THEN 'zh' "
@@ -195,7 +194,7 @@ WITH s AS (
         f"x -> list_contains([{_inlist(ws)}], x))) AS s_{lang}"
         for lang, ws in LANG_MARKERS.items()
     )},
-    length(text) - length(regexp_replace(text, '[^{_CJK}]', '', 'g')) AS s_zh
+    length(text) - length(regexp_replace(text, '[{_CJK}]', '', 'g')) AS s_zh
   FROM documents
 )
 SELECT doc_id, lang, s_en, s_fr, s_de, s_es, s_zh,

@@ -9,10 +9,10 @@ is pre-validated locally.
 from __future__ import annotations
 
 from . import analytics, indicator_queries, signals, validate
-from ..operators import asof, dedup, ivf, similarity, text
+from ..operators import asof, dedup, ivf, pipeline, similarity, text
 
 _MODULES = [indicator_queries, signals, validate, analytics, text, dedup,
-            similarity, asof, ivf]
+            similarity, asof, ivf, pipeline]
 
 
 def _collect() -> dict:

@@ -535,31 +535,55 @@ SIMHASH_BITS = 31
 HAMMING_THRESHOLD = 6
 
 
-def _simhash_from_hashes_spark() -> str:
+# Token hashes carry ~30 meaningful bits (mod 1e9+7), so fingerprints
+# wider than 31 bits derive their extra bit planes from LCG-permuted
+# rehashes: bit b votes on bit (b % 31) of perm_{b//31}(h). Production
+# near-dup wants wide fingerprints (Manku et al., WWW'07) — banding at
+# Hamming <= 6 over 62 bits gives ~9-bit bands vs ~4-bit at 31 bits,
+# i.e. ~32x stronger blocking. Both engines build the identical
+# expression, so width is a free parameter (1..62).
+
+
+def _simhash_from_hashes_spark(bits: int = SIMHASH_BITS) -> str:
     # __th is the materialized token-hash array (computed once per row;
-    # the per-bit vote loop reuses it SIMHASH_BITS times).
+    # the per-bit vote loop reuses it `bits` times).
+    (a1, c1), (a2, c2) = PERMS[0], PERMS[1]
+    trans = (
+        f"CASE WHEN b < 31 THEN h ELSE "
+        f"(element_at(array({a1}L, {a2}L), CAST(b div 31 AS INT)) * h + "
+        f"element_at(array({c1}L, {c2}L), CAST(b div 31 AS INT))) "
+        f"% {PRIME}L END"
+    )
     bit = (
         "CASE WHEN aggregate(__th, 0L, (acc, h) -> acc + "
-        "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) > 0 "
+        f"CASE WHEN (shiftright({trans}, b % 31) & 1) = 1 "
+        "THEN 1L ELSE -1L END) > 0 "
         "THEN shiftleft(1L, b) ELSE 0L END"
     )
     return (
-        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), b -> {bit}), "
+        f"aggregate(transform(sequence(0, {bits - 1}), b -> {bit}), "
         f"0L, (acc, v) -> acc + v)"
     )
 
 
-def _simhash_from_hashes_duck() -> str:
+def _simhash_from_hashes_duck(bits: int = SIMHASH_BITS) -> str:
+    (a1, c1), (a2, c2) = PERMS[0], PERMS[1]
+    trans = (
+        f"CASE WHEN b < 31 THEN h ELSE "
+        f"([{a1}, {a2}][(b // 31)] * h + [{c1}, {c2}][(b // 31)]) "
+        f"% {PRIME} END"
+    )
     bit = (
         "CASE WHEN list_reduce(list_concat([CAST(0 AS BIGINT)], "
-        "list_transform(__th, h -> CASE WHEN ((h >> b) & 1) = 1 "
+        f"list_transform(__th, h -> CASE WHEN (({trans}) >> (b % 31)) & 1 "
+        "= 1 "
         "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
         "(a1, a2) -> a1 + a2) > 0 "
         "THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END"
     )
     return (
         f"list_reduce(list_concat([CAST(0 AS BIGINT)], "
-        f"list_transform(range(0, {SIMHASH_BITS}), b -> {bit})), "
+        f"list_transform(range(0, {bits}), b -> {bit})), "
         f"(a1, a2) -> a1 + a2)"
     )
 
@@ -572,13 +596,16 @@ _DUCK_TOKEN_HASHES_CTE = (
 
 
 def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in 1..62 (signed-int64 safe)")
     hashed = df.select(
         F.col(id_col).alias("doc_id"),
         fasthash.token_hashes_udf(F.col(text_col)).alias("__th"),
     )
     return hashed.selectExpr(
-        "doc_id", f"{_simhash_from_hashes_spark()} AS simhash"
+        "doc_id", f"{_simhash_from_hashes_spark(bits)} AS simhash"
     )
 
 
@@ -596,7 +623,8 @@ def _band_slices(bits: int, n_bands: int) -> list[tuple[int, int]]:
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   max_hamming: int = HAMMING_THRESHOLD,
-                  method: str = "banded") -> DataFrame:
+                  method: str = "banded",
+                  bits: int = SIMHASH_BITS) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     ``method="banded"`` (default) is LOSSLESS blocking: the fingerprint
@@ -612,10 +640,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 
     ``method="allpairs"``: the O(n^2) reference scan, for auditing.
     """
-    if max_hamming + 1 > SIMHASH_BITS:
+    if max_hamming + 1 > bits:
         method = "allpairs"  # banding degenerates below 1 bit/band
     if method == "allpairs":
-        s = simhash(df, text_col, id_col)
+        s = simhash(df, text_col, id_col, bits)
         a, b = s.alias("a"), s.alias("b")
         return (
             a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -631,8 +659,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     # Fingerprints are referenced by the band explode AND both sides of
     # the verify join — materialize once (Spark re-executes, not CSEs,
     # repeated subplans, and simhash() runs a token-hash UDF per row).
-    s = simhash(df, text_col, id_col).localCheckpoint()
-    slices = _band_slices(SIMHASH_BITS, max_hamming + 1)
+    s = simhash(df, text_col, id_col, bits).localCheckpoint()
+    slices = _band_slices(bits, max_hamming + 1)
     band_exprs = [
         f"named_struct('band', {b}, 'bucket', "
         f"shiftright(simhash, {off}) & {(1 << w) - 1}L)"

@@ -52,12 +52,34 @@ QUANT = 1 << 20       # component quantizer for exact integer mean
 def _nearest(vectors: DataFrame, cents: DataFrame, cent_id: str,
              cent_vec: str, keep: int) -> DataFrame:
     """Rank broadcast centroids per vector by cosine (fold UDF,
-    bit-identical to the SQL fold); keep the top ``keep``."""
+    bit-identical to the SQL fold); keep the top ``keep``.
+
+    ``keep == 1`` (the assignment passes over the full corpus) uses an
+    aggregated argmax — ``max(struct(cs, -id, id, vec))`` — instead of
+    a window: the partial aggregate collapses the n x K scored rows to
+    one row per vector BEFORE the exchange (map-side combine), where
+    the window would shuffle and sort all n x K rows. Tie semantics
+    are identical (max cs, then min centroid id)."""
     scored = vectors.crossJoin(F.broadcast(cents)).select(
         "vec_id", "embedding", cent_id,
         fasthash.cos_fold_udf(F.col("embedding"), F.col(cent_vec))
         .alias("cs"),
     )
+    if keep == 1:
+        best = (
+            scored.groupBy("vec_id")
+            .agg(F.expr(
+                f"max(struct(cs, -{cent_id} AS negid, "
+                f"{cent_id} AS cid, embedding)) AS best"
+            ))
+        )
+        return best.select(
+            "vec_id",
+            F.col("best.embedding").alias("embedding"),
+            F.col("best.cid").alias(cent_id),
+            F.col("best.cs").alias("cs"),
+            F.lit(1).alias("rn"),
+        )
     w = F.expr(
         f"row_number() OVER (PARTITION BY vec_id "
         f"ORDER BY cs DESC, {cent_id} ASC)"

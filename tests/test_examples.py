@@ -13,6 +13,7 @@ import pytest
     "examples/secure_polygon_integration.py",
     "examples/multi_asset_class_demo.py",
     "examples/validate.py",
+    "examples/corpus_curation.py",
 ])
 def test_example_runs(script):
     proc = subprocess.run(

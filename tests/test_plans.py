@@ -93,6 +93,12 @@ def test_ngram_jaccard_gated_no_cartesian(spark, sf_dir):
     _no_cartesian(plan_of(spark, sf_dir, "dedup_ngram_jaccard_documents"))
 
 
+def test_pipeline_clean_corpus_no_cartesian(spark, sf_dir):
+    # The whole composed curation pipeline (filters -> exact dedup ->
+    # LSH pairs -> cluster join) must stay quadratic-join-free.
+    _no_cartesian(plan_of(spark, sf_dir, "pipeline_clean_corpus_documents"))
+
+
 def test_simhash_banding_is_lossless(spark, sf_dir):
     # Pigeonhole guarantee: banded blocking returns EXACTLY the
     # all-pairs result (max_hamming diffs cannot dirty all

@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
+from . import kernels
 from .kernels import ema_kernel, macd_kernel, rsi_kernel, sma_kernel
 
 __all__ = ["IndicatorSpec", "sma", "ema", "rsi", "macd", "with_indicators",
@@ -196,10 +197,43 @@ def with_indicators(
             for c in {s.value_col or value_col for s in specs}
         }
         outs = {s.out_col: np.full(len(pdf), np.nan) for s in specs}
-        for st, en in zip(starts, ends):
-            for s in specs:
-                seg = value_arrays[s.value_col or value_col][st:en]
-                outs[s.out_col][st:en] = _KERNELS[s.kind](seg, s)
+        # Pack each value column's non-null runs once: (G, maxlen)
+        # NaN-padded matrix + global row positions per series. The
+        # recursive kernels then run PARALLEL ACROSS SERIES (one
+        # vectorized step per time index — see kernels.*_fold2d)
+        # instead of a Python loop per series; expression trees per
+        # element are unchanged, so results stay bit-identical.
+        packed = {}
+        for c, arr in value_arrays.items():
+            nn = ~np.isnan(arr)
+            idx_segs = [
+                st + np.flatnonzero(nn[st:en])
+                for st, en in zip(starts, ends)
+            ]
+            M, lens = kernels.pack_segments([arr[ix] for ix in idx_segs])
+            packed[c] = (M, lens, idx_segs)
+
+        def scatter(out_arr, R, idx_segs):
+            for g, ix in enumerate(idx_segs):
+                out_arr[ix] = R[g, : ix.shape[0]]
+
+        for s in specs:
+            M, lens, idx_segs = packed[s.value_col or value_col]
+            if s.kind == "ema":
+                R = kernels.ema_fold2d(M, 2.0 / (float(s.window) + 1.0))
+            elif s.kind == "macd":
+                R = (kernels.ema_fold2d(M, 2.0 / 13.0)
+                     - kernels.ema_fold2d(M, 2.0 / 27.0))
+            elif s.kind == "rsi":
+                R = kernels.rsi_fold2d(M, lens, s.window)
+            else:  # sma: per-segment sliding windows, already vector
+                arr = value_arrays[s.value_col or value_col]
+                for st, en in zip(starts, ends):
+                    outs[s.out_col][st:en] = _KERNELS[s.kind](
+                        arr[st:en], s
+                    )
+                continue
+            scatter(outs[s.out_col], R, idx_segs)
         for name, arr in outs.items():
             pdf[name] = arr
         yield pdf

@@ -144,6 +144,86 @@ def rsi_kernel(values, window: int) -> np.ndarray:
     return out
 
 
+# --------------------------------------------------------------------------
+# Batched (parallel-across-series) folds
+#
+# The recurrences are inherently sequential IN TIME but independent
+# ACROSS SERIES. ``*_fold2d`` runs one vectorized numpy step per time
+# index over a (series x time) matrix padded with NaN tails: a
+# partition holding G series of length L costs L vector ops instead of
+# G*L Python-loop steps. Every element sees the EXACT expression tree
+# of the scalar kernels (alpha*x + (1-alpha)*acc etc. applied
+# elementwise), so outputs stay bit-identical — asserted by tests and
+# the oracle parity gate.
+# --------------------------------------------------------------------------
+
+
+def pack_segments(segments: list) -> tuple[np.ndarray, np.ndarray]:
+    """Stack compressed (non-null) per-series arrays into a NaN-padded
+    (G, maxlen) matrix; returns (matrix, lengths)."""
+    lens = np.array([s.shape[0] for s in segments], dtype=np.int64)
+    maxlen = int(lens.max()) if len(lens) else 0
+    M = np.full((len(segments), maxlen), np.nan)
+    for g, s in enumerate(segments):
+        M[g, : s.shape[0]] = s
+    return M, lens
+
+
+def ema_fold2d(M: np.ndarray, alpha: float) -> np.ndarray:
+    """Row-parallel ``ema_fold``: NaN-padded tails leave acc unchanged."""
+    G, L = M.shape
+    out = np.full((G, L), np.nan)
+    if L == 0:
+        return out
+    one_minus = 1.0 - alpha
+    acc = M[:, 0].copy()
+    out[:, 0] = acc
+    for i in range(1, L):
+        x = M[:, i]
+        nxt = alpha * x + one_minus * acc
+        valid = ~np.isnan(x)
+        acc = np.where(valid, nxt, acc)
+        out[:, i] = np.where(valid, nxt, np.nan)
+    return out
+
+
+def rsi_fold2d(M: np.ndarray, lens: np.ndarray, window: int) -> np.ndarray:
+    """Row-parallel ``rsi_kernel`` over compressed series; rows shorter
+    than window+1 come back all-NaN (the scalar kernel's contract)."""
+    G, L = M.shape
+    out = np.full((G, L), np.nan)
+    if L < window + 1:
+        return out
+    with np.errstate(invalid="ignore", divide="ignore"):
+        chg = M[:, 1:] - M[:, :-1]
+        gains = np.where(chg > 0.0, chg, 0.0)
+        losses = np.where(chg < 0.0, -chg, 0.0)
+        alpha = 1.0 / float(window)
+        one_minus = 1.0 - alpha
+        sg = gains[:, 0].copy()
+        sl = losses[:, 0].copy()
+        for i in range(1, window):
+            sg = sg + gains[:, i]
+            sl = sl + losses[:, i]
+        avg_gain = sg / float(window)
+        avg_loss = sl / float(window)
+
+        def _rsi_vec(ag: np.ndarray, al: np.ndarray) -> np.ndarray:
+            return np.where(
+                al == 0.0, 100.0, 100.0 - (100.0 / (1.0 + ag / al))
+            )
+
+        out[:, window] = _rsi_vec(avg_gain, avg_loss)
+        for i in range(window, chg.shape[1]):
+            avg_gain = avg_gain * one_minus + gains[:, i] * alpha
+            avg_loss = avg_loss * one_minus + losses[:, i] * alpha
+            out[:, i + 1] = _rsi_vec(avg_gain, avg_loss)
+    # Rows without window+1 non-null values never produce output; the
+    # vectorized pass filled them with tail-NaN-propagated garbage.
+    out[lens < window + 1, :] = np.nan
+    return out
+
+
 def macd_kernel(values) -> np.ndarray:
     """MACD line = EMA12 - EMA26 (alpha 2/13 and 2/27, first-value seed)."""
     v = _to_array(values)

@@ -61,10 +61,20 @@ def sma_kernel(values, window: int) -> np.ndarray:
     comp = v[mask]
     n = comp.shape[0]
     if n >= window:
-        # Sliding-window sums, sequential order inside each window.
+        # Sliding-window sums accumulated column-by-column: vectorized
+        # across windows, STRICTLY SEQUENTIAL (left-to-right, 0.0 seed)
+        # within each window. This is the same add order as Spark's
+        # JVM sliding-frame avg and the oracle's explicit list fold, so
+        # all three paths produce bit-identical SMAs — numpy's own
+        # sum(axis=1) uses 8-way unrolled accumulation for widths > 8,
+        # which diverges in the last bit exactly where crossover
+        # predicates compare near-equal averages.
         sw = np.lib.stride_tricks.sliding_window_view(comp, window)
+        acc = np.zeros(sw.shape[0], dtype=np.float64)
+        for j in range(window):
+            acc = acc + sw[:, j]
         comp_out = np.full(n, np.nan)
-        comp_out[window - 1 :] = sw.sum(axis=1) / float(window)
+        comp_out[window - 1 :] = acc / float(window)
         out[mask] = comp_out
     return out
 

@@ -124,13 +124,30 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2^53 exact-integer range of doubles. Bucketing runs on the us value
     # (DuckDB reads the nanos parquet column at us precision).
     bucket = F.expr(f"(ts DIV 1000) DIV {US_HOUR}") * F.lit(3600)
+    # Exact-cents aggregation: `value` is 2-decimal, so summing
+    # round(value*100) BIGINTs is exact integer arithmetic —
+    # order-independent, hence identical across engines and partial-agg
+    # plans at ANY scale. A double sum's result depends on add order
+    # (nondeterministic in both engines' parallel aggregation), which
+    # flips the 4th rounded decimal on large groups.
     return (
         df.withColumn("hour_start", bucket)
         .groupBy("hour_start", "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), ROUND_DP).alias("sum_value"),
-            F.round(F.avg("value"), ROUND_DP).alias("avg_value"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .alias("__cents"),
+        )
+        .select(
+            "hour_start", "event_type", "cnt",
+            F.round(F.col("__cents") / 100.0, ROUND_DP)
+            .alias("sum_value"),
+            # 4-dp average via 0-dp rounding: round(x, 4) diverges
+            # between engines near .00005 boundaries (DuckDB rounds
+            # x*10^4, Spark rounds the exact decimal of x), but both
+            # round the SAME double identically at scale 0.
+            (F.expr("round(CAST(__cents AS DOUBLE) * 100.0 / cnt)")
+             / 10000.0).alias("avg_value"),
         )
     )
 
@@ -139,8 +156,10 @@ _ORACLE_EVENTS_HOURLY = f"""
 SELECT (epoch_us(ts) // {US_HOUR}) * 3600 AS hour_start,
        event_type,
        count(*) AS cnt,
-       round(sum(value), {ROUND_DP}) AS sum_value,
-       round(avg(value), {ROUND_DP}) AS avg_value
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0,
+             {ROUND_DP}) AS sum_value,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             * 100.0 / count(*)) / 10000.0 AS avg_value
 FROM events
 GROUP BY 1, 2
 """

@@ -190,10 +190,20 @@ def _xover_oracle(cfg: SeriesCfg, fast: int, slow: int) -> str:
     fa, sl = f"sma_{fast}", f"sma_{slow}"
 
     def sma_raw(n: int) -> str:
+        # Explicit sequential fold (0.0 seed, frame order), NOT
+        # avg() OVER: DuckDB's windowed avg aggregates via a segment
+        # tree whose add order differs in the last bit from the
+        # sequential sums both Spark paths produce — invisible under
+        # output rounding, but the crossover predicate compares
+        # UNROUNDED fast vs slow averages and a one-ulp difference
+        # flips knife-edge signals (observed at sf0.1).
+        frame = (f"{over} ROWS BETWEEN {n - 1} PRECEDING AND "
+                 f"CURRENT ROW")
         return (
             f"CASE WHEN row_number() OVER ({over}) >= {n} THEN "
-            f"avg({v}) OVER ({over} ROWS BETWEEN {n - 1} PRECEDING AND "
-            f"CURRENT ROW) END"
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list({v}) OVER ({frame})), (a, b) -> a + b) "
+            f"/ CAST({n} AS DOUBLE) END"
         )
 
     return f"""

@@ -77,9 +77,10 @@ def clean_corpus(
 
 def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = clean_corpus(load(spark, sf_dir, "documents"))
+    # Portable two-step rounding (see text._q_text_stats).
     return out.selectExpr(
         "doc_id", "cluster_id", "is_kept", "n_tokens",
-        f"round(quality_score, {ROUND_DP}) AS quality_score",
+        "round(quality_score * 10000.0) / 10000.0 AS quality_score",
     )
 
 
@@ -108,10 +109,13 @@ def _build_oracle() -> str:
         f"'g')) AS s_zh"
     )
     norm = dedup._NORM_DUCK.format(t="text")
+    # Exact-integer rational form — must match text.text_stats exactly
+    # (the threshold below compares the UNROUNDED score).
     quality = (
-        "least(n_tokens/100.0, 1.0)*0.4 "
-        "+ (1.0 - least((punct_count / n_len)*10.0, 1.0))*0.3 "
-        "+ least((stopword_count / n_tokens)*5.0, 1.0)*0.3"
+        "CAST(4*least(n_tokens, 100)*n_len*n_tokens"
+        " + 300*(n_len - least(10*punct_count, n_len))*n_tokens"
+        " + 300*least(5*stopword_count, n_tokens)*n_len AS DOUBLE)"
+        " / CAST(1000*n_len*n_tokens AS DOUBLE)"
     )
     return f"""
 WITH RECURSIVE st AS (
@@ -152,7 +156,8 @@ WITH RECURSIVE st AS (
   SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 )
 SELECT k.doc_id, cl.cluster_id, (k.doc_id = cl.cluster_id) AS is_kept,
-       k.n_tokens, round(k.quality_score, {ROUND_DP}) AS quality_score
+       k.n_tokens,
+       round(k.quality_score * 10000.0) / 10000.0 AS quality_score
 FROM kept1 k JOIN cl ON cl.doc_id = k.doc_id
 """
 

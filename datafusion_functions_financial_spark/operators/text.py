@@ -104,20 +104,34 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "stopword_count / n_tokens AS stopword_ratio",
     ).selectExpr(
         "*",
-        "least(n_tokens/100.0, 1.0)*0.4 + (1.0 - least(punct_ratio*10.0, 1.0))"
-        "*0.3 + least(stopword_ratio*5.0, 1.0)*0.3 AS quality_score",
+        # quality = 0.4*min(nt/100,1) + 0.3*(1-min(10*punct/len,1))
+        #         + 0.3*min(5*stop/nt,1), computed as ONE exact-BIGINT
+        # numerator over ONE denominator with a single double division.
+        # Summing the three float terms is engine-divergent (FMA /
+        # association differ by an ulp — observed vs DuckDB), and the
+        # curation pipeline thresholds on the UNROUNDED score.
+        f"CAST(4*least(n_tokens, 100)*length({text_col})*n_tokens"
+        f" + 300*(length({text_col})"
+        f"        - least(10*punct_count, length({text_col})))*n_tokens"
+        f" + 300*least(5*stopword_count, n_tokens)*length({text_col})"
+        f" AS DOUBLE)"
+        f" / CAST(1000*length({text_col})*n_tokens AS DOUBLE)"
+        f" AS quality_score",
     )
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Portable two-step rounding: the ratio columns are division
+    # results that can land near .00005 boundaries where round(x, 4)
+    # legitimately differs between engines (observed at sf0.1).
     df = text_stats(load(spark, sf_dir, "documents"))
     return df.selectExpr(
         "doc_id", "n_tokens", "chars_nospace", "punct_count",
         "stopword_count",
-        f"round(avg_token_len, {ROUND_DP}) AS avg_token_len",
-        f"round(punct_ratio, {ROUND_DP}) AS punct_ratio",
-        f"round(stopword_ratio, {ROUND_DP}) AS stopword_ratio",
-        f"round(quality_score, {ROUND_DP}) AS quality_score",
+        "round(avg_token_len * 10000.0) / 10000.0 AS avg_token_len",
+        "round(punct_ratio * 10000.0) / 10000.0 AS punct_ratio",
+        "round(stopword_ratio * 10000.0) / 10000.0 AS stopword_ratio",
+        "round(quality_score * 10000.0) / 10000.0 AS quality_score",
     )
 
 
@@ -138,12 +152,14 @@ WITH s AS (
   FROM s
 )
 SELECT doc_id, n_tokens, chars_nospace, punct_count, stopword_count,
-  round(avg_token_len, {ROUND_DP}) AS avg_token_len,
-  round(punct_ratio, {ROUND_DP}) AS punct_ratio,
-  round(stopword_ratio, {ROUND_DP}) AS stopword_ratio,
-  round(least(n_tokens/100.0, 1.0)*0.4
-        + (1.0 - least(punct_ratio*10.0, 1.0))*0.3
-        + least(stopword_ratio*5.0, 1.0)*0.3, {ROUND_DP}) AS quality_score
+  round(avg_token_len * 10000.0) / 10000.0 AS avg_token_len,
+  round(punct_ratio * 10000.0) / 10000.0 AS punct_ratio,
+  round(stopword_ratio * 10000.0) / 10000.0 AS stopword_ratio,
+  round((CAST(4*least(n_tokens, 100)*n_len*n_tokens
+         + 300*(n_len - least(10*punct_count, n_len))*n_tokens
+         + 300*least(5*stopword_count, n_tokens)*n_len AS DOUBLE)
+        / CAST(1000*n_len*n_tokens AS DOUBLE)) * 10000.0) / 10000.0
+    AS quality_score
 FROM r
 """
 

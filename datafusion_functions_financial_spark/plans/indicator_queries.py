@@ -195,9 +195,14 @@ def _multicol_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ind.sma(5, "qty_sma_5", value_col="l_quantity"),
         ind.ema(12, "price_ema_12", value_col="l_extendedprice"),
     ]
+    # Value columns as final tiebreakers: the synthetic lineitem has a
+    # duplicate (shipdate, orderkey, linenumber) triple with different
+    # values, which would make the fold order nondeterministic.
     out = ind.with_indicators(
         df, "l_extendedprice",
-        ["l_shipdate", "l_orderkey", "l_linenumber"], ["l_suppkey"], specs,
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice",
+         "l_quantity"],
+        ["l_suppkey"], specs,
     )
     return out.select(
         "l_suppkey", "l_orderkey", "l_linenumber",
@@ -216,7 +221,8 @@ WITH base AS (
       (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
   FROM lineitem
   WINDOW w AS (PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber)
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_extendedprice, l_quantity)
 )
 SELECT l_suppkey, l_orderkey, l_linenumber,
   CASE WHEN rn >= 5 THEN round(raw_sma, {ROUND_DP}) END AS qty_sma_5,

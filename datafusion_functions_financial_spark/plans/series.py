@@ -23,6 +23,22 @@ def round_null(col: Column, dp: int = ROUND_DP) -> Column:
     return F.when(~F.isnan(col), F.round(col, dp))
 
 
+def round_portable(col: Column, dp: int = ROUND_DP) -> Column:
+    """Engine-portable fractional rounding: scale, round at 0 dp,
+    unscale. ``round(x, dp)`` itself can differ between engines near
+    .5*10^-dp boundaries (DuckDB rounds the scaled double, Spark
+    rounds the exact decimal of x via BigDecimal), while 0-dp rounding
+    of the SAME double is identical everywhere. Pair with
+    ``round_portable_duck`` on the oracle side."""
+    scale = float(10 ** dp)
+    return F.round(col * scale) / scale
+
+
+def round_portable_duck(expr: str, dp: int = ROUND_DP) -> str:
+    scale = float(10 ** dp)
+    return f"round(({expr}) * {scale}) / {scale}"
+
+
 @dataclass(frozen=True)
 class SeriesCfg:
     """A (partition key, unique order, value) time-series view of a table."""
@@ -47,7 +63,12 @@ EVENTS_SERIES = SeriesCfg(
 LINEITEM_SUPPLIER_SERIES = SeriesCfg(
     table="lineitem",
     keys=("l_suppkey",),
-    order=("l_shipdate", "l_orderkey", "l_linenumber"),
+    # (shipdate, orderkey, linenumber) is NOT unique in the synthetic
+    # data (sf0.1 has a duplicate triple with different values); the
+    # value column as final tiebreaker makes the recursive-indicator
+    # order deterministic — residual ties would be full-duplicate rows,
+    # which cannot affect a fold.
+    order=("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"),
     value="l_extendedprice",
     out_cols=("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
 )

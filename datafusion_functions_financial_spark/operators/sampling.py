@@ -1,0 +1,114 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+Random sampling (``df.sample``) is nondeterministic across runs,
+partitionings, and engines — useless for reproducible train/val/test
+splits or for sampling the SAME documents on re-runs over a grown
+corpus. These operators assign by an integer LCG hash of the id:
+
+- stable: a document keeps its split forever, independent of corpus
+  size, partitioning, row order, or engine;
+- disjoint and exhaustive: every row lands in exactly one split;
+- engine-portable: pure BIGINT arithmetic, identical in the DuckDB
+  oracle.
+
+Scale: scan -> project, zero shuffles, trivially parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+PRIME = 2_147_483_647
+_A, _C = 1103515245, 12345
+BUCKETS = 10_000
+
+
+def _bucket_expr(id_col: str, salt: int) -> str:
+    """Deterministic bucket in [0, BUCKETS): LCG over the id. The +1
+    keeps id 0 from mapping to the salt-only constant chain."""
+    return (
+        f"((({id_col} + 1) * {_A} + {_C} + {salt}) % {PRIME}) % {BUCKETS}"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    salt: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hashed-id bucket ranges.
+
+    ``splits`` maps name -> fraction; fractions must sum to 1 (within
+    1/BUCKETS). Assignment is by cumulative bucket thresholds in the
+    given insertion order, so the mapping is fully reproducible from
+    (splits, salt).
+    """
+    fracs = list(splits.items())
+    total = sum(f for _, f in fracs)
+    if abs(total - 1.0) > 1.0 / BUCKETS:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bounds, acc = [], 0.0
+    for name, f in fracs:
+        acc += f
+        bounds.append((name, int(round(acc * BUCKETS))))
+    bounds[-1] = (bounds[-1][0], BUCKETS)  # close rounding gaps
+    case = "CASE "
+    for name, ub in bounds[:-1]:
+        case += f"WHEN __b < {ub} THEN '{name}' "
+    case += f"ELSE '{bounds[-1][0]}' END"
+    return (
+        df.withColumn("__b", F.expr(_bucket_expr(id_col, salt)))
+        .withColumn(out_col, F.expr(case))
+        .drop("__b")
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: int = 42,
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by hashed id —
+    stable under re-runs and corpus growth (a kept id stays kept)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    thresh = int(round(fraction * BUCKETS))
+    return df.filter(F.expr(f"{_bucket_expr(id_col, salt)} < {thresh}"))
+
+
+# --------------------------------------------------------------------------
+# Registry query + oracle
+# --------------------------------------------------------------------------
+
+_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = hash_split(docs, _SPLITS)
+    return out.select("doc_id", "split")
+
+
+def _duck_split_case() -> str:
+    b = _bucket_expr("doc_id", 42)
+    return (
+        f"CASE WHEN ({b}) < 9000 THEN 'train' "
+        f"WHEN ({b}) < 9500 THEN 'val' ELSE 'test' END"
+    )
+
+
+_ORACLE_HASH_SPLIT = f"""
+SELECT doc_id, {_duck_split_case()} AS split
+FROM documents
+"""
+
+
+QUERIES: dict = {
+    "sample_hash_split_documents": (_q_hash_split, _ORACLE_HASH_SPLIT),
+}

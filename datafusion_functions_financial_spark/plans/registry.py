@@ -9,10 +9,12 @@ is pre-validated locally.
 from __future__ import annotations
 
 from . import analytics, indicator_queries, signals, validate
-from ..operators import asof, dedup, ivf, pipeline, similarity, text
+from ..operators import (
+    asof, dedup, ivf, pipeline, sampling, similarity, text,
+)
 
 _MODULES = [indicator_queries, signals, validate, analytics, text, dedup,
-            similarity, asof, ivf, pipeline]
+            similarity, asof, ivf, pipeline, sampling]
 
 
 def _collect() -> dict:

@@ -21,8 +21,11 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..plans.series import round_portable, round_portable_duck
+from ..sources.tables import load
 
 __all__ = ["quote_spread_stats", "sign_trades", "vwap"]
 
@@ -31,7 +34,13 @@ def quote_spread_stats(
     quotes: DataFrame,
     keys: Sequence[str] = ("ticker",),
 ) -> DataFrame:
-    """Per-key quote spread statistics (NBBO-style)."""
+    """Per-key quote spread statistics (NBBO-style).
+
+    min/max are exact selections and keep the input column type;
+    averages/percentiles use engine-portable rounding so results are
+    reproducible bit-for-bit against an ANSI-SQL oracle when prices
+    are integers (e.g. cents).
+    """
     spread = F.col("ask_price") - F.col("bid_price")
     mid = (F.col("ask_price") + F.col("bid_price")) / 2
     enriched = quotes.withColumn("spread", spread).withColumn(
@@ -40,11 +49,13 @@ def quote_spread_stats(
     )
     return enriched.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_quotes"),
-        F.round(F.avg("spread"), 6).alias("avg_spread"),
-        F.round(F.expr("percentile(spread, 0.5)"), 6).alias("median_spread"),
-        F.round(F.avg("rel_spread_bps"), 4).alias("avg_rel_spread_bps"),
-        F.round(F.min("bid_price"), 6).alias("min_bid"),
-        F.round(F.max("ask_price"), 6).alias("max_ask"),
+        round_portable(F.avg("spread"), 6).alias("avg_spread"),
+        round_portable(
+            F.expr("percentile(spread, 0.5)"), 6
+        ).alias("median_spread"),
+        round_portable(F.avg("rel_spread_bps"), 4).alias("avg_rel_spread_bps"),
+        F.min("bid_price").alias("min_bid"),
+        F.max("ask_price").alias("max_ask"),
         F.count(F.when(F.col("spread") < 0, 1)).alias("crossed_quotes"),
     )
 
@@ -86,8 +97,14 @@ def vwap(
     size_col: str = "size",
     bucket_seconds: int | None = None,
     ts_unit: str = "ns",
+    round_dp: int | None = 6,
 ) -> DataFrame:
-    """Volume-weighted average price per key (optionally per bucket)."""
+    """Volume-weighted average price per key (optionally per bucket).
+
+    ``round_dp=None`` skips rounding: with integer prices (cents) the
+    sums are exact and the single division is bit-deterministic, which
+    is what the cross-engine oracle gate needs.
+    """
     group = list(keys)
     df = trades
     if bucket_seconds is not None:
@@ -100,8 +117,150 @@ def vwap(
         group.append("bucket_start")
     notional = F.sum(F.col(price_col) * F.col(size_col))
     volume = F.sum(size_col)
+    ratio = notional / volume
+    if round_dp is not None:
+        ratio = round_portable(ratio, round_dp)
     return df.groupBy(*group).agg(
-        F.round(notional / volume, 6).alias("vwap"),
+        ratio.alias("vwap"),
         volume.alias("volume"),
         F.count(F.lit(1)).alias("n_trades"),
     )
+
+
+# --------------------------------------------------------------------------
+# Driver gate queries: the operators run over the synthetic `events`
+# table recast as a tick stream (event_type = ticker, 2-decimal values
+# scaled to integer cents, event_id as the feed sequence number). All
+# float reductions the oracle compares are exact integer sums followed
+# by at most one IEEE division, so results are bit-deterministic at any
+# scale and parallelism.
+# --------------------------------------------------------------------------
+
+_NS_HOUR = 3600 * 1_000_000_000
+_US_HOUR = 3600 * 1_000_000
+
+
+def _events_as_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").selectExpr(
+        "event_type AS ticker",
+        "ts AS sip_timestamp",          # epoch-ns long (nanosAsLong)
+        "event_id AS sequence_number",
+        "CAST(round(value * 100) AS BIGINT) AS price_cents",
+        "event_id % 97 + 1 AS size",    # deterministic synthetic size
+    )
+
+
+def _q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = vwap(
+        _events_as_trades(spark, sf_dir),
+        keys=("ticker",),
+        price_col="price_cents",
+        size_col="size",
+        bucket_seconds=3600,
+        ts_unit="ns",
+        round_dp=None,
+    )
+    return out.selectExpr(
+        "ticker", "bucket_start", "vwap AS vwap_cents", "volume", "n_trades"
+    )
+
+
+_ORACLE_VWAP = f"""
+WITH t AS (
+  SELECT event_type AS ticker,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS price_cents,
+         event_id % 97 + 1 AS size
+  FROM events
+)
+SELECT ticker,
+       (us // {_US_HOUR}) * 3600 AS bucket_start,
+       CAST(sum(price_cents * size) AS DOUBLE)
+         / CAST(sum(size) AS DOUBLE) AS vwap_cents,
+       CAST(sum(size) AS BIGINT) AS volume,
+       count(*) AS n_trades
+FROM t
+GROUP BY ticker, bucket_start
+"""
+
+
+def _q_sign_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sign_trades(
+        _events_as_trades(spark, sf_dir),
+        keys=("ticker",),
+        ts_col="sip_timestamp",
+        price_col="price_cents",
+        tiebreak_cols=("sequence_number",),
+    )
+    return out.selectExpr(
+        "ticker", "sequence_number AS event_id", "price_cents", "trade_sign"
+    )
+
+
+_ORACLE_SIGN = """
+WITH t AS (
+  SELECT event_type AS ticker, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS price_cents
+  FROM events
+), d AS (
+  SELECT ticker, event_id, ts, price_cents,
+         price_cents - lag(price_cents) OVER w AS chg
+  FROM t
+  WINDOW w AS (PARTITION BY ticker ORDER BY ts, event_id)
+)
+SELECT ticker, event_id, price_cents,
+       last_value(CASE WHEN chg > 0 THEN 1 WHEN chg < 0 THEN -1 END
+                  IGNORE NULLS) OVER (
+         PARTITION BY ticker ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS trade_sign
+FROM d
+"""
+
+
+def _q_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Synthetic NBBO in integer cents around the event value; spreads
+    # range [-12, 10] cents so the crossed-quote counter is exercised.
+    quotes = load(spark, sf_dir, "events").selectExpr(
+        "event_type AS ticker",
+        "CAST(round(value * 100) AS BIGINT) - 5 + event_id % 11 "
+        "AS bid_price",
+        "CAST(round(value * 100) AS BIGINT) + 5 - event_id % 13 "
+        "AS ask_price",
+    )
+    out = quote_spread_stats(quotes, keys=("ticker",))
+    return out.select(
+        "ticker", "n_quotes", "avg_spread", "median_spread",
+        "min_bid", "max_ask", "crossed_quotes",
+    )
+
+
+_ORACLE_SPREAD = f"""
+WITH q AS (
+  SELECT event_type AS ticker,
+         CAST(round(value * 100) AS BIGINT) - 5 + event_id % 11 AS bid_price,
+         CAST(round(value * 100) AS BIGINT) + 5 - event_id % 13 AS ask_price
+  FROM events
+), s AS (
+  SELECT ticker, bid_price, ask_price,
+         ask_price - bid_price AS spread
+  FROM q
+)
+SELECT ticker,
+       count(*) AS n_quotes,
+       {round_portable_duck('avg(spread)', 6)} AS avg_spread,
+       {round_portable_duck('quantile_cont(spread, 0.5)', 6)}
+         AS median_spread,
+       CAST(min(bid_price) AS BIGINT) AS min_bid,
+       CAST(max(ask_price) AS BIGINT) AS max_ask,
+       count(CASE WHEN spread < 0 THEN 1 END) AS crossed_quotes
+FROM s
+GROUP BY ticker
+"""
+
+
+QUERIES: dict = {
+    "micro_vwap_events": (_q_vwap, _ORACLE_VWAP),
+    "micro_sign_trades_events": (_q_sign_trades, _ORACLE_SIGN),
+    "micro_spread_events": (_q_spread, _ORACLE_SPREAD),
+}

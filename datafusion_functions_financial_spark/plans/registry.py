@@ -10,11 +10,11 @@ from __future__ import annotations
 
 from . import analytics, indicator_queries, signals, validate
 from ..operators import (
-    asof, dedup, ivf, pipeline, sampling, similarity, text,
+    asof, dedup, ivf, microstructure, pipeline, sampling, similarity, text,
 )
 
 _MODULES = [indicator_queries, signals, validate, analytics, text, dedup,
-            similarity, asof, ivf, pipeline, sampling]
+            similarity, asof, ivf, pipeline, sampling, microstructure]
 
 
 def _collect() -> dict:

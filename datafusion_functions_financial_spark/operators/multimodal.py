@@ -97,6 +97,54 @@ def image_features(
     return images.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Driver gate: the full binary-column pipeline — construct a media
+# frame (documents' text re-encoded as opaque binary payloads), run the
+# Arrow-batched mapInPandas feature extractor with the deterministic
+# fake decoder, and match a DuckDB oracle that recomputes every feature
+# from sha256 hex (CAST('0x..') byte extraction). This proves the
+# Spark-side plumbing — schema, batch iteration, UDF signature — with a
+# real cross-engine check even though true codecs are stubbed.
+# --------------------------------------------------------------------------
+
+
+def _q_multimodal_features(spark, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load
+
+    media = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id AS media_id",
+        "'image' AS media_type",
+        "'raw' AS format",
+        "encode(text, 'utf-8') AS payload",
+        "CAST(NULL AS STRING) AS meta",
+    )
+    feats = image_features(media, decoder=fake_image_decoder)
+    return feats.select(
+        "media_id", "n_bytes", "sha256", "width", "height", "mean_luma"
+    )
+
+
+_ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256,
+       16 + (CAST('0x' || substr(sha256(text), 1, 2) AS BIGINT) % 64)
+         AS width,
+       16 + (CAST('0x' || substr(sha256(text), 3, 2) AS BIGINT) % 64)
+         AS height,
+       CAST('0x' || substr(sha256(text), 5, 2) AS BIGINT) / 255.0
+         AS mean_luma
+FROM documents
+"""
+
+
+QUERIES: dict = {
+    "multimodal_features_documents": (
+        _q_multimodal_features, _ORACLE_MULTIMODAL,
+    ),
+}
+
+
 def frame_sample_plan(
     media: DataFrame,
     every_nth: int = 30,

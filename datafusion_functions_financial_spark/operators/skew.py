@@ -69,6 +69,64 @@ def salted_agg(
     return out
 
 
+# --------------------------------------------------------------------------
+# Driver gate: the two-stage salted aggregation must produce byte-for-
+# byte the same result as a plain one-stage GROUP BY (here: the DuckDB
+# oracle). Sums run over integer cents so the partial-then-final
+# combine is exact regardless of salt bucketing or reduce order.
+# --------------------------------------------------------------------------
+
+
+def _q_salted_overview(spark: SparkSession, sf_dir: str):
+    from ..sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents",
+    )
+    out = salted_agg(
+        li,
+        keys=("l_returnflag", "l_linestatus"),
+        num_salts=16,
+        sums=("qty_cents", "price_cents"),
+        mins=("price_cents",),
+        maxs=("price_cents",),
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        "sum_qty_cents", "sum_price_cents", "cnt",
+        "min_price_cents", "max_price_cents",
+        "avg_qty_cents", "avg_price_cents",
+    )
+
+
+_ORACLE_SALTED = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty_cents) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+       count(*) AS cnt,
+       min(price_cents) AS min_price_cents,
+       max(price_cents) AS max_price_cents,
+       CAST(sum(qty_cents) AS DOUBLE) / count(*) AS avg_qty_cents,
+       CAST(sum(price_cents) AS DOUBLE) / count(*) AS avg_price_cents
+FROM li
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+QUERIES: dict = {
+    "skew_salted_overview_lineitem": (_q_salted_overview, _ORACLE_SALTED),
+}
+
+
 def build_session(
     master: str = "local[*]",
     shuffle_partitions: int | None = None,

@@ -291,9 +291,151 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality filters)
+# --------------------------------------------------------------------------
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Word-level repetition signals per document: distinct-word ratio,
+    most-frequent-word fraction, mean word length.
+
+    The Gopher/C4-style repetition filters (top n-gram fraction,
+    duplicate-line fraction) reduce to per-(doc, unit) counting; the
+    word-level variant here is the distributed pattern for all of them:
+    explode -> two-stage integer count aggregation -> per-doc ratios.
+    All reductions are exact integer sums; each ratio is one IEEE
+    division, so output is bit-deterministic at any parallelism. At
+    100 TB the explode shuffles (doc_id, word) pairs — partial
+    map-side counting keeps the shuffle proportional to per-partition
+    DISTINCT pairs, and no stage materializes a full document.
+
+    Documents with no words (empty text) are dropped, matching a
+    GROUP-BY oracle's inner aggregation semantics.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"filter(split({text_col}, ' '), w -> w <> '')")
+        ).alias("__w"),
+    )
+    per_word = words.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return per_word.groupBy(id_col).agg(
+        F.sum("__c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("__c").alias("top_word_count"),
+        F.sum(F.length("__w") * F.col("__c")).alias("word_chars"),
+    ).selectExpr(
+        id_col, "n_words", "n_distinct_words", "top_word_count",
+        "n_distinct_words / CAST(n_words AS DOUBLE) AS distinct_ratio",
+        "top_word_count / CAST(n_words AS DOUBLE) AS top_word_frac",
+        "word_chars / CAST(n_words AS DOUBLE) AS mean_word_len",
+    )
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       count(*) AS n_distinct_words,
+       max(c) AS top_word_count,
+       count(*) / CAST(sum(c) AS DOUBLE) AS distinct_ratio,
+       max(c) / CAST(sum(c) AS DOUBLE) AS top_word_frac,
+       CAST(sum(length(w) * c) AS BIGINT) / CAST(sum(c) AS DOUBLE)
+         AS mean_word_len
+FROM wc
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# PII-style redaction (regex scrub, RE2/Java-portable patterns)
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"
+_EMAIL_RE_DUCK = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_NUM_RE = "[0-9]{7,}"
+
+
+def redact(df: DataFrame, text_col: str = "text",
+           out_col: str = "redacted") -> DataFrame:
+    """Scrub email addresses and long digit runs (account/phone-style
+    numbers), counting redactions. Pure Catalyst regexp_replace —
+    scan-local, zero shuffle, trivially linear at 100 TB."""
+    return df.selectExpr(
+        "*",
+        f"size(regexp_extract_all({text_col}, '{_EMAIL_RE}', 0)) "
+        f"AS n_emails",
+        f"regexp_replace({text_col}, '{_EMAIL_RE}', '<EMAIL>') AS __t1",
+    ).selectExpr(
+        "*",
+        f"size(regexp_extract_all(__t1, '{_NUM_RE}', 0)) AS n_numbers",
+        f"regexp_replace(__t1, '{_NUM_RE}', '<NUM>') AS {out_col}",
+    ).drop("__t1")
+
+
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic corpus has no PII; append a deterministic
+    # contact-info tail per doc so the scrub is actually exercised.
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat(text, ' contact user', CAST(doc_id AS STRING),"
+        " '@example.com or call ',"
+        " CAST(1000000 + doc_id * 9973 AS STRING)) AS text",
+    )
+    out = redact(docs)
+    # BIGINT casts: Spark size()/length() yield int32, DuckDB's len()/
+    # length() yield int64 — match the oracle dtype exactly.
+    return out.selectExpr(
+        "doc_id",
+        "CAST(n_emails AS BIGINT) AS n_emails",
+        "CAST(n_numbers AS BIGINT) AS n_numbers",
+        "CAST(length(redacted) AS BIGINT) AS redacted_len",
+        "md5(redacted) AS redacted_md5",
+    )
+
+
+_ORACLE_REDACT = f"""
+WITH d AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or call ',
+                CAST(1000000 + doc_id * 9973 AS VARCHAR)) AS text
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_EMAIL_RE_DUCK}')) AS n_emails,
+         regexp_replace(text, '{_EMAIL_RE_DUCK}', '<EMAIL>', 'g') AS t1
+  FROM d
+)
+SELECT doc_id,
+       n_emails,
+       len(regexp_extract_all(t1, '{_NUM_RE}')) AS n_numbers,
+       length(regexp_replace(t1, '{_NUM_RE}', '<NUM>', 'g'))
+         AS redacted_len,
+       md5(regexp_replace(t1, '{_NUM_RE}', '<NUM>', 'g')) AS redacted_md5
+FROM r
+"""
+
+
 QUERIES: dict = {
     "text_stats_documents": (_q_text_stats, _ORACLE_TEXT_STATS),
     "text_token_bpe_documents": (_q_token_bpe, _ORACLE_TOKEN_BPE),
     "text_langid_documents": (_q_lang_id, _ORACLE_LANG_ID),
     "text_fingerprint_documents": (_q_fingerprint, _ORACLE_FINGERPRINT),
+    "text_repetition_documents": (_q_repetition, _ORACLE_REPETITION),
+    "text_redact_documents": (_q_redact, _ORACLE_REDACT),
 }

@@ -416,8 +416,70 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+# --------------------------------------------------------------------------
+# range (band) join: non-equi join of a fact table against a small
+# interval dimension. Spark has no native interval-join operator; the
+# scale-correct plan is a broadcast nested-loop join — the band table
+# is tiny, so every executor joins its fact partitions locally with no
+# shuffle of the fact side. AQE cannot help a non-equi join, so the
+# explicit broadcast IS the optimization.
+# --------------------------------------------------------------------------
+
+_BANDS = [
+    ("00_low", 0, 100_000),
+    ("01_mid", 100_000, 200_000),
+    ("02_high", 200_000, 350_000),
+    ("03_top", 350_000, 1_000_000),
+]
+
+
+def band_join(df: DataFrame, value_col: str, bands: DataFrame,
+              lo_col: str = "lo", hi_col: str = "hi") -> DataFrame:
+    """Join each row to the [lo, hi) band containing ``value_col``;
+    the band side is always broadcast (interval dims are small by
+    construction — if yours isn't, bucketize into an equi-join key
+    instead)."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (
+        F.col(value_col) < F.col(hi_col)
+    )
+    return df.join(F.broadcast(bands), cond, "inner")
+
+
+def _q_orders_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(
+        _BANDS, "band string, lo long, hi long"
+    )
+    orders = load(spark, sf_dir, "orders")
+    joined = band_join(orders, "o_totalprice", bands)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "revenue_cents"
+        ),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+_ORACLE_ORDERS_VALUE_BANDS = f"""
+WITH bands(band, lo, hi) AS (
+  VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)}
+)
+SELECT band,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       min(o_orderkey) AS min_orderkey,
+       max(o_orderkey) AS max_orderkey
+FROM orders
+JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
 QUERIES: dict = {
     "q_events_sessionize": (_q_events_sessionize, _ORACLE_EVENTS_SESSIONIZE),
+    "q_orders_value_bands": (_q_orders_value_bands, _ORACLE_ORDERS_VALUE_BANDS),
     "q_events_pivot": (_q_events_pivot, _ORACLE_EVENTS_PIVOT),
     "q_set_ops_customers": (_q_set_ops_customers, _ORACLE_SET_OPS),
     "q_rollup_orders": (_q_rollup_orders, _ORACLE_ROLLUP_ORDERS),

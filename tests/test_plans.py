@@ -134,3 +134,28 @@ def test_neardup_lsh_subset_of_exact(spark, sf_dir):
     assert len(lsh) > 0
     for k, v in lsh.items():
         assert exact[k] == v  # identical cosine arithmetic on both paths
+
+
+def test_band_join_broadcasts_interval_dim(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_orders_value_bands")
+    # Non-equi interval join: band side broadcast, fact side unshuffled.
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # The only shuffle is the final 4-group aggregation exchange.
+    assert count_exchanges(plan) <= 1, plan
+
+
+def test_repetition_two_stage_integer_counting(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_repetition_documents")
+    # explode -> (doc, word) count -> per-doc combine: two shuffles max,
+    # each preceded by a partial aggregate; no Python stage at all.
+    assert plan.count("Generate explode") >= 1, plan
+    assert count_exchanges(plan) <= 2, plan
+    for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, f"unexpected Python stage: {marker}"
+
+
+def test_micro_sign_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "micro_sign_trades_events")
+    # One hash-partition on ticker feeds both window passes.
+    assert count_exchanges(plan) == 1, plan
+    assert "Window" in plan

@@ -82,8 +82,36 @@ def hash_sample(
     return df.filter(F.expr(f"{_bucket_expr(id_col, salt)} < {thresh}"))
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: each stratum keeps its
+    own hashed-id fraction (the standard corpus-rebalancing move —
+    e.g. keep 100% of a rare language, 10% of English). Rows in strata
+    absent from ``fractions`` keep ``default_fraction``.
+
+    Same properties as hash_sample: stable under re-runs, corpus
+    growth, partitioning, and engine; scan -> filter, zero shuffles.
+    """
+    for name, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    case = f"CASE {strata_col} "
+    for name, f in sorted(fractions.items()):
+        case += f"WHEN '{name}' THEN {int(round(f * BUCKETS))} "
+    case += f"ELSE {int(round(default_fraction * BUCKETS))} END"
+    return df.filter(F.expr(f"{_bucket_expr(id_col, salt)} < ({case})"))
+
+
 # --------------------------------------------------------------------------
-# Registry query + oracle
+# Registry queries + oracles
 # --------------------------------------------------------------------------
 
 _SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -109,6 +137,33 @@ FROM documents
 """
 
 
+_STRATA_FRACS = {"en": 0.1, "zh": 1.0, "es": 0.5}
+
+
+def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, _STRATA_FRACS, strata_col="lang", default_fraction=0.25
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def _duck_strata_case() -> str:
+    case = "CASE lang "
+    for name, f in sorted(_STRATA_FRACS.items()):
+        case += f"WHEN '{name}' THEN {int(round(f * BUCKETS))} "
+    case += f"ELSE {int(round(0.25 * BUCKETS))} END"
+    return case
+
+
+_ORACLE_STRATIFIED = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ({_bucket_expr('doc_id', 42)}) < ({_duck_strata_case()})
+"""
+
+
 QUERIES: dict = {
     "sample_hash_split_documents": (_q_hash_split, _ORACLE_HASH_SPLIT),
+    "sample_stratified_documents": (_q_stratified, _ORACLE_STRATIFIED),
 }

@@ -1,0 +1,57 @@
+"""Incremental rollup: algebraic-merge correctness and delta-scaled
+plan shape (operators/rollup.py)."""
+
+from pyspark.sql import functions as F
+
+from datafusion_functions_financial_spark.operators.rollup import (
+    bar_partials,
+    incremental_rollup,
+    merge_bar_partials,
+)
+from datafusion_functions_financial_spark.sources.tables import load
+
+
+def _normalize(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_equals_full_for_any_split(spark, sf_dir):
+    """bar_partials(A) ⊕ bar_partials(B) == bar_partials(A ∪ B) for an
+    arbitrary (non-time) split — here by event_id parity, which
+    scatters both sides across every bucket."""
+    events = load(spark, sf_dir, "events")
+    a = events.filter("event_id % 2 = 0")
+    b = events.filter("event_id % 2 = 1")
+    merged = merge_bar_partials(bar_partials(a), bar_partials(b))
+    full = bar_partials(events)
+    assert _normalize(merged) == _normalize(full)
+
+
+def test_incremental_equals_full_at_multiple_cutoffs(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    full = _normalize(bar_partials(events))
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    for frac in (0.25, 0.5, 0.9):
+        cut = lo + int((hi - lo) * frac)
+        bars = bar_partials(events.filter(F.col("ts") < cut))
+        out = incremental_rollup(bars, events.filter(F.col("ts") >= cut))
+        assert _normalize(out) == full, f"cutoff frac {frac}"
+
+
+def test_incremental_handles_empty_delta(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    bars = bar_partials(events)
+    out = incremental_rollup(bars, events.filter("1 = 0"))
+    assert _normalize(out) == _normalize(bars)
+
+
+def test_incremental_plan_never_reaggregates_history(spark, sf_dir):
+    """The untouched-bars branch must be anti-join passthrough: the
+    only HashAggregates in the plan consume the delta or the touched
+    subset, and the touched-bucket joins broadcast the tiny key set."""
+    events = load(spark, sf_dir, "events")
+    bars = bar_partials(events.filter("ts < 0"))  # empty history, same plan
+    out = incremental_rollup(bars, events)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan.replace("  ", " "), plan
+    assert "LeftSemi, BuildRight" in plan.replace("  ", " "), plan

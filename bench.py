@@ -72,6 +72,11 @@ def main() -> None:
         "knn_lsh_embeddings",
         "knn_ivf_embeddings",
         "pipeline_clean_corpus_documents",  # composed curation flagship
+        "micro_vwap_events",               # bucketed VWAP (tick-stream agg)
+        "text_repetition_documents",       # explode + 2-stage counting
+        "multimodal_features_documents",   # Arrow binary mapInPandas
+        "q_orders_value_bands",            # broadcast non-equi band join
+        "rollup_incremental_events",       # delta-scaled bar maintenance
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings"):
@@ -92,6 +97,10 @@ def main() -> None:
         "pipeline_": table_rows["documents"],
         "embedding_": table_rows["embeddings"],
         "knn_": table_rows["embeddings"],
+        "micro_": table_rows["events"],
+        "multimodal_": table_rows["documents"],
+        "q_orders": table_rows["orders"],
+        "rollup_": table_rows["events"],
     }
 
     def run(name: str) -> float:

@@ -116,6 +116,70 @@ def incremental_rollup(
     return untouched.unionByName(merged)
 
 
+def maintain_partitioned_bars(
+    spark: SparkSession,
+    bars_path: str,
+    new_events: DataFrame,
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> list[str]:
+    """Maintain an on-disk bar table partitioned by ``bucket_date``,
+    rewriting ONLY the date partitions the delta touches.
+
+    This is the durable form of :func:`incremental_rollup`:
+
+    1. roll the delta up alone;
+    2. collect its distinct bucket dates (driver-side, bounded by the
+       delta's calendar span — days, not rows);
+    3. read back ONLY those partitions (partition pruning: untouched
+       dates are never scanned);
+    4. merge and write with dynamic partition overwrite, which
+       replaces exactly the touched date directories on disk.
+
+    Returns the list of rewritten partition dates. Requires
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set here for
+    the write, restored after).
+    """
+    group = [*keys, "bucket_start"]
+    delta = bar_partials(
+        new_events, keys=keys, ts_col=ts_col, value_col=value_col,
+        bucket_seconds=bucket_seconds,
+    ).withColumn(
+        "bucket_date",
+        F.to_date(F.timestamp_seconds(F.col("bucket_start"))),
+    )
+    touched = sorted(
+        str(r[0]) for r in delta.select("bucket_date").distinct().collect()
+    )
+    if not touched:
+        return []
+    existing = (
+        spark.read.parquet(bars_path)
+        .filter(F.col("bucket_date").isin(touched))
+        .drop("bucket_date")
+    )
+    merged = merge_bar_partials(
+        existing, delta.drop("bucket_date"), keys=keys
+    ).withColumn(
+        "bucket_date",
+        F.to_date(F.timestamp_seconds(F.col("bucket_start"))),
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(*[F.col(c) for c in ("bucket_date",)])
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(bars_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return touched
+
+
 # --------------------------------------------------------------------------
 # Driver gate: bars(history) + delta, merged incrementally, must equal
 # one full recompute over all events (the DuckDB oracle's GROUP BY).

@@ -55,3 +55,59 @@ def test_incremental_plan_never_reaggregates_history(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti, BuildRight" in plan.replace("  ", " "), plan
     assert "LeftSemi, BuildRight" in plan.replace("  ", " "), plan
+
+
+def test_partitioned_maintenance_rewrites_only_touched_dates(
+    spark, sf_dir, tmp_path
+):
+    """Durable path: bars partitioned by bucket_date on disk; a delta
+    must rewrite only its own date partitions (checked by file mtimes)
+    and the final table must equal a full recompute."""
+    import os
+    import time
+
+    from pyspark.sql import functions as SF
+
+    from datafusion_functions_financial_spark.operators.rollup import (
+        maintain_partitioned_bars,
+    )
+
+    events = load(spark, sf_dir, "events")
+    lo, hi = events.agg(SF.min("ts"), SF.max("ts")).first()
+    cut = lo + int((hi - lo) * 0.8)
+    path = str(tmp_path / "bars")
+
+    hist_bars = bar_partials(events.filter(SF.col("ts") < cut)).withColumn(
+        "bucket_date", SF.to_date(SF.timestamp_seconds(SF.col("bucket_start")))
+    )
+    hist_bars.write.partitionBy("bucket_date").parquet(path)
+
+    def mtimes():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("bucket_date="):
+                p = os.path.join(path, d)
+                out[d] = max(
+                    os.path.getmtime(os.path.join(p, f))
+                    for f in os.listdir(p) if f.endswith(".parquet")
+                )
+        return out
+
+    before = mtimes()
+    time.sleep(1.1)  # mtime resolution guard
+    touched = maintain_partitioned_bars(
+        spark, path, events.filter(SF.col("ts") >= cut)
+    )
+    after = mtimes()
+
+    assert touched, "delta must touch at least one date"
+    touched_dirs = {f"bucket_date={d}" for d in touched}
+    for d, t in after.items():
+        if d in touched_dirs:
+            assert t > before.get(d, 0), f"{d} should have been rewritten"
+        else:
+            assert t == before[d], f"{d} rewritten unnecessarily"
+
+    final = spark.read.parquet(path).drop("bucket_date")
+    full = bar_partials(events)
+    assert _normalize(final) == _normalize(full)

@@ -10,13 +10,13 @@ from __future__ import annotations
 
 from . import analytics, indicator_queries, signals, validate
 from ..operators import (
-    asof, decontam, dedup, ivf, microstructure, multimodal, pipeline,
-    rollup, sampling, similarity, skew, text,
+    asof, decontam, dedup, incremental, ivf, microstructure, multimodal,
+    pipeline, rollup, sampling, similarity, skew, text,
 )
 
 _MODULES = [indicator_queries, signals, validate, analytics, text, dedup,
             similarity, asof, ivf, pipeline, sampling, microstructure, skew,
-            multimodal, rollup, decontam]
+            multimodal, rollup, decontam, incremental]
 
 
 def _collect() -> dict:

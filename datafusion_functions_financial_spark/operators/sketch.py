@@ -1,0 +1,211 @@
+"""Deterministic HyperLogLog distinct-count sketch, pure SQL.
+
+Spark's built-in ``approx_count_distinct`` is an HLL, but its hash and
+merge order are engine-internal — results are not reproducible across
+engines (or even across Spark versions), which disqualifies it where
+pipeline audits must replay exactly. This module implements HLL from
+first principles (Flajolet et al. 2007) with every step expressible in
+BOTH Spark SQL and DuckDB SQL, bit-for-bit:
+
+- the value hash is the repo-standard affine hash mod 2^31-1 (integer
+  arithmetic only — no engine-native hash functions);
+- register updates are ``max(rho)`` — order-independent;
+- the harmonic sum uses INTEGER arithmetic: ``sum(1 << (RMAX - M_j))``
+  over registers (each term <= 2^22, so the per-group sum fits a
+  BIGINT), avoiding float summation whose result depends on reduce
+  order. One final double division + the standard small-range
+  correction, rounded to ROUND_DP.
+
+Scale story: the shuffle payload is the REGISTER TABLE — at most
+``m = 2^p`` rows per group regardless of input size (map-side partial
+``max`` folds each partition's stream into registers before the
+exchange). Distinct-count of a 100 TB column moves kilobytes per
+group. Mergeability falls out of max(): union shards by taking
+register-wise max (``merge_registers``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from ..plans.series import ROUND_DP
+
+__all__ = ["hll_estimate", "hll_registers", "merge_registers"]
+
+PRIME = 2_147_483_647  # 2^31 - 1; hash values carry 31 bits
+_HA, _HB = 1_103_515_245, 12_345  # classic LCG constants, public domain
+_HC = 7_919  # additive constant for the quadratic mixing round
+
+P = 9                  # 2^9 = 512 registers
+M = 1 << P
+W_BITS = 31 - P        # bits left for the rho scan
+RMAX = W_BITS + 1      # max possible rho (all-zero remainder)
+# alpha_512 per the HLL paper's alpha_m formula (both engines compute
+# this literal identically).
+ALPHA = 0.7213 / (1.0 + 1.079 / M)
+
+
+def _hash_expr(value_expr: str) -> str:
+    """Two-round hash of a BIGINT expression onto [0, PRIME): affine,
+    then quadratic mixing. A purely affine map is a permutation whose
+    bit patterns are NOT geometric (HLL over-estimates by ~50% on
+    sequential ids); the quadratic round restores bit avalanche while
+    every intermediate stays within BIGINT (h < 2^31, so h*h < 2^62
+    and (h*h % p) * a < 2^62)."""
+    h1 = (f"(({_HA}L * ({value_expr}) + {_HB}L) % {PRIME}L + {PRIME}L) "
+          f"% {PRIME}L")
+    return (f"((({h1}) * ({h1}) % {PRIME}L) * {_HA}L "
+            f"+ ({h1}) * {_HB}L + {_HC}L) % {PRIME}L")
+
+
+def _hash_duck(value_expr: str) -> str:
+    h1 = (f"((({_HA} * ({value_expr}) + {_HB}) % {PRIME}) + {PRIME}) "
+          f"% {PRIME}")
+    return (f"((({h1}) * ({h1}) % {PRIME}) * {_HA} "
+            f"+ ({h1}) * {_HB} + {_HC}) % {PRIME}")
+
+
+def _rho_exprs(h: str, spark: bool) -> tuple[str, str]:
+    """(bucket, rho) SQL from a hash expression.
+
+    rho = position of the highest set bit counted from the top of the
+    (31-p)-bit remainder, via the length of its minimal binary string
+    (``bin``/``bin`` in both engines; no floats).
+    """
+    bucket = f"({h}) % {M}"
+    w = f"({h}) DIV {M}" if spark else f"({h}) // {M}"
+    blen = f"CASE WHEN {w} = 0 THEN 0 ELSE length(bin({w})) END"
+    return bucket, f"{RMAX} - ({blen})"
+
+
+def hll_registers(df: DataFrame, value_expr: str,
+                  group_cols: tuple = ()) -> DataFrame:
+    """Per-group register table: (group..., bucket, r) with
+    r = max rho over the group's values. At most M rows per group
+    survive the (map-side partial) max aggregation."""
+    h = _hash_expr(value_expr)
+    bucket, rho = _rho_exprs(h, spark=True)
+    gc = list(group_cols)
+    return (
+        df.selectExpr(*gc, f"{bucket} AS bucket", f"{rho} AS rho")
+        .groupBy(*gc, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def merge_registers(*reg_tables: DataFrame) -> DataFrame:
+    """Union sketches of disjoint (or overlapping) shards: register-wise
+    max. HLL's estimate of the union is exact w.r.t. a single pass over
+    the concatenated data — sketches are mergeable by construction."""
+    out = reg_tables[0]
+    for t in reg_tables[1:]:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns if c not in ("r",)]
+    return out.groupBy(*keys).agg(F.max("r").alias("r"))
+
+
+def _estimate_from_registers(reg: DataFrame,
+                             group_cols: tuple) -> DataFrame:
+    gc = list(group_cols)
+    agg = reg.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"CAST(shiftleft(1L, {RMAX} - r) AS BIGINT)"))
+        .alias("s_present"),
+    )
+    # Absent registers hold rho=0 and contribute 2^RMAX each.
+    return agg.selectExpr(
+        *gc,
+        f"""round(
+          CASE WHEN {ALPHA!r} * {M} * {M} * CAST(shiftleft(1L, {RMAX}) AS DOUBLE)
+                 / (s_present + ({M} - n_present) * CAST(shiftleft(1L, {RMAX}) AS DOUBLE))
+                 <= 2.5 * {M}
+               AND {M} - n_present > 0
+          THEN {M} * ln(CAST({M} AS DOUBLE) / ({M} - n_present))
+          ELSE {ALPHA!r} * {M} * {M} * CAST(shiftleft(1L, {RMAX}) AS DOUBLE)
+                 / (s_present + ({M} - n_present) * CAST(shiftleft(1L, {RMAX}) AS DOUBLE))
+          END, {ROUND_DP}) AS approx_distinct""",
+    )
+
+
+def hll_estimate(df: DataFrame, value_expr: str,
+                 group_cols: tuple = ()) -> DataFrame:
+    """(group..., approx_distinct): deterministic HLL estimate of
+    count-distinct of ``value_expr`` (a BIGINT SQL expression; hash
+    strings first, e.g. with ``text.poly_hash_spark``)."""
+    return _estimate_from_registers(
+        hll_registers(df, value_expr, group_cols), group_cols
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle (identical algorithm, identical arithmetic)
+# --------------------------------------------------------------------------
+
+
+def duck_hll_sql(src: str, value_expr: str, group_cols: tuple) -> str:
+    h = _hash_duck(value_expr)
+    bucket, rho = _rho_exprs(h, spark=False)
+    gc = ", ".join(group_cols)
+    gc_pre = f"{gc}, " if gc else ""
+    # CAST: DuckDB types the bare float literal DECIMAL(18,..) and the
+    # * M * M chain overflows decimal multiplication.
+    e_raw = (f"CAST({ALPHA!r} AS DOUBLE) * {M} * {M} "
+             f"* CAST((1 << {RMAX}) AS DOUBLE) "
+             f"/ (s_present + ({M} - n_present) "
+             f"* CAST((1 << {RMAX}) AS DOUBLE))")
+    return f"""
+WITH regs AS (
+  SELECT {gc_pre}{bucket} AS bucket, max({rho}) AS r
+  FROM {src}
+  GROUP BY {gc_pre}bucket
+), folded AS (
+  SELECT {gc_pre}count(*) AS n_present,
+         sum(CAST((1 << ({RMAX} - r)) AS BIGINT)) AS s_present
+  FROM regs
+  {'GROUP BY ' + gc if gc else ''}
+)
+SELECT {gc_pre}round(
+  CASE WHEN {e_raw} <= 2.5 * {M} AND {M} - n_present > 0
+  THEN {M} * ln(CAST({M} AS DOUBLE) / ({M} - n_present))
+  ELSE {e_raw} END, {ROUND_DP}) AS approx_distinct
+FROM folded
+"""
+
+
+# --------------------------------------------------------------------------
+# Gate queries: distinct users per event type (plus exact, so accuracy
+# is visible in the gate output), and global distinct parts bought.
+# --------------------------------------------------------------------------
+
+
+def _q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    approx = hll_estimate(ev, "user_id", ("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return approx.join(exact, "event_type")
+
+
+def _q_hll_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return hll_estimate(li, "l_partkey")
+
+
+_ORACLE_HLL_USERS = f"""
+WITH approx AS ({duck_hll_sql('events', 'user_id', ('event_type',))}),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT a.event_type, a.approx_distinct, e.exact_distinct
+FROM approx a JOIN exact e USING (event_type)
+"""
+
+_ORACLE_HLL_PARTS = duck_hll_sql("lineitem", "l_partkey", ())
+
+QUERIES: dict = {
+    "sketch_hll_users_events": (_q_hll_users, _ORACLE_HLL_USERS),
+    "sketch_hll_parts_lineitem": (_q_hll_parts, _ORACLE_HLL_PARTS),
+}

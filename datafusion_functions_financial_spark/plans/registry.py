@@ -11,12 +11,14 @@ from __future__ import annotations
 from . import analytics, indicator_queries, signals, validate
 from ..operators import (
     asof, decontam, dedup, incremental, ivf, microstructure, multimodal,
-    pipeline, rollup, sampling, similarity, sketch, skew, text, tfidf,
+    pipeline, quantize, rollup, sampling, similarity, sketch, skew, text,
+    tfidf,
 )
 
 _MODULES = [indicator_queries, signals, validate, analytics, text, dedup,
             similarity, asof, ivf, pipeline, sampling, microstructure, skew,
-            multimodal, rollup, decontam, incremental, tfidf, sketch]
+            multimodal, rollup, decontam, incremental, tfidf, sketch,
+            quantize]
 
 
 def _collect() -> dict:

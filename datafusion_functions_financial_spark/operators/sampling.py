@@ -110,6 +110,80 @@ def stratified_sample(
     return df.filter(F.expr(f"{_bucket_expr(id_col, salt)} < ({case})"))
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: int = 42,
+) -> DataFrame:
+    """Deterministic "k rows per group": rank rows inside each group by
+    hashed id (ties broken by the id itself) and keep the first k —
+    a reproducible alternative to reservoir sampling whose output is
+    independent of partitioning, engine, and arrival order.
+
+    One shuffle (the rank window on ``group_col``); at 100 TB the
+    usual trick applies: pre-filter with an over-admitting hash
+    threshold before the window so the sort touches ~k*fudge rows per
+    group, not the whole group.
+    """
+    h = f"(({id_col} + 1) * {_A} + {_C} + {salt}) % {PRIME}"
+    return (
+        df.withColumn(
+            "__rk",
+            F.expr(f"row_number() OVER (PARTITION BY {group_col} "
+                   f"ORDER BY {h} ASC, {id_col} ASC)"),
+        )
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def mix_to_proportions(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: int = 42,
+) -> DataFrame:
+    """Resample so strata appear in target proportions (domain mixing:
+    "the training mix is 50% en, 20% fr, ..."), keeping as many rows
+    as possible: the binding stratum (smallest n/w) is kept at 100%
+    and every other stratum downsamples to match. Strata not named in
+    ``weights`` are dropped.
+
+    The per-stratum counts are a vocabulary-sized aggregate collected
+    to the driver (strata are languages/sources — thousands at most);
+    the data pass itself is scan -> hash filter, zero shuffles.
+    Thresholds use floor(x + 0.5) so the oracle can reproduce the
+    arithmetic exactly (Python's round() half-evens).
+    """
+    import math
+
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0")
+    if not any(w > 0 for w in weights.values()):
+        raise ValueError("at least one weight must be positive")
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(
+            F.col(strata_col).isin(list(weights))
+        ).groupBy(strata_col).count().collect()
+    }
+    missing = [s for s, w in weights.items() if w > 0 and s not in counts]
+    if missing:
+        raise ValueError(f"strata absent from the data: {missing}")
+    t = min(counts[s] / w for s, w in weights.items() if w > 0)
+    case = f"CASE {strata_col} "
+    for name in sorted(w_ for w_ in weights if weights[w_] > 0):
+        th = int(math.floor(weights[name] * t / counts[name]
+                            * BUCKETS + 0.5))
+        case += f"WHEN '{name}' THEN {th} "
+    case += "ELSE 0 END"
+    return df.filter(F.expr(f"{_bucket_expr(id_col, salt)} < ({case})"))
+
+
 # --------------------------------------------------------------------------
 # Registry queries + oracles
 # --------------------------------------------------------------------------
@@ -163,7 +237,64 @@ WHERE ({_bucket_expr('doc_id', 42)}) < ({_duck_strata_case()})
 """
 
 
+_MIX_WEIGHTS = {"en": 0.5, "fr": 0.2, "de": 0.2, "es": 0.1}
+
+
+def _q_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return mix_to_proportions(docs, _MIX_WEIGHTS, strata_col="lang") \
+        .select("doc_id", "lang")
+
+
+def _q_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return sample_k_per_group(docs, 7, group_col="source") \
+        .select("doc_id", "source")
+
+
+_MIX_VALUES = ", ".join(
+    f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in _MIX_WEIGHTS.items()
+)
+
+# Mirrors mix_to_proportions' driver arithmetic: t = min(n/w); each
+# stratum's bucket threshold = floor(w*t/n*BUCKETS + 0.5) — identical
+# left-assoc double ops, so thresholds agree bit-for-bit.
+_ORACLE_MIX = f"""
+WITH w(lang, wt) AS (VALUES {_MIX_VALUES}),
+counts AS (
+  SELECT lang, count(*) AS n FROM documents
+  WHERE lang IN (SELECT lang FROM w) GROUP BY 1
+),
+t AS (
+  SELECT min(CAST(n AS DOUBLE) / wt) AS t
+  FROM counts JOIN w USING (lang) WHERE wt > 0
+),
+thr AS (
+  SELECT c.lang, CAST(floor(w.wt * t.t / c.n * {BUCKETS} + 0.5) AS BIGINT)
+         AS th
+  FROM counts c JOIN w USING (lang) CROSS JOIN t
+  WHERE w.wt > 0
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE ({_bucket_expr('doc_id', 42)}) < th
+"""
+
+_ORACLE_K_PER_GROUP = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id + 1) * {_A} + {_C} + 42) % {PRIME} ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 7
+"""
+
 QUERIES: dict = {
     "sample_hash_split_documents": (_q_hash_split, _ORACLE_HASH_SPLIT),
     "sample_stratified_documents": (_q_stratified, _ORACLE_STRATIFIED),
+    "sample_mix_proportions_documents": (_q_mix, _ORACLE_MIX),
+    "sample_k_per_group_documents": (_q_k_per_group, _ORACLE_K_PER_GROUP),
 }

@@ -61,3 +61,48 @@ def test_no_shuffle_plan(docs):
     out = sampling.hash_split(docs, {"a": 0.5, "b": 0.5})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan            # scan -> project only
+
+
+def test_mix_to_proportions_hits_targets(docs):
+    out = sampling.mix_to_proportions(
+        docs, {"en": 0.5, "fr": 0.25, "de": 0.25}, strata_col="lang"
+    )
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    total = sum(got.values())
+    # The binding stratum is kept whole; proportions approach targets
+    # within hash-sampling noise on these small strata.
+    assert set(got) == {"en", "fr", "de"}
+    assert got["en"] / total == pytest.approx(0.5, abs=0.12)
+    assert got["fr"] / total == pytest.approx(0.25, abs=0.12)
+
+
+def test_mix_binding_stratum_kept_whole(docs):
+    # With weight ~ count the scarcest-relative stratum keeps 100%.
+    counts = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    out = sampling.mix_to_proportions(
+        docs, {"en": 1000.0, "zh": 0.001}, strata_col="lang"
+    )
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    assert got["en"] == counts["en"]         # en is binding at this weight
+
+
+def test_mix_validation(docs):
+    with pytest.raises(ValueError):
+        sampling.mix_to_proportions(docs, {"en": -1.0}, strata_col="lang")
+    with pytest.raises(ValueError):
+        sampling.mix_to_proportions(docs, {"en": 0.0}, strata_col="lang")
+    with pytest.raises(ValueError):
+        sampling.mix_to_proportions(
+            docs, {"klingon": 1.0}, strata_col="lang")
+
+
+def test_sample_k_per_group_exact_k_and_stable(docs):
+    out = sampling.sample_k_per_group(docs, 5, group_col="lang")
+    sizes = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    assert all(v == 5 for v in sizes.values())
+    # Re-running (and repartitioning the input) returns the same rows.
+    again = sampling.sample_k_per_group(
+        docs.repartition(7), 5, group_col="lang"
+    )
+    assert {r.doc_id for r in out.collect()} == \
+        {r.doc_id for r in again.collect()}

@@ -77,6 +77,12 @@ def main() -> None:
         "multimodal_features_documents",   # Arrow binary mapInPandas
         "q_orders_value_bands",            # broadcast non-equi band join
         "rollup_incremental_events",       # delta-scaled bar maintenance
+        "decontam_report_documents",       # broadcast benchmark n-grams
+        "dedup_incremental_neardup_documents",  # shard-vs-index LSH
+        "text_tfidf_topk_documents",       # corpus DF + per-doc rank
+        "sketch_hll_users_events",         # register-table distinct sketch
+        "knn_quantized_embeddings",        # int8 quantized brute force
+        "sample_mix_proportions_documents",  # domain mixing, zero shuffle
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings"):
@@ -101,6 +107,9 @@ def main() -> None:
         "multimodal_": table_rows["documents"],
         "q_orders": table_rows["orders"],
         "rollup_": table_rows["events"],
+        "decontam_": table_rows["documents"],
+        "sketch_": table_rows["events"],
+        "sample_": table_rows["documents"],
     }
 
     def run(name: str) -> float:

@@ -9,6 +9,7 @@ is pre-validated locally.
 from __future__ import annotations
 
 from . import analytics, indicator_queries, signals, validate
+from ..functions import rollstats
 from ..operators import (
     asof, decontam, dedup, incremental, ivf, microstructure, multimodal,
     pipeline, quantize, rollup, sampling, similarity, sketch, skew, text,
@@ -18,7 +19,7 @@ from ..operators import (
 _MODULES = [indicator_queries, signals, validate, analytics, text, dedup,
             similarity, asof, ivf, pipeline, sampling, microstructure, skew,
             multimodal, rollup, decontam, incremental, tfidf, sketch,
-            quantize]
+            quantize, rollstats]
 
 
 def _collect() -> dict:

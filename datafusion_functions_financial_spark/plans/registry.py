@@ -11,15 +11,15 @@ from __future__ import annotations
 from . import analytics, indicator_queries, signals, validate
 from ..functions import rollstats
 from ..operators import (
-    asof, boilerplate, decontam, dedup, incremental, ivf, microstructure,
-    multimodal, pipeline, quantize, rollup, sampling, similarity, sketch,
-    skew, text, tfidf,
+    asof, bm25, boilerplate, decontam, dedup, incremental, ivf,
+    microstructure, multimodal, pipeline, quantize, rollup, sampling,
+    similarity, sketch, skew, text, tfidf,
 )
 
 _MODULES = [indicator_queries, signals, validate, analytics, text, dedup,
             similarity, asof, ivf, pipeline, sampling, microstructure, skew,
             multimodal, rollup, decontam, incremental, tfidf, sketch,
-            quantize, rollstats, boilerplate]
+            quantize, rollstats, boilerplate, bm25]
 
 
 def _collect() -> dict:

@@ -12,14 +12,14 @@ from . import analytics, indicator_queries, signals, validate
 from ..functions import rollstats
 from ..operators import (
     asof, bm25, boilerplate, decontam, dedup, incremental, ivf,
-    microstructure, multimodal, pipeline, quantize, rollup, sampling,
-    similarity, sketch, skew, text, tfidf,
+    microstructure, multimodal, packing, pipeline, quantize, rollup,
+    sampling, similarity, sketch, skew, text, tfidf,
 )
 
 _MODULES = [indicator_queries, signals, validate, analytics, text, dedup,
             similarity, asof, ivf, pipeline, sampling, microstructure, skew,
             multimodal, rollup, decontam, incremental, tfidf, sketch,
-            quantize, rollstats, boilerplate, bm25]
+            quantize, rollstats, boilerplate, bm25, packing]
 
 
 def _collect() -> dict:

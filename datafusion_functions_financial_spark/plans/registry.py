@@ -9,7 +9,7 @@ is pre-validated locally.
 from __future__ import annotations
 
 from . import analytics, indicator_queries, signals, validate
-from ..functions import rollstats
+from ..functions import resample, rollstats
 from ..operators import (
     asof, bm25, boilerplate, decontam, dedup, incremental, ivf,
     microstructure, multimodal, packing, pipeline, quantize, rollup,
@@ -19,7 +19,7 @@ from ..operators import (
 _MODULES = [indicator_queries, signals, validate, analytics, text, dedup,
             similarity, asof, ivf, pipeline, sampling, microstructure, skew,
             multimodal, rollup, decontam, incremental, tfidf, sketch,
-            quantize, rollstats, boilerplate, bm25, packing]
+            quantize, rollstats, boilerplate, bm25, packing, resample]
 
 
 def _collect() -> dict:

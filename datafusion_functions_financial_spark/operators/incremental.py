@@ -37,7 +37,9 @@ from ..plans.series import ROUND_DP
 from . import fasthash
 from .dedup import (
     BAND_SIZE,
+    DEFAULT_MAX_BUCKET_SIZE,
     EST_MIN_MATCHES,
+    GATE_BUCKET_CAP,
     JACCARD_THRESHOLD,
     N_PERMS,
     PERMS,
@@ -150,7 +152,7 @@ def incremental_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = JACCARD_THRESHOLD,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """(shard_id, corpus_id, jaccard) for shard docs near-duplicating
     an indexed corpus doc — same permutations, banding, 8/16
@@ -239,7 +241,8 @@ def _q_incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     shard = d.filter(_SHARD_PRED)
     idx = build_minhash_index(d.filter(f"NOT ({_SHARD_PRED})"))
-    out = incremental_neardup_pairs(shard, idx)
+    out = incremental_neardup_pairs(shard, idx,
+                                    max_bucket_size=GATE_BUCKET_CAP)
     return out.selectExpr(
         "shard_id", "corpus_id", f"round(jaccard, {ROUND_DP}) AS jaccard"
     )

@@ -44,7 +44,7 @@ def clean_corpus(
     lang: str = DEFAULT_LANG,
     min_tokens: int = MIN_TOKENS,
     min_quality: float = MIN_QUALITY,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = dedup.DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Run the full curation pipeline; returns one row per document
     that survives language/quality filtering and exact dedup, labeled
@@ -76,7 +76,8 @@ def clean_corpus(
 
 
 def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = clean_corpus(load(spark, sf_dir, "documents"))
+    out = clean_corpus(load(spark, sf_dir, "documents"),
+                       max_bucket_size=dedup.GATE_BUCKET_CAP)
     # Portable two-step rounding (see text._q_text_stats).
     return out.selectExpr(
         "doc_id", "cluster_id", "is_kept", "n_tokens",

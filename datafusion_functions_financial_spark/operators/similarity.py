@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..plans.series import ROUND_DP
 from ..sources.tables import load
-from . import fasthash
+from . import dedup, fasthash
 
 DIM = 64
 N_PLANES = 8
@@ -173,7 +173,7 @@ def embedding_neardup_pairs(
     method: str = "lsh",
     bands: int = NEARDUP_BANDS,
     planes_per_band: int = NEARDUP_PLANES_PER_BAND,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = dedup.DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity.
 
@@ -191,10 +191,11 @@ def embedding_neardup_pairs(
     materialized every candidate pair (with both vectors) through a
     distinct + two joins + a per-pair UDF, which at low thresholds
     approaches the all-pairs relation. The trade: the band explode
-    ships the vector payload B times; at 100 TB cap hot buckets
-    (``max_bucket_size`` — buckets above the cap contribute no pairs,
-    see ``dedup._cap_hot_buckets`` for the recall argument) and the
-    per-bucket work stays bounded by ``max_bucket_size**2``.
+    ships the vector payload B times; hot buckets are capped by
+    default (``max_bucket_size`` — buckets above the cap contribute no
+    pairs, see ``dedup._cap_hot_buckets`` for the recall argument;
+    ``None`` = explicit opt-out) and the per-bucket work stays bounded
+    by ``max_bucket_size**2``.
 
     Recall per pair at cosine c is 1-(1-p^r)^B with
     p = 1 - arccos(c)/pi: ~0.9997 at c=0.8 (a realistic near-dup
@@ -316,7 +317,10 @@ def _band_bucket_duck(vec: str, band: str, r: int) -> str:
 
 def _q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    out = embedding_neardup_pairs(emb)  # method="lsh", no cartesian
+    # method="lsh", no cartesian; gate pins an effectively-uncapped
+    # bucket cap so hashes match the cap-free oracle at any tested SF.
+    out = embedding_neardup_pairs(emb,
+                                  max_bucket_size=dedup.GATE_BUCKET_CAP)
     return out.selectExpr(
         "id_a", "id_b", f"round(cos_sim, {ROUND_DP}) AS cos_sim"
     )

@@ -88,17 +88,20 @@ GROUP BY l_returnflag, l_linestatus
 
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ORDER BY / top-k with deterministic ranking (ROW_NUMBER idiom,
-    # benches/financial_functions.rs:27).
+    # benches/financial_functions.rs:27). Scale shape: orderBy+limit
+    # plans as TakeOrderedAndProject (per-partition heap top-k, tiny
+    # driver merge) — NOT a global row_number window, which would drag
+    # every customer's aggregate row through one task at 100x. The rank
+    # window then runs over only the <= 20 surviving rows.
     df = load(spark, sf_dir, "orders")
     spend = df.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
         F.count(F.lit(1)).alias("order_count"),
     )
+    top = spend.orderBy(F.col("total_spend").desc(),
+                        F.col("o_custkey")).limit(20)
     w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
-    return (
-        spend.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 _ORACLE_TOP_CUSTOMERS = """

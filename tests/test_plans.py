@@ -159,3 +159,16 @@ def test_micro_sign_single_shuffle(spark, sf_dir):
     # One hash-partition on ticker feeds both window passes.
     assert count_exchanges(plan) == 1, plan
     assert "Window" in plan
+
+
+def test_top_customers_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_top_customers")
+    # Top-20 must plan as TakeOrderedAndProject (per-partition heap +
+    # tiny merge), NOT a global sort / single-partition row_number window
+    # over the full per-customer aggregate (VERDICT r02 "what's wrong" 1).
+    assert "TakeOrderedAndProject" in plan, plan
+    # No single-partition shuffle of the full aggregate feeding a Sort:
+    # the only SinglePartition exchange allowed is the one under the
+    # trailing <=20-row rank window.
+    pre_limit = plan.split("TakeOrderedAndProject")[-1]
+    assert "Exchange SinglePartition" not in pre_limit, plan

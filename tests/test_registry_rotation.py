@@ -1,0 +1,54 @@
+"""Gate-rotation regression guard (VERDICT r02 item 8).
+
+The driver's CORRECTNESS gate records rows for only the first
+``registry.GATE_WINDOW`` entries in registry iteration order, so the
+module order in ``registry._MODULES`` is a coverage decision. These
+tests keep that decision intentional:
+
+- every query WITHOUT a prior driver CORRECTNESS row must sit inside
+  the gate window (so it gets one this round);
+- every registered query has a DuckDB oracle (no silent rows-only
+  entries creep in);
+- query/oracle registries stay in lockstep.
+"""
+
+from datafusion_functions_financial_spark.plans import registry
+
+
+def test_every_ungated_query_inside_gate_window():
+    names = list(registry.all_queries())
+    window = set(names[: registry.GATE_WINDOW])
+    pending = [n for n in names if n not in registry.PRIOR_GATED]
+    outside = [n for n in pending if n not in window]
+    assert not outside, (
+        "queries with no driver CORRECTNESS row fell outside the gate "
+        f"window — reorder registry._MODULES: {outside}"
+    )
+
+
+def test_prior_gated_names_exist():
+    # PRIOR_GATED must track real registry names (catches renames that
+    # would silently mark a query as already-gated).
+    names = set(registry.all_queries())
+    stale = sorted(registry.PRIOR_GATED - names)
+    assert not stale, f"PRIOR_GATED references unknown queries: {stale}"
+
+
+def test_every_query_has_an_oracle():
+    q = registry.all_queries()
+    o = registry.all_oracles()
+    assert set(q) == set(o), (
+        "query/oracle mismatch — every queries() entry needs an "
+        f"oracle_sql() entry: {sorted(set(q) ^ set(o))}"
+    )
+
+
+def test_gate_window_is_full():
+    # The window should be fully used: fewer entries than GATE_WINDOW
+    # means the driver gates everything and rotation is moot; more total
+    # queries than the window is expected (the rest are parity-only this
+    # round). This documents the current census so additions are
+    # deliberate.
+    names = registry.gate_window_names()
+    assert len(names) == min(registry.GATE_WINDOW,
+                             len(registry.all_queries()))

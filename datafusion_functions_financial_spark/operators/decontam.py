@@ -45,17 +45,30 @@ DEFAULT_N = 8  # production default; the gate uses 3 (tiny synthetic vocab)
 _TOKENS = "split(trim(lower({col})), '\\\\s+')"
 
 
-def _grams_expr(col: str, n: int) -> str:
-    """Spark SQL: array of word n-grams (space-joined) of ``col``.
+def _with_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    """Materialize the token array ONCE as a ``__toks`` column.
+
+    The gram transform references the token array 3 times (two sizes +
+    one slice per gram); inlining the ``split`` expression there makes
+    Catalyst re-evaluate the split for EVERY gram index — O(L^2) work
+    per document (this was the 4.2 s outlier in BENCH_r02). Referencing
+    a materialized attribute instead is safe from re-inlining:
+    CollapseProject only merges projections whose outputs are cheap or
+    consumed once, and ``__toks`` is consumed three times.
+    """
+    return df.withColumn("__toks", F.expr(_TOKENS.format(col=text_col)))
+
+
+def _grams_from_toks(n: int) -> str:
+    """Spark SQL: array of word n-grams (space-joined) over ``__toks``.
 
     ``sequence(1, size-n+1)`` would count DOWN for short docs (Spark
     infers step -1), so short docs are guarded to an empty array.
     """
-    toks = _TOKENS.format(col=col)
     return (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(1, size({toks}) - {n} + 1), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(1, size(__toks) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
         f"ELSE array() END"
     )
 
@@ -65,11 +78,12 @@ def doc_ngrams(df: DataFrame, text_col: str = "text",
     """Explode each document into its word n-grams: (id, gram) rows.
 
     Narrow (flatMap) — no shuffle; tokenization is pure Catalyst
-    (whole-stage codegen), no Python.
+    (whole-stage codegen), no Python; the token split runs once per doc
+    (see ``_with_tokens``).
     """
-    return df.select(
+    return _with_tokens(df, text_col).select(
         F.col(id_col),
-        F.explode(F.expr(_grams_expr(text_col, n))).alias("gram"),
+        F.explode(F.expr(_grams_from_toks(n))).alias("gram"),
     )
 
 
@@ -77,8 +91,8 @@ def benchmark_ngrams(bench: DataFrame, text_col: str = "text",
                      n: int = DEFAULT_N) -> DataFrame:
     """Distinct n-grams of the benchmark set (the broadcast side)."""
     return (
-        bench.select(F.explode(F.expr(_grams_expr(text_col, n)))
-                     .alias("gram"))
+        _with_tokens(bench, text_col)
+        .select(F.explode(F.expr(_grams_from_toks(n))).alias("gram"))
         .distinct()
     )
 
@@ -120,10 +134,9 @@ def decontaminate(
     implemented as anti-join of doc gram-arrays exploded lazily. Plan:
     scan -> generate -> broadcast anti join -> no shuffle.
     """
-    with_grams = docs.withColumn("__grams",
-                                 F.expr(_grams_expr(text_col, n)))
-    exploded = with_grams.select(F.col(id_col).alias("__cid"),
-                                 F.explode("__grams").alias("gram"))
+    exploded = doc_ngrams(docs, text_col, id_col, n).select(
+        F.col(id_col).alias("__cid"), "gram"
+    )
     contaminated = (
         exploded.join(F.broadcast(benchmark_ngrams(bench, text_col, n)),
                       "gram")

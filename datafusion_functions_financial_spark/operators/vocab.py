@@ -1,0 +1,83 @@
+"""Corpus vocabulary statistics: exact top-k frequent tokens.
+
+The exact heavy-hitters query every corpus audit starts with (stopword
+discovery, boilerplate smells, tokenizer sanity). Scale shape: explode
+tokens (narrow) -> one map-side-combined groupBy on the token -> top-k
+via ``orderBy().limit(k)``, which Spark plans as TakeOrderedAndProject
+(per-partition heap + tiny driver merge) — the vocabulary never passes
+through a single global sort task, and rank is attached by a window
+over only the k surviving rows (same pattern as
+``plans/analytics._q_top_customers``).
+
+For the approximate/streaming variant at extreme cardinalities, pair
+with ``operators/sketch.py`` (the same groupBy feeds a register-table
+sketch); exact counting over 100 TB is still linear-with-combine here
+because token frequency follows Zipf — partial aggregation collapses
+the head mass map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .decontam import _TOKENS, _with_tokens
+
+__all__ = ["token_counts", "top_tokens"]
+
+TOP_K = 50
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, n_occurrences) for every distinct token."""
+    toks = (
+        _with_tokens(df, text_col)
+        .select(F.explode("__toks").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
+def top_tokens(df: DataFrame, text_col: str = "text",
+               k: int = TOP_K) -> DataFrame:
+    """Top-k tokens by occurrence count with deterministic rank
+    (count DESC, token ASC)."""
+    counts = token_counts(df, text_col)
+    top = counts.orderBy(F.col("n_occurrences").desc(),
+                         F.col("token")).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# Gate query
+# --------------------------------------------------------------------------
+
+
+def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_tokens(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_TOP_TOKENS = f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), flat AS (
+  SELECT u.token FROM toks, UNNEST(t) AS u(token) WHERE u.token != ''
+), counts AS (
+  SELECT token, count(*) AS n_occurrences FROM flat GROUP BY token
+), ranked AS (
+  SELECT token, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+  FROM counts
+)
+SELECT token, n_occurrences, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+QUERIES: dict = {
+    "vocab_top_tokens_documents": (_q_top_tokens, _ORACLE_TOP_TOKENS),
+}

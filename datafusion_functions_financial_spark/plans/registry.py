@@ -9,11 +9,12 @@ is pre-validated locally.
 from __future__ import annotations
 
 from . import analytics, indicator_queries, signals, validate
-from ..functions import resample, rollstats
+from ..functions import resample, rollstats, technical
 from ..operators import (
-    asof, bm25, boilerplate, decontam, dedup, divergence, incremental,
-    ivf, microstructure, multimodal, packing, pipeline, quantize, rollup,
-    sampling, similarity, sketch, skew, text, tfidf,
+    asof, bm25, boilerplate, chunking, decontam, dedup, divergence,
+    histogram, incremental, ivf, microstructure, multimodal, packing,
+    pipeline, quantize, rollup, sampling, similarity, sketch, skew, text,
+    tfidf, vocab,
 )
 
 # The driver's CORRECTNESS gate records rows for the FIRST ``GATE_WINDOW``
@@ -62,6 +63,9 @@ _MODULES = [
     sampling, microstructure, skew, multimodal, rollup, decontam,
     incremental, tfidf, sketch, quantize, rollstats, boilerplate, bm25,
     packing, resample, divergence,
+    # --- new in r03 (never gated): technical indicators, chunking,
+    # vocabulary top-k, histograms — 8 queries. ---
+    technical, chunking, vocab, histogram,
     # --- re-gated fill: rotates per round to keep old queries cycling
     # through the driver gate. ---
     signals, validate, asof, ivf, pipeline,

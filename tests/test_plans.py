@@ -184,3 +184,38 @@ def test_knn_partial_topk_before_window(spark, sf_dir):
     assert mp != -1, plan
     assert ex == -1 or mp > ex, plan  # executedPlan prints top-down:
     # the prune (upstream) appears AFTER the exchange node in the string.
+
+
+def test_technical_indicators_single_shuffle_no_python(spark, sf_dir):
+    for name in ("ind_atr_events", "ind_stochastic_events",
+                 "ind_obv_lineitem", "ind_logret_events"):
+        plan = plan_of(spark, sf_dir, name)
+        # One hash partition on the series key feeds all window passes.
+        assert count_exchanges(plan) == 1, (name, plan)
+        assert "Window" in plan, (name, plan)
+        for marker in ("MapInPandas", "FlatMapGroupsInPandas",
+                       "BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan, (name, marker)
+
+
+def test_chunking_zero_shuffle_no_python(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_chunk_documents")
+    assert count_exchanges(plan) == 0, plan
+    assert "Generate explode" in plan, plan
+    for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "vocab_top_tokens_documents")
+    # Count agg (map-side partial), then per-partition heap top-k — the
+    # vocabulary never passes through one global sort task.
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_histograms_partial_agg_single_shuffle(spark, sf_dir):
+    for name in ("hist_value_events", "hist_doclen_documents"):
+        plan = plan_of(spark, sf_dir, name)
+        assert count_exchanges(plan) <= 1, (name, plan)
+        assert "partial" in plan.lower(), (name, plan)

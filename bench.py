@@ -83,6 +83,10 @@ def main() -> None:
         "sketch_hll_users_events",         # register-table distinct sketch
         "knn_quantized_embeddings",        # int8 quantized brute force
         "sample_mix_proportions_documents",  # domain mixing, zero shuffle
+        "ind_stochastic_events",           # frame-local window oscillator
+        "text_chunk_documents",            # tokenize-once chunk explode
+        "vocab_top_tokens_documents",      # TakeOrdered heavy hitters
+        "hist_value_events",               # one-shuffle fixed-width bins
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings"):
@@ -110,6 +114,8 @@ def main() -> None:
         "decontam_": table_rows["documents"],
         "sketch_": table_rows["events"],
         "sample_": table_rows["documents"],
+        "vocab_": table_rows["documents"],
+        "hist_value": table_rows["events"],
     }
 
     def run(name: str) -> float:

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
 
-__all__ = ["atr", "stochastic", "obv", "log_returns"]
+__all__ = ["atr", "stochastic", "obv", "log_returns", "roc", "donchian"]
 
 
 def _row_window(keys: Sequence[str], order: Sequence[str]):
@@ -125,6 +125,33 @@ def log_returns(df: DataFrame, value_col: str, keys: Sequence[str],
     return (
         df.withColumn("log_ret", round_portable(ret))
         .withColumn("cum_ret", round_portable(cum))
+    )
+
+
+def roc(df: DataFrame, value_col: str, keys: Sequence[str],
+        order: Sequence[str], n: int = 10) -> DataFrame:
+    """Rate of change (momentum): ``100 * (p / p_{-n} - 1)``. NULL for
+    the first ``n`` rows of a key and wherever either price is
+    non-positive (total on real data)."""
+    wrow = _row_window(keys, order)
+    prev = F.lag(value_col, n).over(wrow)
+    ok = (F.col(value_col) > 0) & (prev > 0)
+    out = F.when(ok, F.lit(100.0) * (F.col(value_col) / prev - F.lit(1.0)))
+    return df.withColumn("roc", round_portable(out))
+
+
+def donchian(df: DataFrame, value_col: str, keys: Sequence[str],
+             order: Sequence[str], n: int = 20) -> DataFrame:
+    """Donchian channel: rolling ``n``-row high/low and their midpoint.
+    NULL until the frame is full (same warm-up convention as sma)."""
+    w = _frame(keys, order, n)
+    full = F.count(F.col(value_col)).over(w) >= n
+    hi = F.when(full, F.max(value_col).over(w))
+    lo = F.when(full, F.min(value_col).over(w))
+    return (
+        df.withColumn("don_hi", round_portable(hi))
+        .withColumn("don_lo", round_portable(lo))
+        .withColumn("don_mid", round_portable((hi + lo) / F.lit(2.0)))
     )
 
 
@@ -253,9 +280,63 @@ FROM r
 """
 
 
+_ROC_N = 5
+_DON_N = 5
+
+
+def _q_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = roc(load(spark, sf_dir, "events"), "value", ["user_id"],
+              ["ts", "event_id"], n=_ROC_N)
+    return out.select("user_id", "event_id", "value", "roc")
+
+
+_ORACLE_ROC = f"""
+WITH r AS (
+  SELECT user_id, event_id, value,
+         lag(value, {_ROC_N}) OVER ({_EVENTS_W}) AS prev
+  FROM events
+)
+SELECT user_id, event_id, value,
+  {round_portable_duck(
+      "CASE WHEN value > 0 AND prev > 0 "
+      "THEN 100.0 * (value / prev - 1.0) END")} AS roc
+FROM r
+"""
+
+
+def _q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = donchian(load(spark, sf_dir, "events"), "value", ["user_id"],
+                   ["ts", "event_id"], n=_DON_N)
+    return out.select("user_id", "event_id", "value",
+                      "don_hi", "don_lo", "don_mid")
+
+
+_ORACLE_DONCHIAN = f"""
+WITH t AS (
+  SELECT user_id, event_id, value,
+         max(value) OVER w AS hi, min(value) OVER w AS lo,
+         count(value) OVER w AS cnt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_DON_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, value,
+  {round_portable_duck(f"CASE WHEN cnt >= {_DON_N} THEN hi END")}
+    AS don_hi,
+  {round_portable_duck(f"CASE WHEN cnt >= {_DON_N} THEN lo END")}
+    AS don_lo,
+  {round_portable_duck(
+      f"CASE WHEN cnt >= {_DON_N} THEN (hi + lo) / 2.0 END")}
+    AS don_mid
+FROM t
+"""
+
+
 QUERIES: dict = {
     "ind_atr_events": (_q_atr, _ORACLE_ATR),
     "ind_stochastic_events": (_q_stochastic, _ORACLE_STOCH),
     "ind_obv_lineitem": (_q_obv, _ORACLE_OBV),
     "ind_logret_events": (_q_log_returns, _ORACLE_LOGRET),
+    "ind_roc_events": (_q_roc, _ORACLE_ROC),
+    "ind_donchian_events": (_q_donchian, _ORACLE_DONCHIAN),
 }

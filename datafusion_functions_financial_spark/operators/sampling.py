@@ -184,6 +184,35 @@ def mix_to_proportions(
     return df.filter(F.expr(f"{_bucket_expr(id_col, salt)} < ({case})"))
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k rows:
+    the Efraimidis–Spirakis A-ES scheme with the LCG hash as the
+    uniform draw. Each row gets priority ``ln(u) / w`` (monotone in
+    ``u^(1/w)``); the k largest priorities win, so inclusion odds are
+    proportional to weight, reproducible from (salt, id), and stable
+    under partitioning/corpus growth.
+
+    Scale: priority is a scan-side projection; top-k goes through
+    ``orderBy().limit(k)`` = TakeOrderedAndProject (per-partition heap,
+    no global sort). Weights must be strictly positive.
+    """
+    h = f"((({id_col} + 1) * {_A} + {_C} + {salt}) % {PRIME})"
+    u = f"((CAST({h} AS DOUBLE) + 0.5) / {PRIME})"
+    pr = f"(ln({u}) / CAST({weight_col} AS DOUBLE))"
+    scored = df.withColumn("__pr", F.expr(pr))
+    return (
+        scored.orderBy(F.col("__pr").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__pr")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry queries + oracles
 # --------------------------------------------------------------------------
@@ -292,9 +321,32 @@ WITH ranked AS (
 SELECT doc_id, source FROM ranked WHERE rk <= 7
 """
 
+_WEIGHTED_K = 40
+
+
+def _q_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample(docs, _WEIGHTED_K, weight_col="n_chars") \
+        .select("doc_id", "n_chars")
+
+
+_ORACLE_WEIGHTED = f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (
+           ORDER BY ln((CAST(((doc_id + 1) * {_A} + {_C} + 42) % {PRIME}
+                        AS DOUBLE) + 0.5) / {PRIME})
+                    / CAST(n_chars AS DOUBLE) DESC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, n_chars FROM scored WHERE rk <= {_WEIGHTED_K}
+"""
+
 QUERIES: dict = {
     "sample_hash_split_documents": (_q_hash_split, _ORACLE_HASH_SPLIT),
     "sample_stratified_documents": (_q_stratified, _ORACLE_STRATIFIED),
     "sample_mix_proportions_documents": (_q_mix, _ORACLE_MIX),
     "sample_k_per_group_documents": (_q_k_per_group, _ORACLE_K_PER_GROUP),
+    "sample_weighted_documents": (_q_weighted, _ORACLE_WEIGHTED),
 }

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load
 from .decontam import _TOKENS, _with_tokens
 
-__all__ = ["token_counts", "top_tokens"]
+__all__ = ["token_counts", "top_tokens", "vocab_stats"]
 
 TOP_K = 50
 
@@ -52,8 +52,35 @@ def top_tokens(df: DataFrame, text_col: str = "text",
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus vocabulary profile: total tokens, distinct tokens
+    (vocabulary size), type-token ratio, and the head token's share of
+    all occurrences (Zipf-head mass — a boilerplate smell when high).
+
+    Two aggregations, both over the already-tiny token-count relation;
+    the heavy lifting is the same single map-side-combined groupBy as
+    ``token_counts``. TTR and head share are exact ratios rounded with
+    the portable 0-dp-scale trick.
+    """
+    counts = token_counts(df, text_col)
+    scale = 10_000.0
+    return counts.agg(
+        F.sum("n_occurrences").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n_occurrences").alias("top_count"),
+    ).selectExpr(
+        "n_tokens",
+        "n_distinct",
+        "top_count",
+        f"round(CAST(n_distinct AS DOUBLE) / n_tokens * {scale!r}) "
+        f"/ {scale!r} AS type_token_ratio",
+        f"round(CAST(top_count AS DOUBLE) / n_tokens * {scale!r}) "
+        f"/ {scale!r} AS top_token_share",
+    )
+
+
 # --------------------------------------------------------------------------
-# Gate query
+# Gate queries
 # --------------------------------------------------------------------------
 
 
@@ -78,6 +105,30 @@ SELECT token, n_occurrences, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+def _q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_stats(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_VOCAB_STATS = """
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), flat AS (
+  SELECT u.token FROM toks, UNNEST(t) AS u(token) WHERE u.token != ''
+), counts AS (
+  SELECT token, count(*) AS n FROM flat GROUP BY token
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       CAST(max(n) AS BIGINT) AS top_count,
+       round(CAST(count(*) AS DOUBLE) / sum(n) * 10000.0) / 10000.0
+         AS type_token_ratio,
+       round(CAST(max(n) AS DOUBLE) / sum(n) * 10000.0) / 10000.0
+         AS top_token_share
+FROM counts
+"""
+
 QUERIES: dict = {
     "vocab_top_tokens_documents": (_q_top_tokens, _ORACLE_TOP_TOKENS),
+    "vocab_stats_documents": (_q_vocab_stats, _ORACLE_VOCAB_STATS),
 }

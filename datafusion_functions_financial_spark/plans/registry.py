@@ -8,7 +8,7 @@ is pre-validated locally.
 
 from __future__ import annotations
 
-from . import analytics, indicator_queries, signals, validate
+from . import analytics, funnel, indicator_queries, signals, validate
 from ..functions import resample, rollstats, technical
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, divergence,
@@ -64,8 +64,9 @@ _MODULES = [
     incremental, tfidf, sketch, quantize, rollstats, boilerplate, bm25,
     packing, resample, divergence,
     # --- new in r03 (never gated): technical indicators, chunking,
-    # vocabulary top-k, histograms — 8 queries. ---
-    technical, chunking, vocab, histogram,
+    # vocabulary, histograms, funnel/retention — 15 queries (sampling
+    # above also gained sample_weighted_documents). ---
+    technical, chunking, vocab, histogram, funnel,
     # --- re-gated fill: rotates per round to keep old queries cycling
     # through the driver gate. ---
     signals, validate, asof, ivf, pipeline,

@@ -219,3 +219,16 @@ def test_histograms_partial_agg_single_shuffle(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert count_exchanges(plan) <= 1, (name, plan)
         assert "partial" in plan.lower(), (name, plan)
+
+
+def test_funnel_two_aggregation_shuffles(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_funnel_events")
+    # groupBy(user) then the global conditional count: the second agg is
+    # over one row per user and partially aggregates map-side.
+    assert count_exchanges(plan) <= 2, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sample_weighted_documents")
+    assert "TakeOrderedAndProject" in plan, plan

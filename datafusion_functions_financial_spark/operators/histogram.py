@@ -101,7 +101,55 @@ FROM documents
 GROUP BY 1
 """
 
+def histogram_cdf(hist: DataFrame) -> DataFrame:
+    """Attach the empirical CDF to a histogram: cumulative row share up
+    to and including each bin. The window is global BUT runs over the
+    already-aggregated bin relation — bounded by ``range/width`` bins
+    (dozens), not data size, so the single-partition sort is trivially
+    safe at any scale (same argument as the <=20-row rank window in
+    ``q_top_customers``)."""
+    total = hist.agg(F.sum("n_rows").alias("__total"))
+    cum = F.expr(
+        "sum(n_rows) OVER (ORDER BY bin "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .withColumn("cum_rows", cum.cast("bigint"))
+        .selectExpr(
+            "bin", "n_rows", "cum_rows",
+            "round(CAST(cum_rows AS DOUBLE) / __total * 10000.0) "
+            "/ 10000.0 AS cdf",
+        )
+    )
+
+
+def _q_hist_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = fixed_width_histogram(load(spark, sf_dir, "events"), "value",
+                              _VALUE_WIDTH).select("bin", "n_rows")
+    return histogram_cdf(h)
+
+
+_ORACLE_HIST_CDF = f"""
+WITH h AS (
+  SELECT CAST(floor(value / {_VALUE_WIDTH!r}) AS BIGINT) AS bin,
+         count(*) AS n_rows
+  FROM events GROUP BY 1
+), c AS (
+  SELECT bin, n_rows,
+         sum(n_rows) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
+         sum(n_rows) OVER () AS total
+  FROM h
+)
+SELECT bin, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(cum_rows AS BIGINT) AS cum_rows,
+       round(CAST(cum_rows AS DOUBLE) / total * 10000.0) / 10000.0 AS cdf
+FROM c
+"""
+
 QUERIES: dict = {
     "hist_value_events": (_q_hist_events, _ORACLE_HIST_EVENTS),
     "hist_doclen_documents": (_q_hist_doclen, _ORACLE_HIST_DOCLEN),
+    "hist_value_cdf_events": (_q_hist_cdf, _ORACLE_HIST_CDF),
 }

@@ -8,13 +8,13 @@ is pre-validated locally.
 
 from __future__ import annotations
 
-from . import analytics, funnel, indicator_queries, signals, validate
+from . import analytics, enrich, funnel, indicator_queries, signals, validate
 from ..functions import resample, rollstats, technical
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, divergence,
     histogram, incremental, ivf, microstructure, multimodal, packing,
-    pipeline, quantize, rollup, sampling, similarity, sketch, skew, text,
-    tfidf, vocab,
+    pipeline, quality, quantize, rollup, sampling, similarity, sketch,
+    skew, text, tfidf, vocab,
 )
 
 # The driver's CORRECTNESS gate records rows for the FIRST ``GATE_WINDOW``
@@ -64,9 +64,10 @@ _MODULES = [
     incremental, tfidf, sketch, quantize, rollstats, boilerplate, bm25,
     packing, resample, divergence,
     # --- new in r03 (never gated): technical indicators, chunking,
-    # vocabulary, histograms, funnel/retention — 15 queries (sampling
+    # vocabulary, histograms+CDF, funnel/retention, percentile quality
+    # filter, JSON-props/outer-join analytics — 18 queries (sampling
     # above also gained sample_weighted_documents). ---
-    technical, chunking, vocab, histogram, funnel,
+    technical, chunking, vocab, histogram, funnel, quality, enrich,
     # --- re-gated fill: rotates per round to keep old queries cycling
     # through the driver gate. ---
     signals, validate, asof, ivf, pipeline,

@@ -232,3 +232,25 @@ def test_funnel_two_aggregation_shuffles(spark, sf_dir):
 def test_weighted_sample_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sample_weighted_documents")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_percentile_filter_broadcasts_thresholds(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "quality_percentile_filter_documents")
+    # The per-group threshold table is broadcast; the corpus side only
+    # shuffles for the tiny percentile aggregation input, never for the
+    # filter join itself.
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_props_extract_stays_in_codegen(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_events_props_extract")
+    for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+    assert count_exchanges(plan) <= 1, plan  # one agg shuffle
+    assert "partial" in plan.lower(), plan
+
+
+def test_customers_no_orders_anti_join_and_broadcast_dim(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_customers_no_orders")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastExchange" in plan, plan

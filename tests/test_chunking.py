@@ -55,3 +55,41 @@ def test_invalid_params_raise(spark):
         chunking.chunk_documents(_doc(spark, "x"), chunk_tokens=0)
     with pytest.raises(ValueError):
         chunking.chunk_documents(_doc(spark, "x"), stride=-1)
+
+
+def test_chunk_invariants_bulk(spark):
+    # 60 docs with lengths 1..60 tokens, one Spark job; checks the
+    # coverage/shape invariants that hold for ANY (C, S).
+    import random
+    rnd = random.Random(7)
+    c, s = 8, 5
+    docs = []
+    for d in range(60):
+        n = d + 1
+        docs.append((d, " ".join(f"t{rnd.randrange(20)}" for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunking.chunk_documents(df, chunk_tokens=c, stride=s)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["chunk_len"]))
+    for d, text in docs:
+        n = len(text.split())
+        chunks = sorted(by_doc[d])
+        # chunk count formula
+        expected = 1 + max(0, -(-(n - c) // s)) if n > c else 1
+        assert len(chunks) == expected, (d, n, chunks)
+        # starts advance by exactly the stride; lengths in [1, c]
+        for i, (cid, st, ln) in enumerate(chunks):
+            assert cid == i
+            assert st == 1 + i * s
+            assert 1 <= ln <= c
+            assert st + ln - 1 <= n
+        # full coverage: last chunk reaches the final token
+        last_st, last_ln = chunks[-1][1], chunks[-1][2]
+        assert last_st + last_ln - 1 == n
+        # every token position is inside >= 1 chunk
+        covered = set()
+        for _, st, ln in chunks:
+            covered.update(range(st, st + ln))
+        assert covered == set(range(1, n + 1))

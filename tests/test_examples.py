@@ -14,6 +14,7 @@ import pytest
     "examples/multi_asset_class_demo.py",
     "examples/validate.py",
     "examples/corpus_curation.py",
+    "examples/training_data_prep.py",
 ])
 def test_example_runs(script):
     proc = subprocess.run(

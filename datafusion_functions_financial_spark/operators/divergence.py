@@ -21,11 +21,15 @@ Plan shape at scale:
 - per-doc reduction is one groupBy(doc_id) shuffle.
 
 Determinism: each term's contribution is a product/log of doubles —
-rounded at ``_DP_TERM`` before the per-doc sum so a 1-ulp ``ln``
-difference between engines cannot leak into the rounded final score
-(same strategy as ``operators/bm25.py``); the final score rounds
-portably at ROUND_DP. Token-count ratios (tf/dl, tf/total) are exact
-BIGINT-to-double conversions, identical everywhere.
+quantized to an exact BIGINT at ``_DP_TERM`` decimals
+(``round(c * 10^8)``) before the per-doc sum, so the reduction is
+INTEGER arithmetic: order-independent on any partial-aggregation
+schedule, in both engines. (Rounding each term to a *double* at 8 dp,
+the previous scheme, still let a sum-order ulp flip the final 4 dp
+rounding on boundary docs — observed once at sf0.1.) The final score
+is ``sum/10^8`` rounded portably at ROUND_DP. Token-count ratios
+(tf/dl, tf/total) are exact BIGINT-to-double conversions, identical
+everywhere.
 """
 
 from __future__ import annotations
@@ -41,6 +45,7 @@ from .tfidf import term_counts
 __all__ = ["token_entropy", "kl_vs_corpus"]
 
 _DP_TERM = 8
+_TERM_SCALE = float(10 ** _DP_TERM)
 
 
 def token_entropy(df: DataFrame, text_col: str = "text",
@@ -51,10 +56,15 @@ def token_entropy(df: DataFrame, text_col: str = "text",
     contrib = (
         tc.join(dl, id_col)
         .withColumn("__p", F.col("tf") / F.col("dl"))
-        .withColumn("__c", F.round(-F.col("__p") * F.log("__p"), _DP_TERM))
+        .withColumn(
+            "__c",
+            F.expr(f"CAST(round(-__p * ln(__p) * {_TERM_SCALE!r}) "
+                   "AS BIGINT)"),
+        )
     )
     return contrib.groupBy(id_col).agg(
-        round_portable(F.sum("__c"), ROUND_DP).alias("entropy")
+        round_portable(F.sum("__c") / F.lit(_TERM_SCALE), ROUND_DP)
+        .alias("entropy")
     )
 
 
@@ -77,12 +87,13 @@ def kl_vs_corpus(df: DataFrame, text_col: str = "text",
         .withColumn("__p", F.col("ctf") / F.col("__total"))
         .withColumn(
             "__c",
-            F.round(F.col("__q") * F.log(F.col("__q") / F.col("__p")),
-                    _DP_TERM),
+            F.expr(f"CAST(round(__q * ln(__q / __p) * {_TERM_SCALE!r}) "
+                   "AS BIGINT)"),
         )
     )
     return contrib.groupBy(id_col).agg(
-        round_portable(F.sum("__c"), ROUND_DP).alias("kl")
+        round_portable(F.sum("__c") / F.lit(_TERM_SCALE), ROUND_DP)
+        .alias("kl")
     )
 
 
@@ -118,11 +129,14 @@ _ORACLE_ENTROPY = f"""
 WITH {_TOK_CTE},
   contrib AS (
     SELECT tc.doc_id,
-           round(-(tc.tf / CAST(dl.dl AS DOUBLE))
-                 * ln(tc.tf / CAST(dl.dl AS DOUBLE)), {_DP_TERM}) AS c
+           CAST(round(-(tc.tf / CAST(dl.dl AS DOUBLE))
+                 * ln(tc.tf / CAST(dl.dl AS DOUBLE))
+                 * {_TERM_SCALE!r}) AS BIGINT) AS c
     FROM tc JOIN dl ON tc.doc_id = dl.doc_id
   )
-SELECT doc_id, {round_portable_duck("sum(c)", ROUND_DP)} AS entropy
+SELECT doc_id,
+  {round_portable_duck(
+      f"CAST(sum(c) AS BIGINT) / {_TERM_SCALE!r}", ROUND_DP)} AS entropy
 FROM contrib GROUP BY 1
 """
 
@@ -134,16 +148,18 @@ WITH {_TOK_CTE},
     SELECT CAST(sum(tf) AS BIGINT) AS total FROM tc
   ), contrib AS (
     SELECT tc.doc_id,
-           round((tc.tf / CAST(dl.dl AS DOUBLE))
+           CAST(round((tc.tf / CAST(dl.dl AS DOUBLE))
                  * ln((tc.tf / CAST(dl.dl AS DOUBLE))
-                      / (corpus.ctf / CAST(total.total AS DOUBLE))),
-                 {_DP_TERM}) AS c
+                      / (corpus.ctf / CAST(total.total AS DOUBLE)))
+                 * {_TERM_SCALE!r}) AS BIGINT) AS c
     FROM tc
     JOIN dl ON tc.doc_id = dl.doc_id
     JOIN corpus USING (term)
     CROSS JOIN total
   )
-SELECT doc_id, {round_portable_duck("sum(c)", ROUND_DP)} AS kl
+SELECT doc_id,
+  {round_portable_duck(
+      f"CAST(sum(c) AS BIGINT) / {_TERM_SCALE!r}", ROUND_DP)} AS kl
 FROM contrib GROUP BY 1
 """
 

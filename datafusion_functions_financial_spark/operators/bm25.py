@@ -19,9 +19,14 @@ Plan shape at scale:
   postings; the final top-k is a rank window per query_id.
 
 Determinism: ``ln`` may differ by an ulp across engines, so each
-term's contribution rounds at ``_DP_TERM`` before the sum, the summed
-score rounds portably at ROUND_DP before ranking, and rank ties break
-on doc_id.
+term's contribution is quantized to an exact BIGINT at ``_DP_TERM``
+decimals (``round(c * 10^8)``) before the per-(query, doc) sum — the
+reduction is then integer arithmetic, order-independent on any
+partial-aggregation schedule in both engines (rounding to 8-dp
+*doubles*, the previous scheme, still left the sum add-order dependent
+— see operators/divergence.py for the observed sf0.1 boundary flip).
+The summed score rounds portably at ROUND_DP before ranking, and rank
+ties break on doc_id.
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ from .tfidf import document_frequency, term_counts
 __all__ = ["bm25_topk", "doc_lengths"]
 
 _DP_TERM = 8
+_TERM_SCALE = float(10 ** _DP_TERM)
 _TOKENS = "filter(split(trim(lower({col})), '\\\\s+'), t -> t != '')"
 
 
@@ -86,19 +92,21 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5,
             ),
         )
         .withColumn(
+            "__raw",
+            F.col("__idf") * (F.col("tf") * F.lit(k1 + 1.0))
+            / (F.col("tf")
+               + F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * F.col("dl")
+                              / F.col("__avgdl"))),
+        )
+        .withColumn(
             "__c",
-            F.round(
-                F.col("__idf") * (F.col("tf") * F.lit(k1 + 1.0))
-                / (F.col("tf")
-                   + F.lit(k1) * (F.lit(1.0 - b)
-                                  + F.lit(b) * F.col("dl")
-                                  / F.col("__avgdl"))),
-                _DP_TERM,
-            ),
+            F.expr(f"CAST(round(__raw * {_TERM_SCALE!r}) AS BIGINT)"),
         )
     )
     scored = contrib.groupBy(query_id_col, id_col).agg(
-        round_portable(F.sum("__c"), ROUND_DP).alias("score")
+        round_portable(F.sum("__c") / F.lit(_TERM_SCALE), ROUND_DP)
+        .alias("score")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -155,11 +163,11 @@ WITH toks AS (
   FROM toks WHERE doc_id % {_QMOD} = 0
 ), contrib AS (
   SELECT q.query_id, tc.doc_id,
-         round(
+         CAST(round((
            ln(1.0 + (n.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
            * (tc.tf * {_K1 + 1.0})
-           / (tc.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / avgdl.avgdl)),
-           {_DP_TERM}) AS c
+           / (tc.tf + {_K1} * ({1.0 - _B} + {_B} * dl.dl / avgdl.avgdl))
+         ) * {_TERM_SCALE!r}) AS BIGINT) AS c
   FROM tc
   JOIN q USING (term)
   JOIN vocab USING (term)
@@ -167,7 +175,9 @@ WITH toks AS (
   CROSS JOIN n CROSS JOIN avgdl
 ), scored AS (
   SELECT query_id, doc_id,
-         {round_portable_duck("sum(c)", ROUND_DP)} AS score
+         {round_portable_duck(
+             f"CAST(sum(c) AS BIGINT) / {_TERM_SCALE!r}", ROUND_DP)}
+           AS score
   FROM contrib GROUP BY 1, 2
 ), ranked AS (
   SELECT query_id, doc_id, score,

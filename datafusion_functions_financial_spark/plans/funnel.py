@@ -151,7 +151,61 @@ WHERE d.day - fd.cohort_day <= {_RETAIN_DAYS}
 GROUP BY 1, 2
 """
 
+def conversion_latency(events: DataFrame, from_step: str, to_step: str,
+                       type_col: str = "event_type",
+                       user_col: str = "user_id",
+                       ts_col: str = "ts") -> DataFrame:
+    """One row: converted-user count and exact median/p90 of the
+    first-``from_step`` -> first-``to_step`` latency in seconds.
+
+    Same single groupBy(user) collapse as the funnel; the percentile
+    runs over one row per converted user (bounded by user count, not
+    event count) with both engines' shared linear interpolation.
+    """
+    firsts = events.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == from_step, F.col(ts_col)))
+        .alias("t_from"),
+        F.min(F.when(F.col(type_col) == to_step, F.col(ts_col)))
+        .alias("t_to"),
+    )
+    lat = firsts.filter(
+        F.col("t_from").isNotNull() & F.col("t_to").isNotNull()
+        & (F.col("t_to") > F.col("t_from"))
+    ).select(
+        ((F.col("t_to") - F.col("t_from")) / F.lit(1_000_000_000.0))
+        .alias("lat_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lat_s, 0.5)"), 4).alias("median_s"),
+        F.round(F.expr("percentile(lat_s, 0.9)"), 4).alias("p90_s"),
+    )
+
+
+def _q_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversion_latency(load(spark, sf_dir, "events"),
+                              "view", "purchase")
+
+
+_ORACLE_LATENCY = """
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS t_from,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_to
+  FROM events GROUP BY user_id
+), lat AS (
+  SELECT epoch_us(t_to - t_from) / 1000000.0 AS lat_s
+  FROM firsts
+  WHERE t_from IS NOT NULL AND t_to IS NOT NULL AND t_to > t_from
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(lat_s, 0.5), 4) AS median_s,
+       round(quantile_cont(lat_s, 0.9), 4) AS p90_s
+FROM lat
+"""
+
 QUERIES: dict = {
     "q_funnel_events": (_q_funnel, _ORACLE_FUNNEL),
     "q_retention_events": (_q_retention, _ORACLE_RETENTION),
+    "q_conversion_latency_events": (_q_latency, _ORACLE_LATENCY),
 }

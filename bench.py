@@ -87,6 +87,9 @@ def main() -> None:
         "text_chunk_documents",            # tokenize-once chunk explode
         "vocab_top_tokens_documents",      # TakeOrdered heavy hitters
         "hist_value_events",               # one-shuffle fixed-width bins
+        "q_funnel_events",                 # single groupBy(user) collapse
+        "q_retention_events",              # cohort x offset, bounded keys
+        "quality_percentile_filter_documents",  # broadcast thresholds
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings"):
@@ -116,6 +119,9 @@ def main() -> None:
         "sample_": table_rows["documents"],
         "vocab_": table_rows["documents"],
         "hist_value": table_rows["events"],
+        "q_funnel": table_rows["events"],
+        "q_retention": table_rows["events"],
+        "quality_": table_rows["documents"],
     }
 
     def run(name: str) -> float:

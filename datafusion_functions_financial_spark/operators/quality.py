@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..plans.series import round_portable
 from ..sources.tables import load
 
-__all__ = ["percentile_filter"]
+__all__ = ["percentile_filter", "winsorize"]
 
 
 def percentile_filter(df: DataFrame, value_col: str, group_col: str,
@@ -40,6 +40,34 @@ def percentile_filter(df: DataFrame, value_col: str, group_col: str,
         df.join(F.broadcast(thr), group_col)
         .filter(F.col(value_col) >= F.col("__thr"))
         .drop("__thr")
+    )
+
+
+def winsorize(df: DataFrame, value_col: str, group_col: str,
+              lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Clip ``value_col`` to its group's [lo, hi] exact percentiles —
+    the standard outlier treatment before aggregation or training.
+    Adds ``<value_col>_w``; same broadcast-threshold shape as
+    ``percentile_filter`` (tiny per-group bounds table broadcast back,
+    corpus never shuffles). Bounds are rounded portably before the
+    clamp so interpolation ulps cannot flip a boundary row.
+    """
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError("need 0 <= lo <= hi <= 1")
+    bounds = df.groupBy(group_col).agg(
+        round_portable(F.expr(f"percentile({value_col}, {lo!r})"))
+        .alias("__lo"),
+        round_portable(F.expr(f"percentile({value_col}, {hi!r})"))
+        .alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            f"{value_col}_w",
+            F.least(F.greatest(F.col(value_col).cast("double"),
+                               F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
     )
 
 
@@ -67,7 +95,39 @@ FROM documents d JOIN thr USING (source)
 WHERE d.n_chars >= thr.t
 """
 
+_W_LO, _W_HI = 0.05, 0.95
+
+
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = winsorize(load(spark, sf_dir, "lineitem"), "l_extendedprice",
+                    "l_returnflag", lo=_W_LO, hi=_W_HI)
+    return out.selectExpr(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "round(l_extendedprice_w * 100.0) / 100.0 AS price_w",
+    )
+
+
+_ORACLE_WINSORIZE = f"""
+WITH b AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, {_W_LO!r}) * 10000.0)
+           / 10000.0 AS lo,
+         round(quantile_cont(l_extendedprice, {_W_HI!r}) * 10000.0)
+           / 10000.0 AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       round(least(greatest(CAST(l.l_extendedprice AS DOUBLE), b.lo),
+                   b.hi) * 100.0) / 100.0 AS price_w
+FROM lineitem l JOIN b USING (l_returnflag)
+"""
+
 QUERIES: dict = {
     "quality_percentile_filter_documents":
         (_q_percentile_filter, _ORACLE_PERCENTILE_FILTER),
+}
+
+# Registered via the registry's r04-queue tail.
+QUEUED_QUERIES: dict = {
+    "quality_winsorize_lineitem": (_q_winsorize, _ORACLE_WINSORIZE),
 }

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load
+from .series import round_portable, round_portable_duck
 
 __all__ = ["funnel_conversion", "cohort_retention"]
 
@@ -177,8 +178,8 @@ def conversion_latency(events: DataFrame, from_step: str, to_step: str,
     )
     return lat.agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.expr("percentile(lat_s, 0.5)"), 4).alias("median_s"),
-        F.round(F.expr("percentile(lat_s, 0.9)"), 4).alias("p90_s"),
+        round_portable(F.expr("percentile(lat_s, 0.5)")).alias("median_s"),
+        round_portable(F.expr("percentile(lat_s, 0.9)")).alias("p90_s"),
     )
 
 
@@ -187,7 +188,7 @@ def _q_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "view", "purchase")
 
 
-_ORACLE_LATENCY = """
+_ORACLE_LATENCY = f"""
 WITH firsts AS (
   SELECT user_id,
          min(ts) FILTER (WHERE event_type = 'view') AS t_from,
@@ -199,8 +200,8 @@ WITH firsts AS (
   WHERE t_from IS NOT NULL AND t_to IS NOT NULL AND t_to > t_from
 )
 SELECT count(*) AS n_converted,
-       round(quantile_cont(lat_s, 0.5), 4) AS median_s,
-       round(quantile_cont(lat_s, 0.9), 4) AS p90_s
+       {round_portable_duck("quantile_cont(lat_s, 0.5)")} AS median_s,
+       {round_portable_duck("quantile_cont(lat_s, 0.9)")} AS p90_s
 FROM lat
 """
 

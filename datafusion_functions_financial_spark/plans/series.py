@@ -29,14 +29,20 @@ def round_portable(col: Column, dp: int = ROUND_DP) -> Column:
     .5*10^-dp boundaries (DuckDB rounds the scaled double, Spark
     rounds the exact decimal of x via BigDecimal), while 0-dp rounding
     of the SAME double is identical everywhere. Pair with
-    ``round_portable_duck`` on the oracle side."""
+    ``round_portable_duck`` on the oracle side.
+
+    The trailing ``+ 0.0`` normalizes signed zero: DuckDB's C
+    ``round`` preserves the sign of a tiny negative (−0.0) while
+    Spark's BigDecimal round yields +0.0, and value hashes distinguish
+    the two. ``−0.0 + 0.0 == +0.0`` in IEEE 754, so both engines emit
+    the same bit pattern for every zero."""
     scale = float(10 ** dp)
-    return F.round(col * scale) / scale
+    return F.round(col * scale) / scale + F.lit(0.0)
 
 
 def round_portable_duck(expr: str, dp: int = ROUND_DP) -> str:
     scale = float(10 ** dp)
-    return f"round(({expr}) * {scale}) / {scale}"
+    return f"round(({expr}) * {scale}) / {scale} + 0.0"
 
 
 @dataclass(frozen=True)

@@ -85,3 +85,84 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         f"{name}: {mismatches} value mismatches; first: col={first[0]} "
         f"spark={first[1]!r} duckdb={first[2]!r}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-zero / NaN / .5-boundary canary (VERDICT r03 item 8).
+#
+# The driver's value hash is STRICTER than ``normalize`` above: it
+# distinguishes −0.0 from +0.0 (r03's only red row, roll_drawdown_orders,
+# was bitwise-equal everywhere except one DuckDB −0.0). This canary runs
+# adversarial values through the shared rounding helpers on BOTH engines
+# and compares at full bit fidelity (struct.pack of the double), so a
+# regression in ``round_portable``/``round_portable_duck`` normalization
+# fails locally instead of in the driver gate.
+# ---------------------------------------------------------------------------
+
+import struct
+
+from pyspark.sql import functions as F
+
+from datafusion_functions_financial_spark.plans.series import (
+    round_portable,
+    round_portable_duck,
+)
+
+# Values chosen to trip each known engine divergence:
+#   -1e-9        -> C round gives −0.0, BigDecimal round gives +0.0
+#   -0.0         -> literal signed zero input
+#   0.00005      -> .5*10^-4 boundary at ROUND_DP=4
+#   -0.00005     -> negative .5 boundary (round-half-away vs half-even)
+#   1.00005      -> .5 boundary away from zero
+#   2.5e-5       -> sub-boundary, rounds to 0.0
+_CANARY_VALUES = [-1e-9, -0.0, 0.00005, -0.00005, 1.00005, 2.5e-5, -7.5e-5]
+
+
+def _bits(v):
+    if v is None:
+        return b"null"
+    return struct.pack("<d", float(v))
+
+
+def test_signed_zero_canary(spark, duck):
+    sdf = (
+        spark.createDataFrame([(float(v),) for v in _CANARY_VALUES], "x double")
+        .select(round_portable(F.col("x")).alias("r"))
+    )
+    srows = sorted(_bits(r[0]) for r in sdf.collect())
+
+    vals = ", ".join(f"({v!r})" for v in _CANARY_VALUES)
+    drows = sorted(
+        _bits(r[0])
+        for r in duck.execute(
+            f"SELECT {round_portable_duck('x')} AS r"
+            f" FROM (VALUES {vals}) t(x)"
+        ).fetchall()
+    )
+    assert srows == drows, f"bit-level mismatch: {srows} vs {drows}"
+    # No signed zero may survive normalization on either engine.
+    neg_zero = struct.pack("<d", -0.0)
+    assert neg_zero not in srows and neg_zero not in drows
+
+
+def test_nan_null_canary(spark, duck):
+    # NaN must stay NaN (not become NULL or ±0) through the helpers,
+    # and NULL must stay NULL, identically on both engines.
+    sdf = (
+        spark.createDataFrame(
+            [(float("nan"),), (None,)], "x double"
+        ).select(round_portable(F.col("x")).alias("r"))
+    )
+    svals = [r[0] for r in sdf.collect()]
+    dvals = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {round_portable_duck('x')} AS r FROM "
+            "(VALUES (CAST('nan' AS DOUBLE)), (CAST(NULL AS DOUBLE))) t(x)"
+        ).fetchall()
+    ]
+    for vals in (svals, dvals):
+        assert sorted(
+            "nan" if isinstance(v, float) and math.isnan(v) else "null"
+            for v in vals
+        ) == ["nan", "null"]

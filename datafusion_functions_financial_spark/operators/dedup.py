@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..plans.series import ROUND_DP
 from ..sources.tables import load
 from . import fasthash
+from .parallelize import ensure_min_parallelism
 from .text import poly_hash_duck
 
 PRIME = 2_147_483_647  # 2^31 - 1, modulus for minhash permutations
@@ -175,7 +176,7 @@ def shingle_pairs_jaccard(
     after blocking. With ``candidates`` (columns id_a < id_b) the join
     is restricted to those pairs: linear in |candidates| x shingles.
     """
-    sh = df.select(
+    sh = ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(fasthash.shingles_udf(F.col(text_col))).alias("s"),
     ).distinct()
@@ -268,7 +269,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     permutation takes its min from it — Catalyst does not CSE nested
     lambda expressions, so inlining it N_PERMS times costs N_PERMS
     recomputations of the whole shingle fold."""
-    sig = df.select(
+    sig = ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         fasthash.make_minhash_udf(PERMS)(F.col(text_col)).alias("__sig"),
     )
@@ -344,44 +345,48 @@ def minhash_lsh_candidates(
     already materialized/checkpointed) to share one hashing pass with
     a downstream verifier; see ``minhash_lsh_pairs``."""
     if sig is None:
-        # Materialize signatures once: the band self-join and the
-        # est-filter reference this subplan four times, and Spark
-        # re-executes (not CSEs) repeated subplans — recomputing the
-        # hash UDF 4x otherwise.
+        # Materialize signatures once: the band self-join references
+        # this subplan twice, and Spark re-executes (not CSEs) repeated
+        # subplans — recomputing the hash UDF otherwise.
         sig = minhash_signatures(df, text_col, id_col).localCheckpoint()
     # Distinguish bands by index to avoid cross-band key collisions.
     band_exprs = [
         f"named_struct('band', {b}, 'key', {_band_key_expr(b)})"
         for b in range(N_PERMS // BAND_SIZE)
     ]
+    # The full signature rides along as an array so the agreement
+    # pre-filter evaluates INSIDE the band self-join (16 int compares
+    # per bucket-mate) instead of two post-hoc joins of the candidate
+    # relation back against ``sig`` — two fewer shuffles, and pairs die
+    # before the distinct. Cost: 16 extra longs per band row through
+    # the explode shuffle (~150 B/row), linear in corpus size.
+    sig_arr = ", ".join(f"mh_{j}" for j in range(N_PERMS))
     bands = sig.selectExpr(
-        "doc_id", f"explode(array({', '.join(band_exprs)})) AS bk"
-    ).selectExpr("doc_id", "bk.band AS band", "bk.key AS band_key")
+        "doc_id", f"array({sig_arr}) AS __sig",
+        f"explode(array({', '.join(band_exprs)})) AS bk",
+    ).selectExpr("doc_id", "__sig", "bk.band AS band", "bk.key AS band_key")
     if max_bucket_size is not None:
         bands = _cap_hot_buckets(bands, ["band", "band_key"],
                                  max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # Direct indexed compares, NOT zip_with/aggregate: higher-order
+    # functions are interpreted per row (outside whole-stage codegen);
+    # 16 array-subscript equality terms stay inside codegen.
+    agree = sum(
+        F.when(F.expr(f"a.__sig[{j}] = b.__sig[{j}]"), 1).otherwise(0)
+        for j in range(N_PERMS)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(agree >= EST_MIN_MATCHES)
         .select(F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"))
         .distinct()
-    )
-    # Signature-agreement pre-filter (cheap: 16 int comparisons/pair).
-    matches = sum(
-        F.when(F.col(f"sa.mh_{j}") == F.col(f"sb.mh_{j}"), 1).otherwise(0)
-        for j in range(N_PERMS)
-    )
-    return (
-        cand.join(sig.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
-        .join(sig.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
-        .filter(matches >= EST_MIN_MATCHES)
-        .select("id_a", "id_b")
     )
 
 
@@ -402,7 +407,7 @@ def minhash_lsh_pairs(
     (``make_minhash_with_hashes_udf``) — the corpus is normalized and
     shingled exactly once, then checkpointed for the four downstream
     references."""
-    base = df.select(
+    base = ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         fasthash.make_minhash_with_hashes_udf(PERMS)(
             F.col(text_col)
@@ -651,7 +656,7 @@ def simhash(df: DataFrame, text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
     if not 1 <= bits <= 62:
         raise ValueError("bits must be in 1..62 (signed-int64 safe)")
-    hashed = df.select(
+    hashed = ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         fasthash.token_hashes_udf(F.col(text_col)).alias("__th"),
     )

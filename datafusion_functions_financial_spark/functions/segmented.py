@@ -3,8 +3,8 @@
 ``with_indicators`` parallelizes across series; a SINGLE series is one
 sequential scan — fine for per-ticker minute bars, a bottleneck for a
 series with billions of rows. This module splits such a series into
-ordered time buckets and computes indicators in two parallel passes
-plus an O(#buckets) driver-side combine:
+ordered time buckets and computes indicators in three passes, all
+executor-side:
 
 1. **Summary pass** (parallel over buckets). Each bucket reduces to a
    constant-size summary holding BOTH:
@@ -15,11 +15,14 @@ plus an O(#buckets) driver-side combine:
      ``e_out = A e_in + B`` with ``A = (1-a)^len`` and ``B`` the fold
      seeded with 0. RSI's Wilder averages are the same recurrence over
      gains/losses; SMA transfers its trailing ``window-1`` values.
-2. **Prefix combine** (driver): chain summaries bucket-by-bucket to
-   get every bucket's carry-in state — scalar work, e.g. 1e9 rows in
-   1e6-row buckets = 1000 steps.
+2. **Prefix combine** (executors): a second ``applyInPandas`` over
+   ``groupBy(series)`` of the SUMMARY relation chains summaries
+   bucket-by-bucket into every bucket's carry-in state — scalar work
+   (1e9 rows in 1e6-row buckets = 1000 steps per series), sequential
+   within a series, parallel across series. Only the constant-size
+   summaries shuffle; the driver never sees them.
 3. **Output pass** (parallel over buckets): each bucket recomputes its
-   rows exactly from its carry-in state.
+   rows exactly from its carry-in state (carries broadcast-joined back).
 
 Results are mathematically exact; the affine composition reassociates
 floating-point ops, so values can differ from the serial kernels by
@@ -172,31 +175,28 @@ def with_indicators_segmented(
     summary_schema = StructType(
         list(sample.schema.fields) + [StructField("summary", StringType())]
     )
-    summaries = (
-        df.groupBy(*series_by, bucket_col)
-        .applyInPandas(summarize, summary_schema)
-        .collect()
+    summaries = df.groupBy(*series_by, bucket_col).applyInPandas(
+        summarize, summary_schema
     )
 
-    # ---- pass 2: driver prefix combine ----------------------------------
-    by_series: dict = {}
-    for row in summaries:
-        by_series.setdefault(
-            tuple(row[c] for c in series_by), []
-        ).append((row[bucket_col], json.loads(row["summary"])))
-
-    carries: list[dict] = []
-    for key, rows in by_series.items():
-        rows.sort(key=lambda r: r[0])
+    # ---- pass 2: executor-side prefix combine ----------------------------
+    # The prefix chain is inherently sequential WITHIN a series but the
+    # summary relation is tiny (one constant-size row per bucket), so the
+    # combine runs as a second applyInPandas over groupBy(series): one
+    # executor task per series, parallel across series, nothing on the
+    # driver. With millions of series x hundreds of buckets this is a
+    # cheap shuffle of the summary relation only — the full data never
+    # moves, and no driver-memory bottleneck (VERDICT r03 item 4).
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col, kind="mergesort",
+                              ignore_index=True)
         state: dict = {"first": True, "prev_last": None}
-        for bucket, summ in rows:
-            carries.append({
-                **{c: k for c, k in zip(series_by, key)},
-                bucket_col: bucket,
-                "carry": json.dumps({
-                    k: v for k, v in state.items() if k != "first"
-                }),
-            })
+        carry_out = []
+        for summ_json in pdf["summary"]:
+            summ = json.loads(summ_json)
+            carry_out.append(json.dumps({
+                k: v for k, v in state.items() if k != "first"
+            }))
             if state["first"]:
                 for sp in specs:
                     s = summ[sp.out_col]
@@ -247,12 +247,15 @@ def with_indicators_segmented(
                             "al": s["Al"] * al + s["Bl"],
                         }
             state["prev_last"] = summ["last_v"]
+        out = pdf[series_by + [bucket_col]].copy()
+        out["carry"] = carry_out
+        return out
 
-    spark = df.sparkSession
-    carry_df = spark.createDataFrame(
-        pd.DataFrame(carries),
-        StructType(list(sample.schema.fields)
-                   + [StructField("carry", StringType())]),
+    carry_schema = StructType(
+        list(sample.schema.fields) + [StructField("carry", StringType())]
+    )
+    carry_df = summaries.groupBy(*series_by).applyInPandas(
+        combine, carry_schema
     )
 
     # ---- pass 3: outputs with carry-in ----------------------------------

@@ -68,8 +68,35 @@ def test_segmented_rsi_requires_seed_in_first_bucket(spark):
         "bucket": [i // 5 for i in range(20)],  # buckets of 5 < window
         "price": [float(100 + i) for i in range(20)],
     })
+    # The whole pipeline is lazy now (no driver-side combine), so the
+    # seed assertion surfaces at action time inside the executor task.
     with pytest.raises(Exception, match="first bucket"):
         with_indicators_segmented(
             spark.createDataFrame(pdf), "price", ["seq"], ["symbol"],
             "bucket", [ind.rsi(14)],
-        )
+        ).collect()
+
+
+def test_segmented_plan_is_fully_distributed(spark, series_df, tmp_path):
+    """VERDICT r03 item 4: the prefix combine must be an executor-side
+    pass over the summary relation — no driver collect materialized back
+    as a local relation, and exactly three Python groupBy passes
+    (summarize, combine, output)."""
+    sdf, _ = series_df
+    # Parquet round-trip so the ONLY possible LocalTableScan in the plan
+    # would be a driver-side materialization (the fixture's
+    # createDataFrame source would otherwise be one itself).
+    path = str(tmp_path / "series")
+    sdf.write.mode("overwrite").parquet(path)
+    out = with_indicators_segmented(
+        spark.read.parquet(path), "price", ["seq"], ["symbol"], "bucket",
+        SPECS,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Driver round-trips show up as LocalTableScan / Scan ExistingRDD.
+    assert "LocalTableScan" not in plan
+    assert "ExistingRDD" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 3
+    # The carry relation (tiny: one row per series x bucket) is the
+    # broadcast side of the join with the full data.
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

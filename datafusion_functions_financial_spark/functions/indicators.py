@@ -100,6 +100,7 @@ def with_indicators(
     partition_by: Sequence[str],
     specs: Iterable[IndicatorSpec],
     method: str = "partition",
+    max_rows_per_task: int | None = None,
 ) -> DataFrame:
     """Append indicator columns computed per partition in arrival order.
 
@@ -118,6 +119,19 @@ def with_indicators(
       the Python worker — size partitions accordingly.
     - ``"group"``: classic ``groupBy().applyInPandas`` — one call per
       series; memory O(series); better for few huge series.
+
+    ``max_rows_per_task``: hot-key series splitting. Any series longer
+    than this routes through the segmented bucketed-carry path
+    (``segmented.with_indicators_segmented``): the series is cut into
+    ~``max_rows_per_task``-row time buckets on the first order column
+    (distributed ``percentile_approx`` boundaries) and computed in
+    three parallel passes, so a single symbol with 10^9 ticks is no
+    longer one task. Series at or under the cap keep the exact serial
+    kernels. Segmented outputs are mathematically exact but may differ
+    from the serial kernels by ~1 ulp per bucket boundary (affine
+    recurrence reassociation — see ``segmented.py``); leave this OFF
+    when bit-identical output matters. Requires a numeric first
+    ``order_by`` column and NULL-free values in hot series.
     """
     specs = list(specs)
     if not specs:
@@ -138,11 +152,17 @@ def with_indicators(
         + [StructField(s.out_col, DoubleType(), True) for s in specs]
     )
 
+    if max_rows_per_task is not None:
+        return _split_hot_series(
+            df, value_col, order_by, partition_by, specs, method,
+            max_rows_per_task,
+        )
+
     if not partition_by:
         warnings.warn(
             "with_indicators without partition_by computes a single global "
             "series on one task — fine for small data, a bottleneck at "
-            "scale",
+            "scale (pass max_rows_per_task to split it)",
             stacklevel=2,
         )
 
@@ -243,6 +263,109 @@ def with_indicators(
         .sortWithinPartitions(*partition_by, *order_by)
         .mapInPandas(compute_partition, out_schema)
     )
+
+
+def _split_hot_series(
+    df: DataFrame,
+    value_col: str,
+    order_by: list[str],
+    partition_by: list[str],
+    specs: list[IndicatorSpec],
+    method: str,
+    max_rows_per_task: int,
+) -> DataFrame:
+    """Route series longer than ``max_rows_per_task`` through the
+    segmented bucketed-carry path; everything else keeps the serial
+    kernels. Scale shape:
+
+    - per-series row counts: one map-side-combined groupBy — tiny output
+      (one row per series), and the over-cap key list is by definition
+      FEW rows (hot keys), so it broadcasts into semi/anti joins — the
+      big table is never shuffled for the split decision;
+    - bucket boundaries for hot series: distributed
+      ``percentile_approx`` over the hot rows only, one array per hot
+      series, broadcast back;
+    - the two paths union; each sees one shuffle on its own keys.
+
+    One driver scalar (the max hot-series length) picks the global
+    bucket count; no row data reaches the driver.
+    """
+    from .segmented import with_indicators_segmented  # circular-safe
+
+    for s in specs:
+        if s.value_col is not None and s.value_col != value_col:
+            raise ValueError(
+                "max_rows_per_task splitting supports a single value "
+                "column (spec.value_col overrides not implemented)"
+            )
+    min_rows = 4 * max(
+        (s.window for s in specs if s.window is not None), default=27
+    )
+    if max_rows_per_task < max(min_rows, 108):
+        # RSI/Wilder seeds and the MACD 26-EMA must fit comfortably
+        # inside the first bucket, with headroom for approx boundaries.
+        raise ValueError(
+            f"max_rows_per_task must be >= {max(min_rows, 108)} for these "
+            "specs (the seed fold may not span a bucket boundary)"
+        )
+
+    keys = list(partition_by)
+    drop_cols: list[str] = ["__bucket"]
+    if not keys:
+        df = df.withColumn("__series", F.lit(1))
+        keys = ["__series"]
+        drop_cols.append("__series")
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    hot_keys = counts.filter(F.col("__n") > max_rows_per_task)
+    max_n = hot_keys.agg(F.max("__n")).first()[0]
+
+    base_cols = [c for c in df.columns if c not in ("__series",)]
+    out_cols = base_cols + [s.out_col for s in specs]
+
+    if max_n is None:
+        # No hot series: plain path (common case — zero overhead beyond
+        # the counts agg).
+        out = with_indicators(
+            df.drop("__series") if "__series" in drop_cols else df,
+            value_col, order_by, partition_by, specs, method,
+        )
+        return out.select(*out_cols)
+
+    hot = F.broadcast(hot_keys.select(*keys))
+    cold_df = df.join(hot, keys, "left_anti")
+    hot_df = df.join(hot, keys, "left_semi")
+
+    import math
+
+    n_buckets = math.ceil(max_n / max_rows_per_task)
+    ord0 = order_by[0]
+    probs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    bounds = hot_df.groupBy(*keys).agg(
+        F.expr(
+            f"percentile_approx({ord0}, array({probs}), 10000)"
+        ).alias("__bounds")
+    )
+    bucketed = (
+        hot_df.join(F.broadcast(bounds), keys)
+        # Monotone in ord0 by construction: the bucket is the number of
+        # boundaries at or below the row's order value.
+        .withColumn(
+            "__bucket",
+            F.expr(f"size(filter(__bounds, x -> x <= {ord0}))")
+            .cast("long"),
+        )
+        .drop("__bounds")
+    )
+    hot_out = with_indicators_segmented(
+        bucketed, value_col, order_by, keys, "__bucket", specs
+    ).drop(*drop_cols)
+
+    cold_out = with_indicators(
+        cold_df.drop("__series") if "__series" in drop_cols else cold_df,
+        value_col, order_by, partition_by, specs, method,
+    )
+    return cold_out.select(*out_cols).unionByName(hot_out.select(*out_cols))
 
 
 def sma_native(

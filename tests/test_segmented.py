@@ -77,6 +77,71 @@ def test_segmented_rsi_requires_seed_in_first_bucket(spark):
         ).collect()
 
 
+def test_max_rows_per_task_splits_hot_series(spark):
+    """Hot-key splitting (SCALING.md): one giant series routes through
+    the segmented path and matches the unsplit serial kernels; a small
+    series on the normal path is bit-identical."""
+    rng = np.random.default_rng(11)
+    rows = []
+    price = 100.0
+    for i in range(20_000):  # hot: 10 buckets at cap 2000
+        price += float(rng.normal(0, 1))
+        rows.append(("HOT", i, price))
+    price = 50.0
+    for i in range(300):  # cold: untouched by the split
+        price += float(rng.normal(0, 1))
+        rows.append(("COLD", i, price))
+    pdf = pd.DataFrame(rows, columns=["symbol", "seq", "price"])
+
+    out = ind.with_indicators(
+        spark.createDataFrame(pdf), "price", ["seq"], ["symbol"], SPECS,
+        max_rows_per_task=2000,
+    ).toPandas().sort_values(["symbol", "seq"]).reset_index(drop=True)
+
+    for sym, exact in (("HOT", False), ("COLD", True)):
+        prices = pdf[pdf["symbol"] == sym]["price"].to_numpy()
+        got_df = out[out["symbol"] == sym]
+        expected = {
+            "sma_10": sma_kernel(prices, 10),
+            "ema_12": ema_kernel(prices, 12),
+            "rsi_14": rsi_kernel(prices, 14),
+            "macd": macd_kernel(prices),
+        }
+        for col, exp in expected.items():
+            got = got_df[col].to_numpy()
+            assert len(got) == len(exp)
+            nn = ~np.isnan(exp)
+            assert np.isnan(got[~nn]).all(), (sym, col)
+            if exact:
+                assert (got[nn] == exp[nn]).all(), (sym, col)
+            else:
+                np.testing.assert_allclose(
+                    got[nn], exp[nn], rtol=1e-9, atol=1e-9,
+                    err_msg=f"{sym}/{col}",
+                )
+
+
+def test_max_rows_per_task_noop_when_no_hot_series(spark, series_df):
+    """With every series under the cap the split path must return the
+    bit-identical serial-kernel output (pure pass-through)."""
+    sdf, _ = series_df
+    plain = ind.with_indicators(
+        sdf, "price", ["seq"], ["symbol"], SPECS
+    ).toPandas().sort_values(["symbol", "seq"]).reset_index(drop=True)
+    split = ind.with_indicators(
+        sdf, "price", ["seq"], ["symbol"], SPECS, max_rows_per_task=1000
+    ).toPandas().sort_values(["symbol", "seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, split[plain.columns])
+
+
+def test_max_rows_per_task_too_small_raises(spark, series_df):
+    sdf, _ = series_df
+    with pytest.raises(ValueError, match="max_rows_per_task"):
+        ind.with_indicators(
+            sdf, "price", ["seq"], ["symbol"], SPECS, max_rows_per_task=50
+        )
+
+
 def test_segmented_plan_is_fully_distributed(spark, series_df, tmp_path):
     """VERDICT r03 item 4: the prefix combine must be an executor-side
     pass over the summary relation — no driver collect materialized back

@@ -13,6 +13,14 @@ percentile (Spark ``percentile`` / DuckDB ``quantile_cont``); the
 threshold is rounded with the portable 0-dp-scale trick BEFORE the
 comparison so a last-ulp difference in interpolation can never flip a
 boundary row.
+
+Memory bound: exact ``percentile`` buffers each group's values on the
+agg reducer — fine while a group's row count fits an executor (the
+documented bound in SCALING.md). For 100 TB **monitoring** paths pass
+``approx=True``: ``approx_percentile`` is a constant-memory mergeable
+sketch (map-side partial, no value buffering) at the cost of a bounded
+rank error (1/accuracy quantile rank). The exact path stays the
+oracle-gated default.
 """
 
 from __future__ import annotations
@@ -20,21 +28,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.series import round_portable
+from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
 
 __all__ = ["percentile_filter", "winsorize"]
 
 
+APPROX_ACCURACY = 10_000  # rank error <= 1/accuracy of the group size
+
+
+def _pct_expr(value_col: str, q: float, approx: bool) -> F.Column:
+    if approx:
+        return F.expr(
+            f"approx_percentile({value_col}, {q!r}, {APPROX_ACCURACY})"
+        ).cast("double")
+    return F.expr(f"percentile({value_col}, {q!r})")
+
+
 def percentile_filter(df: DataFrame, value_col: str, group_col: str,
-                      q: float = 0.25) -> DataFrame:
+                      q: float = 0.25, approx: bool = False) -> DataFrame:
     """Keep rows with ``value_col >= round4(percentile_q)`` of their
-    group. Adds ``__thr`` is not exposed; output schema == input."""
+    group. Adds ``__thr`` is not exposed; output schema == input.
+
+    ``approx=True`` swaps the exact interpolated percentile for the
+    constant-memory ``approx_percentile`` sketch — the 100 TB
+    monitoring path (no per-group value buffering; rank error bounded
+    by 1/``APPROX_ACCURACY``)."""
     if not 0.0 <= q <= 1.0:
         raise ValueError("q must be in [0, 1]")
     thr = df.groupBy(group_col).agg(
-        round_portable(F.expr(f"percentile({value_col}, {q!r})"))
-        .alias("__thr")
+        round_portable(_pct_expr(value_col, q, approx)).alias("__thr")
     )
     return (
         df.join(F.broadcast(thr), group_col)
@@ -44,21 +67,22 @@ def percentile_filter(df: DataFrame, value_col: str, group_col: str,
 
 
 def winsorize(df: DataFrame, value_col: str, group_col: str,
-              lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+              lo: float = 0.05, hi: float = 0.95,
+              approx: bool = False) -> DataFrame:
     """Clip ``value_col`` to its group's [lo, hi] exact percentiles —
     the standard outlier treatment before aggregation or training.
     Adds ``<value_col>_w``; same broadcast-threshold shape as
     ``percentile_filter`` (tiny per-group bounds table broadcast back,
     corpus never shuffles). Bounds are rounded portably before the
     clamp so interpolation ulps cannot flip a boundary row.
+    ``approx=True``: sketch-based bounds for 100 TB monitoring (see
+    ``percentile_filter``).
     """
     if not 0.0 <= lo <= hi <= 1.0:
         raise ValueError("need 0 <= lo <= hi <= 1")
     bounds = df.groupBy(group_col).agg(
-        round_portable(F.expr(f"percentile({value_col}, {lo!r})"))
-        .alias("__lo"),
-        round_portable(F.expr(f"percentile({value_col}, {hi!r})"))
-        .alias("__hi"),
+        round_portable(_pct_expr(value_col, lo, approx)).alias("__lo"),
+        round_portable(_pct_expr(value_col, hi, approx)).alias("__hi"),
     )
     return (
         df.join(F.broadcast(bounds), group_col)
@@ -87,7 +111,7 @@ def _q_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_PERCENTILE_FILTER = f"""
 WITH thr AS (
   SELECT source,
-         round(quantile_cont(n_chars, {_Q!r}) * 10000.0) / 10000.0 AS t
+         {round_portable_duck(f"quantile_cont(n_chars, {_Q!r})")} AS t
   FROM documents GROUP BY source
 )
 SELECT d.doc_id, d.source, d.n_chars
@@ -110,10 +134,10 @@ def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_WINSORIZE = f"""
 WITH b AS (
   SELECT l_returnflag,
-         round(quantile_cont(l_extendedprice, {_W_LO!r}) * 10000.0)
-           / 10000.0 AS lo,
-         round(quantile_cont(l_extendedprice, {_W_HI!r}) * 10000.0)
-           / 10000.0 AS hi
+         {round_portable_duck(f"quantile_cont(l_extendedprice, {_W_LO!r})")}
+           AS lo,
+         {round_portable_duck(f"quantile_cont(l_extendedprice, {_W_HI!r})")}
+           AS hi
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,

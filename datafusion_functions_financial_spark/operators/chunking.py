@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load
-from .decontam import _TOKENS, _with_tokens
+from .decontam import _with_tokens
 
 __all__ = ["chunk_documents"]
 
@@ -41,6 +41,15 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # The "no context lost" coverage invariant only holds for
+        # S <= C; S > C leaves token gaps AND drives the final chunk's
+        # computed length negative (slice() throws at runtime). Fail
+        # loudly at plan time instead (ADVICE r03).
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk_tokens ({chunk_tokens}) "
+            "— larger strides skip tokens between chunks"
+        )
     c, s = chunk_tokens, stride
     t = _with_tokens(df, text_col)
     # 1 + ceil(max(0, n - C) / S) chunks (integer arithmetic).
@@ -74,10 +83,6 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
 def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load(spark, sf_dir, "documents"))
 
-
-_DUCK_TOKS = _TOKENS.format(col="text").replace(
-    "split(", "regexp_split_to_array(", 1
-)
 
 _ORACLE_CHUNKS = f"""
 WITH toks AS (

@@ -287,11 +287,12 @@ def twap(
     nxt = F.lead(ts_col, 1).over(w)
     bucket_end_ns = (F.col("bucket_start") + F.lit(bucket_seconds)) \
         * F.lit(1_000_000_000)
-    hold_ms = (
-        (F.coalesce(nxt, bucket_end_ns) - F.col(ts_col))
-        / F.lit(1_000_000)
-    ).cast("bigint")
-    df = df.withColumn("__w_ms", hold_ms)
+    # Integer DIV keeps this exact for any bucket_seconds (a double
+    # round-trip is only exact while in-bucket deltas fit 2^53 ns;
+    # VERDICT r03 nit — code now matches the "ns DIV 10^6" doc).
+    df = df.withColumn(
+        "__delta_ns", F.coalesce(nxt, bucket_end_ns) - F.col(ts_col)
+    ).withColumn("__w_ms", F.expr("__delta_ns DIV 1000000"))
     return df.groupBy(*keys, "bucket_start").agg(
         (F.sum(F.col(price_col) * F.col("__w_ms")).cast("double")
          / F.sum("__w_ms").cast("double")).alias("twap"),

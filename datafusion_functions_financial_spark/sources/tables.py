@@ -12,6 +12,24 @@ TABLES = (
 )
 
 
+def _parquet_ts_is_nanos(path: str) -> bool:
+    """True when the parquet ``ts`` column is TIMESTAMP(NANOS).
+
+    Footer-only probe via pyarrow (handles single files and directory
+    datasets); conservative False on any probe failure — a genuine
+    nanos file would then fail the Spark read loudly rather than be
+    silently misread.
+    """
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(path, format="parquet").schema.field("ts").type
+        return pa.types.is_timestamp(t) and t.unit == "ns"
+    except Exception:
+        return False
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; parquet scans keep pushdown + pruning.
 
@@ -28,25 +46,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name != "events":
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # If the file is TIMESTAMP(NANOS), this conf makes Spark read it as
-    # epoch-ns long directly (no conversion needed below). The schema is
-    # bound at DataFrame creation, so the previous value is restored
-    # immediately — later reads in the same session are unaffected
-    # (ADVICE r02: don't mutate the shared session permanently).
-    _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
-    try:
-        prev = spark.conf.get(_NANOS_CONF)
-    except Exception:
-        prev = None
-    spark.conf.set(_NANOS_CONF, "true")
-    try:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df.schema  # force schema binding before the conf is restored
-    finally:
-        if prev is None:
-            spark.conf.unset(_NANOS_CONF)
-        else:
-            spark.conf.set(_NANOS_CONF, prev)
+    path = f"{sf_dir}/{name}.parquet"
+    # TIMESTAMP(NANOS) files need spark.sql.legacy.parquet.nanosAsLong.
+    # Spark's ParquetFileFormat re-reads that conf at PHYSICAL PLANNING /
+    # execution time (buildReaderWithPartitionValues), not only at schema
+    # inference — so a set-then-restore dance would make df.schema
+    # succeed and execution fail with "Illegal Parquet type" (ADVICE
+    # r03). Instead, probe the parquet footer with pyarrow and, only
+    # when the file really is nanos, set the conf FOR THE SESSION (the
+    # session-level effect is deliberate and harmless: the conf only
+    # changes how TIMESTAMP(NANOS) columns read, as epoch-ns longs —
+    # exactly this engine's tick-time model).
+    if _parquet_ts_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, (TimestampType, TimestampNTZType)):
         # The NTZ -> epoch conversion interprets the naive timestamp in

@@ -20,24 +20,29 @@ def test_every_ungated_query_inside_gate_window_or_queued():
     window = set(names[: registry.GATE_WINDOW])
     pending = [n for n in names if n not in registry.PRIOR_GATED]
     outside = [n for n in pending
-               if n not in window and n not in registry.R04_QUEUE]
+               if n not in window and n not in registry.R05_QUEUE]
     assert not outside, (
         "queries with no driver CORRECTNESS row fell outside the gate "
         "window without being queued — reorder registry._MODULES or add "
-        f"to R04_QUEUE: {outside}"
+        f"to R05_QUEUE: {outside}"
     )
 
 
-def test_queue_names_exist_and_window_is_all_pending():
+def test_queue_names_exist_and_pending_fit_window():
     names = set(registry.all_queries())
-    assert registry.R04_QUEUE <= names, (
-        registry.R04_QUEUE - names)
-    # The window must be spent on queries that still NEED a driver row —
-    # at most one already-gated entry (the sampling module's
-    # sample_hash_split travels with its 4 ungated siblings).
-    window = list(registry.all_queries())[: registry.GATE_WINDOW]
-    gated_in_window = [n for n in window if n in registry.PRIOR_GATED]
-    assert len(gated_in_window) <= 1, gated_in_window
+    assert registry.R05_QUEUE <= names, (
+        registry.R05_QUEUE - names)
+    # 98/106 queries were driver-green by r03, so (unlike r02/r03) the
+    # window is mostly re-gate filler. The invariant that still matters:
+    # ungated queries must not outgrow the window — if this trips, move
+    # the overflow into R05_QUEUE explicitly.
+    pending = [n for n in registry.all_queries()
+               if n not in registry.PRIOR_GATED
+               and n not in registry.R05_QUEUE]
+    assert len(pending) <= registry.GATE_WINDOW, (
+        f"{len(pending)} ungated queries exceed the {registry.GATE_WINDOW}"
+        "-entry window — queue the overflow in R05_QUEUE"
+    )
 
 
 def test_prior_gated_names_exist():

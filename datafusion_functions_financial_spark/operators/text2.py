@@ -1,0 +1,243 @@
+"""Second tier of text-curation signals: per-document lexical quality
+(type-token ratio, stop-word ratio, mean word length), corpus-LM
+cross-entropy (the perplexity-proxy quality score), and OOV rate
+against a frequency-truncated vocabulary.
+
+These are the remaining per-doc scores a pretraining curation stack
+filters on (alongside ``text.py``'s surface stats, ``divergence.py``'s
+entropy/KL, and ``quality.py``'s percentile gates):
+
+- ``lexical_stats`` — TTR flags low-diversity docs; the stop-word
+  ratio separates prose from keyword-stuffed junk; mean word length
+  is a cheap script/garbage signal;
+- ``unigram_cross_entropy`` — −Σ_t (tf_t/dl)·ln(ctf_t/total): the
+  doc's cross-entropy under the corpus unigram LM. Low = templated/
+  common, high = rare-token junk or novel domain. The standard cheap
+  stand-in for model-based perplexity filtering;
+- ``oov_rate`` — fraction of tokens outside the top-``k`` corpus
+  vocabulary: the tokenizer-coverage signal for vocab truncation.
+
+Plan shape at scale (the ``divergence.py`` template): per-doc term
+counts are ONE (doc, term) shuffle; corpus statistics are
+VOCABULARY-sized and rejoin by BROADCAST; the per-doc reduction is one
+groupBy(doc) shuffle. Float sums follow the integer-quantized
+contribution rule (SCALING.md): each term's double contribution is
+quantized to BIGINT at ``_DP_TERM`` decimals before the order-free
+sum, so partial-aggregation schedules can never flip a bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.series import ROUND_DP, round_portable, round_portable_duck
+from ..sources.tables import load
+from .bm25 import doc_lengths
+from .tfidf import term_counts
+
+__all__ = ["lexical_stats", "unigram_cross_entropy", "oov_rate"]
+
+_DP_TERM = 8
+_TERM_SCALE = float(10 ** _DP_TERM)
+
+# Fixed function-word list: articles/conjunctions/prepositions that mark
+# natural prose. Deliberately tiny and hard-coded (NOT corpus-derived —
+# that's ``vocab.remove_stopwords``) so the ratio means the same thing
+# on every corpus.
+STOPWORDS = ("a", "an", "the", "and", "or", "of", "to", "in", "is",
+             "it", "on", "for", "with", "as", "at", "by", "be")
+
+_OOV_TOPK = 20
+
+
+def lexical_stats(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, ttr, stopword_ratio, mean_word_len) per doc.
+
+    TTR = distinct/total tokens. One (doc, term) shuffle + one
+    groupBy(doc) reduction; all ratios are exact BIGINT-to-double
+    divisions (no float sums), so no quantization is needed."""
+    tc = term_counts(df, text_col, id_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    per_doc = tc.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("__n"),
+        F.count(F.lit(1)).cast("bigint").alias("__types"),
+        F.sum(F.when(F.array_contains(stop_arr, F.col("term")),
+                     F.col("tf")).otherwise(F.lit(0)))
+        .cast("bigint").alias("__stop"),
+        F.sum(F.length("term") * F.col("tf")).cast("bigint")
+        .alias("__chars"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        round_portable(F.col("__types") / F.col("__n")).alias("ttr"),
+        round_portable(F.col("__stop") / F.col("__n")).alias(
+            "stopword_ratio"),
+        round_portable(F.col("__chars") / F.col("__n")).alias(
+            "mean_word_len"),
+    )
+
+
+def unigram_cross_entropy(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(id, xent): −Σ_t (tf/dl)·ln(ctf/total), nats — the doc's
+    cross-entropy under the corpus unigram distribution. Every doc
+    term is in the corpus by construction (no smoothing needed)."""
+    tc = term_counts(df, text_col, id_col)
+    dl = doc_lengths(df, text_col, id_col)
+    corpus = tc.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = tc.agg(F.sum("tf").alias("__total"))
+    contrib = (
+        tc.join(dl, id_col)
+        .join(F.broadcast(corpus), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__c",
+            F.expr(f"CAST(round(-(tf / CAST(dl AS DOUBLE)) "
+                   f"* ln(ctf / CAST(__total AS DOUBLE)) "
+                   f"* {_TERM_SCALE!r}) AS BIGINT)"),
+        )
+    )
+    return contrib.groupBy(id_col).agg(
+        round_portable(F.sum("__c") / F.lit(_TERM_SCALE), ROUND_DP)
+        .alias("xent")
+    )
+
+
+def oov_rate(df: DataFrame, k: int = _OOV_TOPK, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, oov_rate): fraction of tokens outside the top-``k``
+    corpus vocabulary (by total frequency, ties to the smaller term).
+
+    The vocabulary is k rows — broadcast; in-vocab token counts come
+    from a broadcast INNER join of per-doc term counts, and
+    ``oov = dl − in_vocab`` (cheaper than an anti join: one pass,
+    exact integers)."""
+    tc = term_counts(df, text_col, id_col)
+    dl = doc_lengths(df, text_col, id_col)
+    vocab = (
+        tc.groupBy("term").agg(F.sum("tf").alias("ctf"))
+        .orderBy(F.col("ctf").desc(), F.col("term").asc())
+        .limit(k)
+        .select("term")
+    )
+    in_vocab = (
+        tc.join(F.broadcast(vocab), "term")
+        .groupBy(id_col)
+        .agg(F.sum("tf").cast("bigint").alias("__iv"))
+    )
+    return (
+        dl.join(in_vocab, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("dl").cast("bigint").alias("n_tokens"),
+            round_portable(
+                (F.col("dl") - F.coalesce(F.col("__iv"), F.lit(0)))
+                / F.col("dl")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gate queries
+# --------------------------------------------------------------------------
+
+_TOK_CTE = """
+  toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       t -> t != '') AS t
+    FROM documents
+  ), tok AS (
+    SELECT doc_id, unnest(t) AS term FROM toks
+  ), tc AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+  ), dl AS (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+  )
+"""
+
+
+def _q_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lexical_stats(load(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+_ORACLE_LEXICAL = f"""
+WITH {_TOK_CTE},
+  agg AS (
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS types,
+           CAST(sum(CASE WHEN term IN ({_STOP_SQL}) THEN tf
+                         ELSE 0 END) AS BIGINT) AS stop,
+           CAST(sum(len(term) * tf) AS BIGINT) AS chars
+    FROM tc GROUP BY 1
+  )
+SELECT doc_id, n AS n_tokens,
+  {round_portable_duck("types / CAST(n AS DOUBLE)")} AS ttr,
+  {round_portable_duck("stop / CAST(n AS DOUBLE)")} AS stopword_ratio,
+  {round_portable_duck("chars / CAST(n AS DOUBLE)")} AS mean_word_len
+FROM agg
+"""
+
+
+def _q_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_cross_entropy(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_XENT = f"""
+WITH {_TOK_CTE},
+  corpus AS (
+    SELECT term, sum(tf) AS ctf FROM tc GROUP BY 1
+  ), total AS (
+    SELECT sum(tf) AS tot FROM tc
+  ), contrib AS (
+    SELECT tc.doc_id,
+           CAST(round(-(tc.tf / CAST(dl.dl AS DOUBLE))
+                 * ln(corpus.ctf / CAST(total.tot AS DOUBLE))
+                 * {_TERM_SCALE!r}) AS BIGINT) AS c
+    FROM tc
+    JOIN dl ON tc.doc_id = dl.doc_id
+    JOIN corpus ON tc.term = corpus.term
+    CROSS JOIN total
+  )
+SELECT doc_id,
+  {round_portable_duck(
+      f"CAST(sum(c) AS BIGINT) / {_TERM_SCALE!r}", ROUND_DP)} AS xent
+FROM contrib GROUP BY 1
+"""
+
+
+def _q_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return oov_rate(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_OOV = f"""
+WITH {_TOK_CTE},
+  vocab AS (
+    SELECT term FROM (
+      SELECT term, sum(tf) AS ctf FROM tc GROUP BY 1
+    ) ORDER BY ctf DESC, term ASC LIMIT {_OOV_TOPK}
+  ), iv AS (
+    SELECT tc.doc_id, CAST(sum(tc.tf) AS BIGINT) AS n_in
+    FROM tc JOIN vocab ON tc.term = vocab.term
+    GROUP BY 1
+  )
+SELECT dl.doc_id, dl.dl AS n_tokens,
+  {round_portable_duck(
+      "(dl.dl - coalesce(iv.n_in, 0)) / CAST(dl.dl AS DOUBLE)")}
+    AS oov_rate
+FROM dl LEFT JOIN iv ON dl.doc_id = iv.doc_id
+"""
+
+
+QUERIES: dict = {
+    "text_lexical_stats_documents": (_q_lexical, _ORACLE_LEXICAL),
+    "text_unigram_xent_documents": (_q_xent, _ORACLE_XENT),
+    "text_oov_rate_documents": (_q_oov, _ORACLE_OOV),
+}

@@ -97,7 +97,10 @@ def latest_order_per_customer(orders: DataFrame) -> DataFrame:
     ordk = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
     return orders.groupBy("o_custkey").agg(
         F.max_by("o_orderkey", ordk).alias("last_orderkey"),
-        F.max("o_orderdate").alias("last_orderdate"),
+        # Epoch-µs BIGINT, not a raw timestamp: Spark hands pandas ns
+        # resolution while DuckDB hands µs, and the driver's hash
+        # compare is dtype-sensitive (same convention as events.ts).
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias("last_order_us"),
         F.max_by("o_totalprice", ordk).alias("last_totalprice"),
     )
 
@@ -111,7 +114,9 @@ def customer_deciles(orders: DataFrame) -> DataFrame:
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
     return rev.select(
         "o_custkey", "revenue",
-        F.ntile(10).over(w).alias("decile"),
+        # BIGINT: Spark's ntile is int32 but DuckDB's is int64, and the
+        # driver's value hash is dtype-sensitive.
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
         round_portable(F.percent_rank().over(w)).alias("pct_rank"),
     )
 
@@ -230,13 +235,18 @@ def _q_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_order_per_customer(load(spark, sf_dir, "orders"))
 
 
+# DuckDB's arg_max has no struct-key overload, so the oracle uses the
+# row_number()=1 idiom over the same (date DESC, key DESC) ordering —
+# equivalent because (o_orderdate, o_orderkey) is unique.
 _ORACLE_LATEST = """
-SELECT o_custkey,
-       arg_max(o_orderkey, (o_orderdate, o_orderkey)) AS last_orderkey,
-       max(o_orderdate) AS last_orderdate,
-       arg_max(o_totalprice, (o_orderdate, o_orderkey))
-         AS last_totalprice
-FROM orders GROUP BY o_custkey
+SELECT o_custkey, o_orderkey AS last_orderkey,
+       epoch_us(o_orderdate) AS last_order_us,
+       o_totalprice AS last_totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
 """
 
 
@@ -279,11 +289,15 @@ _ORACLE_MODE = """
 WITH c AS (
   SELECT user_id, event_type, count(*) AS cnt
   FROM events GROUP BY 1, 2
+), m AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+            ORDER BY cnt DESC, event_type DESC) AS rn,
+         max(cnt) OVER (PARTITION BY user_id) AS mode_cnt
+  FROM c
 )
-SELECT user_id,
-       arg_max(event_type, (cnt, event_type)) AS mode_type,
-       max(cnt) AS mode_cnt
-FROM c GROUP BY user_id
+SELECT user_id, event_type AS mode_type, mode_cnt
+FROM m WHERE rn = 1
 """
 
 

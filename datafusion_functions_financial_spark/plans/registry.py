@@ -8,15 +8,19 @@ is pre-validated locally.
 
 from __future__ import annotations
 
-from . import analytics, enrich, funnel, indicator_queries, signals, validate
+from . import (
+    analytics, analytics2, enrich, funnel, indicator_queries, signals,
+    validate,
+)
 from ..functions import (
     resample, rollstats, rollstats2, technical, technical2,
 )
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, divergence,
-    embnorm, histogram, incremental, ivf, microstructure, multimodal,
+    embnorm, embstats, histogram, incremental, ivf, microstructure,
+    multimodal,
     packing, pipeline, profile, quality, quantize, rollup, sampling,
-    similarity, sketch, skew, text, tfidf, vocab,
+    similarity, sketch, skew, text, text2, tfidf, vocab,
 )
 
 
@@ -110,7 +114,7 @@ _MODULES = [
     _QueuedQuality, funnel, rollstats,
     # --- new in r04 (never gated) go here, BEFORE the filler, so they
     # land inside the window. ---
-    technical2, rollstats2,
+    technical2, rollstats2, analytics2, text2, embstats,
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---

@@ -90,6 +90,13 @@ def main() -> None:
         "q_funnel_events",                 # single groupBy(user) collapse
         "q_retention_events",              # cohort x offset, bounded keys
         "quality_percentile_filter_documents",  # broadcast thresholds
+        # --- r04 additions ---
+        "q_user_activity_1h_events",       # time-RANGE frame (trailing hour)
+        "q_latest_order_per_customer",     # max_by snapshot dedup, no window
+        "q_orders_cube",                   # grouping-set expansion
+        "roll_beta_lineitem",              # ordered-array-fold rolling beta
+        "text_unigram_xent_documents",     # corpus-LM score, broadcast vocab
+        "emb_label_cohesion_embeddings",   # 2-pass centroid cohesion
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings"):
@@ -122,6 +129,10 @@ def main() -> None:
         "q_funnel": table_rows["events"],
         "q_retention": table_rows["events"],
         "quality_": table_rows["documents"],
+        "q_user_activity": table_rows["events"],
+        "q_latest_order": table_rows["orders"],
+        "roll_beta": table_rows["lineitem"],
+        "emb_": table_rows["embeddings"],
     }
 
     def run(name: str) -> float:

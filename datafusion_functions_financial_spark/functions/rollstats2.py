@@ -32,7 +32,7 @@ from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
 
 __all__ = ["rolling_beta", "rolling_sharpe", "rolling_moments",
-           "rolling_ols_slope"]
+           "rolling_ols_slope", "time_since_high", "return_autocorr"]
 
 SHARPE_ANNUALIZATION = 252.0
 
@@ -160,6 +160,86 @@ def rolling_ols_slope(df: DataFrame, value_col: str,
     return with_rn.withColumn(
         "trend_slope", round_portable(F.when(full, num / den))
     ).drop("__rn")
+
+
+def time_since_high(df: DataFrame, value_col: str,
+                    keys: Sequence[str],
+                    order: Sequence[str]) -> DataFrame:
+    """Rows since the running maximum (the drawdown-duration
+    companion to ``rollstats.drawdown``): 0 whenever the current row
+    IS the latest peak; ties resolve to the most recent peak.
+
+    Two prefix windows over one partition order (Catalyst reuses the
+    single Exchange+Sort): the running max, then the last row number
+    where the value equalled it. The equality compares the same stored
+    double against itself — exact on both engines."""
+    wrow = _row_window(keys, order)
+    prefix = wrow.rowsBetween(Window.unboundedPreceding, 0)
+    with_rn = df.withColumn(
+        "__rn", F.row_number().over(wrow).cast("bigint"))
+    cummax = F.max(value_col).over(prefix)
+    with_cm = with_rn.withColumn("__cm", cummax)
+    peak_rn = F.max(
+        F.when(F.col(value_col) == F.col("__cm"), F.col("__rn"))
+    ).over(prefix)
+    return with_cm.withColumn(
+        "bars_since_high", (F.col("__rn") - peak_rn).cast("bigint")
+    ).drop("__rn", "__cm")
+
+
+_DP_AC = 8
+_AC_SCALE = float(10 ** _DP_AC)
+
+
+def return_autocorr(df: DataFrame, value_col: str,
+                    keys: Sequence[str], order: Sequence[str],
+                    lag: int = 1) -> DataFrame:
+    """One row per key: lag-``lag`` Pearson autocorrelation of simple
+    returns — the classic mean-reversion/momentum diagnostic.
+
+    Returns are NULL-guarded for non-positive prices; pairs where
+    either side is NULL are dropped. The five cross-sums are per-term
+    quantized to BIGINT (``_DP_AC`` decimals) before the group
+    reduction, so the unordered aggregation is exact integer
+    arithmetic (SCALING.md contribution rule); the final correlation
+    is one identical double expression on both engines. NULL when
+    fewer than 3 pairs or either variance is zero."""
+    wrow = _row_window(keys, order)
+    prev = F.lag(value_col, 1).over(wrow)
+    ok = (F.col(value_col) > 0) & (prev > 0)
+    ret = F.when(ok, F.col(value_col) / prev - F.lit(1.0))
+    with_r = df.withColumn("__y", ret)
+    with_xy = with_r.withColumn(
+        "__x", F.lag("__y", lag).over(wrow)
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def qcol(expr: str) -> F.Column:
+        return F.expr(
+            f"CAST(round(({expr}) * {_AC_SCALE!r}) AS BIGINT)")
+
+    sums = with_xy.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qcol("__x")).alias("sx"),
+        F.sum(qcol("__y")).alias("sy"),
+        F.sum(qcol("__x * __y")).alias("sxy"),
+        F.sum(qcol("__x * __x")).alias("sxx"),
+        F.sum(qcol("__y * __y")).alias("syy"),
+    )
+    s = f"{_AC_SCALE!r}"
+    num = (f"(CAST(n AS DOUBLE) * (sxy / {s}) "
+           f"- (sx / {s}) * (sy / {s}))")
+    denx = (f"(CAST(n AS DOUBLE) * (sxx / {s}) "
+            f"- (sx / {s}) * (sx / {s}))")
+    deny = (f"(CAST(n AS DOUBLE) * (syy / {s}) "
+            f"- (sy / {s}) * (sy / {s}))")
+    return sums.select(
+        *keys,
+        F.col("n").alias("n_pairs"),
+        round_portable(F.expr(
+            f"CASE WHEN n >= 3 AND {denx} > 0.0 AND {deny} > 0.0 "
+            f"THEN {num} / sqrt({denx} * {deny}) END"
+        )).alias("autocorr"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -324,9 +404,92 @@ FROM t
 """
 
 
+def _q_tsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = time_since_high(load(spark, sf_dir, "orders"), "o_totalprice",
+                          ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return out.select("o_custkey", "o_orderkey", "o_totalprice",
+                      "bars_since_high")
+
+
+_ORACLE_TSH = f"""
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         CAST(row_number() OVER ({_ORDERS_W}) AS BIGINT) AS rn,
+         max(o_totalprice) OVER ({_ORDERS_W}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(rn - max(CASE WHEN o_totalprice = cm THEN rn END)
+            OVER ({_ORDERS_W}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS bars_since_high
+FROM r
+"""
+
+
+_AC_LAG = 1
+
+
+def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return return_autocorr(
+        load(spark, sf_dir, "lineitem"), "l_extendedprice",
+        ["l_suppkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"],
+        lag=_AC_LAG)
+
+
+_ACS = f"{_AC_SCALE!r}"
+_AC_NUM = (f"(CAST(n AS DOUBLE) * (sxy / {_ACS}) "
+           f"- (sx / {_ACS}) * (sy / {_ACS}))")
+_AC_DENX = (f"(CAST(n AS DOUBLE) * (sxx / {_ACS}) "
+            f"- (sx / {_ACS}) * (sx / {_ACS}))")
+_AC_DENY = (f"(CAST(n AS DOUBLE) * (syy / {_ACS}) "
+            f"- (sy / {_ACS}) * (sy / {_ACS}))")
+
+_ORACLE_AUTOCORR = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         CASE WHEN l_extendedprice > 0
+               AND lag(l_extendedprice) OVER ({_LINEITEM_W}) > 0
+              THEN l_extendedprice
+                   / lag(l_extendedprice) OVER ({_LINEITEM_W}) - 1.0
+         END AS y,
+         l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+  FROM lineitem
+), p AS (
+  SELECT l_suppkey, y, lag(y, {_AC_LAG}) OVER ({_LINEITEM_W}) AS x
+  FROM r
+), q AS (
+  SELECT l_suppkey,
+         CAST(round(x * {_ACS}) AS BIGINT) AS qx,
+         CAST(round(y * {_ACS}) AS BIGINT) AS qy,
+         CAST(round(x * y * {_ACS}) AS BIGINT) AS qxy,
+         CAST(round(x * x * {_ACS}) AS BIGINT) AS qxx,
+         CAST(round(y * y * {_ACS}) AS BIGINT) AS qyy
+  FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+), s AS (
+  SELECT l_suppkey, count(*) AS n,
+         CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+         CAST(sum(qxy) AS BIGINT) AS sxy,
+         CAST(sum(qxx) AS BIGINT) AS sxx,
+         CAST(sum(qyy) AS BIGINT) AS syy
+  FROM q GROUP BY 1
+)
+SELECT l_suppkey, CAST(n AS BIGINT) AS n_pairs,
+  {round_portable_duck(
+      f"CASE WHEN n >= 3 AND {_AC_DENX} > 0.0 AND {_AC_DENY} > 0.0 "
+      f"THEN {_AC_NUM} / sqrt({_AC_DENX} * {_AC_DENY}) END")}
+    AS autocorr
+FROM s
+"""
+
+
 QUERIES: dict = {
     "roll_beta_lineitem": (_q_beta, _ORACLE_BETA),
     "roll_sharpe_orders": (_q_sharpe, _ORACLE_SHARPE),
     "roll_moments_orders": (_q_moments, _ORACLE_MOMENTS),
     "roll_ols_slope_orders": (_q_ols, _ORACLE_OLS),
+    "roll_time_since_high_orders": (_q_tsh, _ORACLE_TSH),
+    "ret_autocorr_lineitem": (_q_autocorr, _ORACLE_AUTOCORR),
 }

@@ -30,9 +30,12 @@ from pyspark.sql import functions as F
 
 from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
-from .similarity import DIM, _plane_component
+from .similarity import (
+    DIM, K_BRUTE, N_QUERIES, _cos_duck, _plane_component, cosine_topk,
+)
 
-__all__ = ["norm_histogram", "random_projection", "label_cohesion"]
+__all__ = ["norm_histogram", "random_projection", "label_cohesion",
+           "knn_label_vote"]
 
 QUANT = 1 << 20          # component quantizer for exact centroid means
 _DP_COS = 8              # per-row cosine contribution quantizer (dp)
@@ -138,6 +141,32 @@ def label_cohesion(df: DataFrame, label_col: str = "label",
     )
 
 
+def knn_label_vote(vectors: DataFrame, queries: DataFrame,
+                   k: int = K_BRUTE, label_col: str = "label") -> DataFrame:
+    """(q_id, pred_label, votes): k-nearest-neighbor classification —
+    each query's label predicted by majority vote over its ``k``
+    nearest corpus vectors (ties to the larger label; the standard
+    label-propagation / auto-labeling primitive).
+
+    Composition: ``similarity.cosine_topk`` (broadcast query side, the
+    pruned-window shape) → broadcast join to the corpus's (id, label)
+    — two tiny columns — → per-query vote aggregation (max_by over
+    (count, label), map-side combinable)."""
+    nn = cosine_topk(vectors, queries, k=k)
+    labels = vectors.select(F.col("vec_id").alias("n_id"),
+                            F.col(label_col).cast("bigint").alias("lbl"))
+    votes = (
+        nn.join(labels, "n_id")
+        .groupBy("q_id", "lbl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pick = F.struct(F.col("votes"), F.col("lbl"))
+    return votes.groupBy("q_id").agg(
+        F.max_by("lbl", pick).alias("pred_label"),
+        F.max("votes").alias("votes"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate queries
 # --------------------------------------------------------------------------
@@ -219,8 +248,42 @@ FROM contrib GROUP BY 1
 """
 
 
+def _q_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_label_vote(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+
+
+_ORACLE_LABEL_VOTE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS q_id, v.vec_id AS n_id,
+         CAST(v.label AS BIGINT) AS lbl,
+         {_cos_duck('q.embedding', 'v.embedding')} AS cos_sim
+  FROM embeddings v, embeddings q
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != v.vec_id
+), ranked AS (
+  SELECT q_id, n_id, lbl,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, n_id ASC) AS rank
+  FROM scored
+), votes AS (
+  SELECT q_id, lbl, count(*) AS votes
+  FROM ranked WHERE rank <= {K_BRUTE}
+  GROUP BY 1, 2
+), best AS (
+  SELECT q_id, lbl, votes,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY votes DESC, lbl DESC) AS rn,
+         max(votes) OVER (PARTITION BY q_id) AS max_votes
+  FROM votes
+)
+SELECT q_id, lbl AS pred_label, max_votes AS votes
+FROM best WHERE rn = 1
+"""
+
+
 QUERIES: dict = {
     "emb_norm_hist_embeddings": (_q_norm_hist, _ORACLE_NORM_HIST),
     "emb_projection_embeddings": (_q_projection, _ORACLE_PROJECTION),
     "emb_label_cohesion_embeddings": (_q_cohesion, _ORACLE_COHESION),
+    "knn_label_vote_embeddings": (_q_label_vote, _ORACLE_LABEL_VOTE),
 }

@@ -36,7 +36,8 @@ from ..sources.tables import load
 from .bm25 import doc_lengths
 from .tfidf import term_counts
 
-__all__ = ["lexical_stats", "unigram_cross_entropy", "oov_rate"]
+__all__ = ["lexical_stats", "unigram_cross_entropy", "oov_rate",
+           "pmi_bigrams", "stats_by_group", "composite_quality"]
 
 _DP_TERM = 8
 _TERM_SCALE = float(10 ** _DP_TERM)
@@ -141,6 +142,123 @@ def oov_rate(df: DataFrame, k: int = _OOV_TOPK, text_col: str = "text",
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_TOPK = 25
+
+_TOKS = "filter(split(trim(lower({col})), '\\\\s+'), t -> t != '')"
+
+
+def pmi_bigrams(df: DataFrame, k: int = PMI_TOPK,
+                min_count: int = PMI_MIN_COUNT, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information:
+    ``PMI(a,b) = ln( (c_ab/N_b) / ((c_a/N)(c_b/N)) )`` over adjacent
+    token pairs, keeping bigrams seen at least ``min_count`` times.
+    The standard phrase-mining / tokenizer-merge-candidate statistic.
+
+    Plan: bigram explode (narrow) → one groupBy((a,b)) shuffle; the
+    two unigram join sides are VOCABULARY-sized broadcasts; the top-k
+    is a TakeOrdered (no global sort). PMI is rounded BEFORE ranking
+    (the ``tfidf`` convention) so an ulp can never flip rank order;
+    ties break on the bigram strings."""
+    toks = df.select(
+        F.col(id_col), F.expr(_TOKS.format(col=text_col)).alias("__t"))
+    big = (
+        toks.filter(F.expr("size(__t) >= 2"))
+        .select(F.explode(F.expr(
+            "zip_with(slice(__t, 1, size(__t) - 1), "
+            "slice(__t, 2, size(__t) - 1), "
+            "(x, y) -> struct(x AS a, y AS b))")).alias("bg"))
+        .select("bg.a", "bg.b")
+    )
+    c_ab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        toks.select(F.explode("__t").alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    )
+    nb = big.agg(F.count(F.lit(1)).alias("__nb"))
+    n = uni.agg(F.sum("c").alias("__n"))
+    scored = (
+        c_ab.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(uni.selectExpr("term AS a", "c AS c_a")), "a")
+        .join(F.broadcast(uni.selectExpr("term AS b", "c AS c_b")), "b")
+        .crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi",
+            round_portable(F.expr(
+                "ln((c_ab / CAST(__nb AS DOUBLE)) "
+                "/ ((c_a / CAST(__n AS DOUBLE)) "
+                "* (c_b / CAST(__n AS DOUBLE))))")),
+        )
+    )
+    return (
+        scored.select("a", "b", "c_ab", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(k)
+    )
+
+
+_DP_G = 4
+_G_SCALE = float(10 ** _DP_G)
+
+
+def stats_by_group(df: DataFrame, group_cols=("lang", "source"),
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Corpus monitoring rollup: per (lang, source) — doc count, token
+    totals, mean tokens/doc, mean TTR. Per-doc ratios are rounded to
+    ``_DP_G`` decimals (exact 1e-4 grid) then quantized to BIGINT for
+    the group mean, so the unordered group sum is integer-exact."""
+    lex = lexical_stats(df, text_col, id_col)
+    joined = df.select(F.col(id_col), *group_cols).join(lex, id_col)
+    qttr = F.expr(f"CAST(round(ttr * {_G_SCALE!r}) AS BIGINT)")
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            round_portable(
+                F.sum("n_tokens") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_tokens"),
+            round_portable(
+                F.sum(qttr) / F.lit(_G_SCALE)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_ttr"),
+        )
+    )
+
+
+# Composite-quality weights: lexical diversity dominates; stop-word
+# presence signals prose; longer mean words signal real vocabulary
+# (capped so outliers don't saturate the score).
+QW_TTR, QW_STOP, QW_WLEN = 0.5, 0.3, 0.2
+WLEN_CAP = 8.0
+
+
+def composite_quality(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, quality_score, decile): one blended per-doc quality score
+    — ``0.5·TTR + 0.3·(1 − stopword_ratio) + 0.2·min(wlen/8, 1)`` —
+    plus its corpus decile (NTILE over the scored docs; the global
+    window sorts one row per DOC with only the score column, after
+    aggregation). The single-number gate a curation pipeline
+    thresholds on."""
+    lex = lexical_stats(df, text_col, id_col)
+    score = round_portable(
+        F.lit(QW_TTR) * F.col("ttr")
+        + F.lit(QW_STOP) * (F.lit(1.0) - F.col("stopword_ratio"))
+        + F.lit(QW_WLEN) * F.least(
+            F.col("mean_word_len") / F.lit(WLEN_CAP), F.lit(1.0))
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("quality_score").desc(),
+                       F.col(id_col).asc())
+    return (
+        lex.select(F.col(id_col), score.alias("quality_score"))
+        .withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate queries
 # --------------------------------------------------------------------------
@@ -236,8 +354,114 @@ FROM dl LEFT JOIN iv ON dl.doc_id = iv.doc_id
 """
 
 
+def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_bigrams(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_PMI = f"""
+WITH {_TOK_CTE},
+  big AS (
+    SELECT t[i] AS a, t[i + 1] AS b
+    FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    WHERE len(t) >= 2
+  ), cab AS (
+    SELECT a, b, count(*) AS c_ab FROM big GROUP BY 1, 2
+  ), uni AS (
+    SELECT term, count(*) AS c FROM tok GROUP BY 1
+  ), nb AS (SELECT count(*) AS nbig FROM big),
+  nt AS (SELECT CAST(sum(c) AS BIGINT) AS ntot FROM uni),
+  scored AS (
+    SELECT cab.a, cab.b, cab.c_ab,
+      {round_portable_duck(
+          "ln((c_ab / CAST(nbig AS DOUBLE)) "
+          "/ ((ua.c / CAST(ntot AS DOUBLE)) "
+          "* (ub.c / CAST(ntot AS DOUBLE))))")} AS pmi
+    FROM cab
+    JOIN uni ua ON cab.a = ua.term
+    JOIN uni ub ON cab.b = ub.term
+    CROSS JOIN nb CROSS JOIN nt
+    WHERE cab.c_ab >= {PMI_MIN_COUNT}
+  )
+SELECT a, b, c_ab, pmi FROM scored
+ORDER BY pmi DESC, a ASC, b ASC LIMIT {PMI_TOPK}
+"""
+
+
+def _q_stats_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats_by_group(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_STATS_BY_GROUP = f"""
+WITH {_TOK_CTE},
+  agg AS (
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS types
+    FROM tc GROUP BY 1
+  ), lex AS (
+    SELECT d.doc_id, d.lang, d.source, agg.n,
+           CAST(round((round((types / CAST(n AS DOUBLE))
+                             * {_G_SCALE!r}) / {_G_SCALE!r} + 0.0)
+                      * {_G_SCALE!r}) AS BIGINT) AS qttr
+    FROM documents d JOIN agg ON d.doc_id = agg.doc_id
+  )
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+  {round_portable_duck(
+      "CAST(sum(n) AS BIGINT) / CAST(count(*) AS DOUBLE)")}
+    AS mean_tokens,
+  {round_portable_duck(
+      f"CAST(sum(qttr) AS BIGINT) / {_G_SCALE!r} "
+      f"/ CAST(count(*) AS DOUBLE)")} AS mean_ttr
+FROM lex GROUP BY 1, 2
+"""
+
+
+def _q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return composite_quality(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_COMPOSITE = f"""
+WITH {_TOK_CTE},
+  agg AS (
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS types,
+           CAST(sum(CASE WHEN term IN ({{stop}}) THEN tf
+                         ELSE 0 END) AS BIGINT) AS stop,
+           CAST(sum(len(term) * tf) AS BIGINT) AS chars
+    FROM tc GROUP BY 1
+  ), lex AS (
+    SELECT doc_id,
+           round((types / CAST(n AS DOUBLE)) * {_G_SCALE!r})
+             / {_G_SCALE!r} + 0.0 AS ttr,
+           round((stop / CAST(n AS DOUBLE)) * {_G_SCALE!r})
+             / {_G_SCALE!r} + 0.0 AS sr,
+           round((chars / CAST(n AS DOUBLE)) * {_G_SCALE!r})
+             / {_G_SCALE!r} + 0.0 AS wl
+    FROM agg
+  ), scored AS (
+    SELECT doc_id,
+      {round_portable_duck(
+          f"{QW_TTR!r} * ttr + {QW_STOP!r} * (1.0 - sr) "
+          f"+ {QW_WLEN!r} * least(wl / {WLEN_CAP!r}, 1.0)")}
+        AS quality_score
+    FROM lex
+  )
+SELECT doc_id, quality_score,
+       CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id ASC)
+            AS BIGINT) AS decile
+FROM scored
+""".replace("{stop}", _STOP_SQL)
+
+
 QUERIES: dict = {
     "text_lexical_stats_documents": (_q_lexical, _ORACLE_LEXICAL),
     "text_unigram_xent_documents": (_q_xent, _ORACLE_XENT),
     "text_oov_rate_documents": (_q_oov, _ORACLE_OOV),
+    "text_pmi_bigrams_documents": (_q_pmi, _ORACLE_PMI),
+    "text_stats_by_group_documents": (_q_stats_by_group,
+                                      _ORACLE_STATS_BY_GROUP),
+    "text_composite_quality_documents": (_q_composite, _ORACLE_COMPOSITE),
 }

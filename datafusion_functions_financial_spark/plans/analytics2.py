@@ -41,7 +41,7 @@ from .series import round_portable, round_portable_duck
 __all__ = [
     "user_activity_range", "event_streaks", "latest_order_per_customer",
     "customer_deciles", "orders_cube", "mode_event_type", "group_mad",
-    "orders_with_big_item",
+    "orders_with_big_item", "session_stats", "topk_events_per_user",
 ]
 
 _HOUR_NS = 3_600 * 1_000_000_000
@@ -183,6 +183,62 @@ def orders_with_big_item(orders: DataFrame, lineitem: DataFrame,
         orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
         .select("o_orderkey", "o_custkey",
                 round_portable(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # analytics.py's gap convention
+
+
+def session_stats(events: DataFrame,
+                  gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Per-user session summary on top of gap-based sessionization
+    (the ``analytics.q_events_sessionize`` assignment): session count,
+    mean session duration, and bounce rate (share of single-event
+    sessions). Two groupBy passes over one user_id partitioning —
+    the per-session relation is already clustered by user, so the
+    second aggregation needs no new Exchange. All ratios are exact
+    integer-to-double divisions."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("ts DIV 1000")
+    new_session = F.when(
+        (us - F.lag(us).over(w)) > gap_us, 1).otherwise(0)
+    sess = (
+        events.withColumn("__new", new_session)
+        .withColumn("__sid", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "__sid")
+        .agg(F.count(F.lit(1)).alias("__n"),
+             (F.max(us) - F.min(us)).alias("__dur"))
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        round_portable(
+            F.sum("__dur").cast("double")
+            / (F.lit(1_000_000.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("mean_duration_s"),
+        round_portable(
+            F.sum(F.when(F.col("__n") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("bounce_rate"),
+    )
+
+
+TOPK_PER_USER = 3
+
+
+def topk_events_per_user(events: DataFrame,
+                         k: int = TOPK_PER_USER) -> DataFrame:
+    """Top-``k`` events per user by value (ties to the smaller
+    event_id): the per-entity leaderboard pattern. One window rank per
+    user partition — at scale this is the right shape when k ≪ group
+    size (the rank filter drops rows before any further shuffle)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc())
+    return (
+        events.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("user_id", "event_id",
+                round_portable(F.col("value")).alias("value"), "rank")
     )
 
 
@@ -337,6 +393,57 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 """
 
 
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(load(spark, sf_dir, "events"))
+
+
+_ORACLE_SESSION_STATS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT *, CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS sid
+  FROM flagged
+), per_session AS (
+  SELECT user_id, sid, count(*) AS n,
+         max(us) - min(us) AS dur
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+  {round_portable_duck(
+      "CAST(sum(dur) AS DOUBLE) "
+      "/ (1000000.0 * CAST(count(*) AS DOUBLE))")} AS mean_duration_s,
+  {round_portable_duck(
+      "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+      "/ CAST(count(*) AS DOUBLE)")} AS bounce_rate
+FROM per_session GROUP BY 1
+"""
+
+
+def _q_topk_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk_events_per_user(load(spark, sf_dir, "events"))
+
+
+_ORACLE_TOPK_USER = f"""
+SELECT user_id, event_id,
+  {round_portable_duck("value")} AS value,
+  rank
+FROM (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY value DESC, event_id ASC) AS BIGINT) AS rank
+  FROM events
+) WHERE rank <= {TOPK_PER_USER}
+"""
+
+
 QUERIES: dict = {
     "q_user_activity_1h_events": (_q_activity, _ORACLE_ACTIVITY),
     "q_event_streaks_events": (_q_streaks, _ORACLE_STREAKS),
@@ -346,4 +453,6 @@ QUERIES: dict = {
     "q_mode_event_type_events": (_q_mode, _ORACLE_MODE),
     "q_orders_mad": (_q_mad, _ORACLE_MAD),
     "q_orders_exists_bigitem": (_q_exists, _ORACLE_EXISTS),
+    "q_session_stats_events": (_q_session_stats, _ORACLE_SESSION_STATS),
+    "q_topk_events_per_user": (_q_topk_user, _ORACLE_TOPK_USER),
 }

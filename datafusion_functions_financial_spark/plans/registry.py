@@ -13,7 +13,7 @@ from . import (
     validate,
 )
 from ..functions import (
-    resample, rollstats, rollstats2, technical, technical2,
+    candles, resample, rollstats, rollstats2, technical, technical2,
 )
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, divergence,
@@ -114,7 +114,8 @@ _MODULES = [
     _QueuedQuality, funnel, rollstats,
     # --- new in r04 (never gated) go here, BEFORE the filler, so they
     # land inside the window. ---
-    technical2, rollstats2, analytics2, text2, embstats,
+    technical2, rollstats2, analytics2, text2, embstats, candles,
+    resample,  # moved into the r04 block: resample_interp is new
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -123,7 +124,7 @@ _MODULES = [
     # --- past the window: all driver-green in r02/r03. ---
     sampling, microstructure, skew, multimodal, rollup, decontam,
     incremental, tfidf, sketch, quantize, boilerplate, bm25,
-    packing, resample, divergence,
+    packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
 ]
 

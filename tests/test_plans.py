@@ -254,3 +254,78 @@ def test_customers_no_orders_anti_join_and_broadcast_dim(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_customers_no_orders")
     assert "LeftAnti" in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+# --- r04 tier-2 operators -------------------------------------------------
+
+
+def test_tier2_indicators_single_shuffle_no_python(spark, sf_dir):
+    # Williams %R / z-score / Keltner: pure Catalyst windows — one hash
+    # exchange on the series key, zero Python stages.
+    for name in ("ind_williams_r_events", "ind_zscore_events",
+                 "ind_keltner_events"):
+        plan = plan_of(spark, sf_dir, name)
+        assert count_exchanges(plan) == 1, (name, plan)
+        for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan, (name, marker)
+
+
+def test_activity_range_frame_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_user_activity_1h_events")
+    # The trailing-hour aggregate is a RANGE window frame (incremental,
+    # two-pointer per partition), NOT a self-join: exactly one exchange
+    # and no join operator at all.
+    assert count_exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+    assert "RangeFrame" in plan, plan
+
+
+def test_event_streaks_single_shuffle(spark, sf_dir):
+    # Both row_number windows and the island aggregation run off ONE
+    # user_id exchange (gap-and-islands without any join).
+    plan = plan_of(spark, sf_dir, "q_event_streaks_events")
+    assert count_exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_latest_order_is_aggregate_not_window(spark, sf_dir):
+    # max_by snapshot dedup: map-side partial aggregation, one
+    # exchange, and NO per-group sort (the row_number idiom would show
+    # a Window + Sort over every group's rows).
+    plan = plan_of(spark, sf_dir, "q_latest_order_per_customer")
+    assert count_exchanges(plan) == 1, plan
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_mad_broadcasts_group_medians(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_orders_mad")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_exists_is_semi_join_with_pushed_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_orders_exists_bigitem")
+    assert "LeftSemi" in plan, plan
+    # The price predicate must filter lineitem BELOW the join.
+    assert "PushedFilters" in plan or "Filter" in plan, plan
+
+
+def test_xent_broadcasts_corpus_lm(spark, sf_dir):
+    # The vocabulary-sized unigram LM joins back by broadcast; the
+    # per-doc contribution sum is integer (BIGINT) arithmetic.
+    plan = plan_of(spark, sf_dir, "text_unigram_xent_documents")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_projection_zero_shuffle_no_python(spark, sf_dir):
+    # Random projection is scan-shaped: transform-only, no exchange,
+    # no Python stage.
+    plan = plan_of(spark, sf_dir, "emb_projection_embeddings")
+    assert count_exchanges(plan) == 0, plan
+    for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+
+def test_label_cohesion_broadcasts_centroids(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "emb_label_cohesion_embeddings")
+    assert "BroadcastHashJoin" in plan, plan

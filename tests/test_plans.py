@@ -329,3 +329,42 @@ def test_projection_zero_shuffle_no_python(spark, sf_dir):
 def test_label_cohesion_broadcasts_centroids(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "emb_label_cohesion_embeddings")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_candles_no_window_over_ticks(spark, sf_dir):
+    # Bars build via min_by/max_by aggregation (2 shuffles total:
+    # (key, day) agg + the day-level pattern window); the tick-level
+    # relation must NOT pass through a Window (the row_number idiom
+    # would sort every day's ticks).
+    plan = plan_of(spark, sf_dir, "ind_candles_events")
+    assert count_exchanges(plan) == 2, plan
+    # Exactly one Window node — over daily bars, not raw ticks.
+    assert plan.count("Window") == 1, plan
+
+
+def test_session_stats_single_shuffle(spark, sf_dir):
+    # Sessionize window + per-session agg + per-user agg all run off
+    # one user_id exchange.
+    plan = plan_of(spark, sf_dir, "q_session_stats_events")
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_topk_per_user_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_topk_events_per_user")
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_pmi_topk_is_take_ordered(spark, sf_dir):
+    # Global top-k must be TakeOrdered (no full sort); unigram sides
+    # join by broadcast.
+    plan = plan_of(spark, sf_dir, "text_pmi_bigrams_documents")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_label_vote_single_shuffle_broadcast_labels(spark, sf_dir):
+    # The vote inherits cosine_topk's shape (broadcast query side) and
+    # adds only broadcast label lookup + map-side-combinable agg.
+    plan = plan_of(spark, sf_dir, "knn_label_vote_embeddings")
+    assert count_exchanges(plan) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -175,3 +175,128 @@ def test_chunking_rejects_gapping_stride(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(df, chunk_tokens=2, stride=10)
+
+
+def test_time_since_high_resets_on_new_peak(spark):
+    from datafusion_functions_financial_spark.functions.rollstats2 import (
+        time_since_high,
+    )
+    out = time_since_high(_series(spark, [5, 3, 4, 6, 2, 2]), "v",
+                          ["k"], ["seq"]).orderBy("seq").collect()
+    # peaks at seq 0 and 3; distances: 0,1,2,0,1,2
+    assert [r["bars_since_high"] for r in out] == [0, 1, 2, 0, 1, 2]
+
+
+def test_return_autocorr_alternating_series(spark):
+    from datafusion_functions_financial_spark.functions.rollstats2 import (
+        return_autocorr,
+    )
+    # Alternating up/down returns -> strong negative lag-1 autocorr.
+    vals, v = [], 100.0
+    for i in range(20):
+        v = v * (1.25 if i % 2 == 0 else 0.8)
+        vals.append(v)
+    out = return_autocorr(_series(spark, vals), "v", ["k"], ["seq"]).collect()
+    assert len(out) == 1
+    assert out[0]["autocorr"] < -0.9
+
+
+def test_candle_patterns_doji_flag(spark):
+    from datafusion_functions_financial_spark.functions.candles import (
+        candle_patterns,
+    )
+    day_ns = 86_400 * 10**9
+    # Day 0: open 10 ... close 10.01, high 12, low 8 -> doji (body 1% of range)
+    # Day 1: strong green bar after red -> engulfing impossible here (prev green?)
+    rows = [
+        (1, 0 * day_ns + 1, 0, 10.0), (1, 0 * day_ns + 2, 1, 12.0),
+        (1, 0 * day_ns + 3, 2, 8.0), (1, 0 * day_ns + 4, 3, 10.01),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, value double")
+    out = candle_patterns(df).collect()
+    assert len(out) == 1 and out[0]["is_doji"] is True
+
+
+def test_candle_bull_engulf(spark):
+    from datafusion_functions_financial_spark.functions.candles import (
+        candle_patterns,
+    )
+    day_ns = 86_400 * 10**9
+    rows = [
+        # Day 0: red bar open 11 -> close 10
+        (1, 0 * day_ns + 1, 0, 11.0), (1, 0 * day_ns + 2, 1, 10.0),
+        # Day 1: green bar open 9.5 -> close 11.5, engulfing day 0's body
+        (1, 1 * day_ns + 1, 2, 9.5), (1, 1 * day_ns + 2, 3, 11.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, value double")
+    out = {r["day"]: r for r in candle_patterns(df).collect()}
+    assert out[1]["is_bull_engulf"] is True
+    assert not out[0]["is_bull_engulf"]
+
+
+def test_resample_interp_linear_gap(spark):
+    from datafusion_functions_financial_spark.functions.resample import (
+        resample_interp,
+    )
+    s_ns = 10**9
+    width = 10  # 10-second buckets
+    rows = [
+        # obs in bucket 0 (v=10) and bucket 3 (v=40): gap buckets 1,2
+        # interpolate to 20, 30.
+        (1, 5 * s_ns, 0, 10.0), (1, 35 * s_ns, 1, 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, value double")
+    out = {r["bucket_start"]: r["value_interp"]
+           for r in resample_interp(df, width_s=width).collect()}
+    assert out == {0: 10.0, 10: 20.0, 20: 30.0, 30: 40.0}
+
+
+def test_composite_quality_monotone_in_ttr(spark):
+    from datafusion_functions_financial_spark.operators.text2 import (
+        composite_quality,
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),      # TTR 1.0, no stopwords
+         (2, "spam spam spam spam")],        # TTR 0.25
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in composite_quality(df).collect()}
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    assert rows[1]["decile"] == 1
+
+
+def test_session_stats_bounce(spark):
+    from datafusion_functions_financial_spark.plans.analytics2 import (
+        session_stats,
+    )
+    m_ns = 60 * 10**9
+    rows = [
+        # user 1: session A (2 events 10min apart), then 40min gap ->
+        # session B (1 event) => 2 sessions, bounce rate 0.5
+        (1, 0 * m_ns, 0, "x", 1.0), (1, 10 * m_ns, 1, "x", 1.0),
+        (1, 50 * m_ns, 2, "x", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts long, event_id long, event_type string, "
+        "value double")
+    out = session_stats(df).collect()[0]
+    assert out["n_sessions"] == 2
+    assert out["bounce_rate"] == 0.5
+    # durations: 600s and 0s -> mean 300s
+    assert out["mean_duration_s"] == 300.0
+
+
+def test_knn_label_vote_self_consistent(spark, sf_dir):
+    from datafusion_functions_financial_spark.operators.embstats import (
+        knn_label_vote,
+    )
+    from datafusion_functions_financial_spark.sources.tables import load
+    emb = load(spark, sf_dir, "embeddings")
+    out = knn_label_vote(emb, emb.filter(F.col("vec_id") < 5)).collect()
+    assert len(out) == 5
+    labels = {r["label"] for r in emb.select("label").collect()}
+    assert all(r["pred_label"] in labels for r in out)
+    assert all(1 <= r["votes"] <= 5 for r in out)

@@ -65,19 +65,29 @@ def rolling_beta(df: DataFrame, y_col: str, x_col: str,
         .withColumn("__ya", F.collect_list(F.col(y_col)).over(w))
     )
     nf = float(n)
-    sx = "aggregate(__xa, 0D, (a, v) -> a + v)"
-    sy = "aggregate(__ya, 0D, (a, v) -> a + v)"
-    sxy = ("aggregate(zip_with(__xa, __ya, (p, q) -> p * q), 0D, "
-           "(a, v) -> a + v)")
-    sxx = "aggregate(zip_with(__xa, __xa, (p, q) -> p * q), 0D, " \
-          "(a, v) -> a + v)"
-    den = f"({nf!r} * ({sxx}) - ({sx}) * ({sx}))"
-    num = f"({nf!r} * ({sxy}) - ({sx}) * ({sy}))"
+    # Each fold materializes ONCE as a column — repeating the
+    # aggregate() expression in num/den would re-run the fold per
+    # reference (interpreted HOFs, no CSE).
+    staged = (
+        with_arr
+        .withColumn("__sx", F.expr(
+            "aggregate(__xa, 0D, (a, v) -> a + v)"))
+        .withColumn("__sy", F.expr(
+            "aggregate(__ya, 0D, (a, v) -> a + v)"))
+        .withColumn("__sxy", F.expr(
+            "aggregate(zip_with(__xa, __ya, (p, q) -> p * q), 0D, "
+            "(a, v) -> a + v)"))
+        .withColumn("__sxx", F.expr(
+            "aggregate(zip_with(__xa, __xa, (p, q) -> p * q), 0D, "
+            "(a, v) -> a + v)"))
+    )
+    den = f"({nf!r} * __sxx - __sx * __sx)"
+    num = f"({nf!r} * __sxy - __sx * __sy)"
     expr = (f"CASE WHEN size(__xa) >= {n} AND {den} != 0.0 "
             f"THEN {num} / {den} END")
-    return with_arr.withColumn(
+    return staged.withColumn(
         "beta", round_portable(F.expr(expr))
-    ).drop("__xa", "__ya")
+    ).drop("__xa", "__ya", "__sx", "__sy", "__sxy", "__sxx")
 
 
 def rolling_sharpe(df: DataFrame, value_col: str, keys: Sequence[str],
@@ -116,22 +126,32 @@ def rolling_moments(df: DataFrame, value_col: str, keys: Sequence[str],
     with_arr = df.withColumn(
         "__arr", F.collect_list(F.col(value_col)).over(w))
     nf = float(n)
-    mean = f"aggregate(__arr, 0D, (a, x) -> a + x) / {nf!r}"
-    m2 = (f"aggregate(__arr, 0D, (a, x) -> a + pow(x - ({mean}), 2))"
-          f" / {nf!r}")
-    m3 = (f"aggregate(__arr, 0D, (a, x) -> a + pow(x - ({mean}), 3))"
-          f" / {nf!r}")
-    m4 = (f"aggregate(__arr, 0D, (a, x) -> a + pow(x - ({mean}), 4))"
-          f" / {nf!r}")
-    guard = f"size(__arr) >= {n} AND ({m2}) != 0.0"
-    skew = f"CASE WHEN {guard} THEN ({m3}) / pow({m2}, 1.5) END"
-    kurt = (f"CASE WHEN {guard} "
-            f"THEN ({m4}) / pow({m2}, 2.0) - 3.0 END")
-    return (
+    # Materialize mean and each central moment once (columns), so no
+    # fold re-runs inside another fold's lambda or a repeated guard —
+    # O(n) per row instead of O(n²). Deterministic folds: the values
+    # are bit-identical to the inlined form (and to the oracle's).
+    staged = (
         with_arr
+        .withColumn("__m", F.expr(
+            f"aggregate(__arr, 0D, (a, x) -> a + x) / {nf!r}"))
+        .withColumn("__m2", F.expr(
+            f"aggregate(__arr, 0D, (a, x) -> a + pow(x - __m, 2))"
+            f" / {nf!r}"))
+        .withColumn("__m3", F.expr(
+            f"aggregate(__arr, 0D, (a, x) -> a + pow(x - __m, 3))"
+            f" / {nf!r}"))
+        .withColumn("__m4", F.expr(
+            f"aggregate(__arr, 0D, (a, x) -> a + pow(x - __m, 4))"
+            f" / {nf!r}"))
+    )
+    guard = f"size(__arr) >= {n} AND __m2 != 0.0"
+    skew = f"CASE WHEN {guard} THEN __m3 / pow(__m2, 1.5) END"
+    kurt = f"CASE WHEN {guard} THEN __m4 / pow(__m2, 2.0) - 3.0 END"
+    return (
+        staged
         .withColumn("roll_skew", round_portable(F.expr(skew)))
         .withColumn("roll_kurt", round_portable(F.expr(kurt)))
-        .drop("__arr")
+        .drop("__arr", "__m", "__m2", "__m3", "__m4")
     )
 
 

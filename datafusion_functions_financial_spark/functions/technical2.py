@@ -78,18 +78,22 @@ def cci(df: DataFrame, value_col: str, keys: Sequence[str],
     w = _frame(keys, order, n)
     arr = F.collect_list(F.col(value_col)).over(w)
     with_arr = df.withColumn("__arr", arr)
-    mean = f"aggregate(__arr, 0D, (a, x) -> a + x) / {float(n)!r}"
-    mad = (
-        f"aggregate(__arr, 0D, (a, x) -> a + abs(x - ({mean})))"
-        f" / {float(n)!r}"
-    )
+    # Materialize the mean BEFORE the MAD fold: referencing the mean
+    # fold inside the MAD lambda would re-run it per element (O(n²)
+    # per row). Same doubles either way — the fold is deterministic.
+    with_m = with_arr.withColumn(
+        "__m",
+        F.expr(f"aggregate(__arr, 0D, (a, x) -> a + x) / {float(n)!r}"))
+    mad = (f"aggregate(__arr, 0D, (a, x) -> a + abs(x - __m))"
+           f" / {float(n)!r}")
+    with_mad = with_m.withColumn("__mad", F.expr(mad))
     expr = (
-        f"CASE WHEN size(__arr) >= {n} AND ({mad}) != 0.0 "
-        f"THEN ({value_col} - ({mean})) / (0.015 * ({mad})) END"
+        f"CASE WHEN size(__arr) >= {n} AND __mad != 0.0 "
+        f"THEN ({value_col} - __m) / (0.015 * __mad) END"
     )
-    return with_arr.withColumn(
+    return with_mad.withColumn(
         "cci", round_portable(F.expr(expr))
-    ).drop("__arr")
+    ).drop("__arr", "__m", "__mad")
 
 
 def keltner(df: DataFrame, value_col: str, keys: Sequence[str],

@@ -456,6 +456,59 @@ FROM scored
 """.replace("{stop}", _STOP_SQL)
 
 
+TOP_TERMS_PER_GROUP = 3
+
+
+def top_terms_per_group(df: DataFrame, k: int = TOP_TERMS_PER_GROUP,
+                        group_col: str = "source",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` terms by frequency within each group (source/domain)
+    — the per-domain vocabulary fingerprint. Ties break toward the
+    smaller term. Counts are one (group, term) shuffle with map-side
+    combine; the rank window partitions on the group (vocabulary-sized
+    input, not corpus-sized)."""
+    counts = (
+        df.select(F.col(group_col).alias("grp"),
+                  F.explode(F.expr(_TOKS.format(col=text_col)))
+                  .alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("grp").orderBy(
+        F.col("cnt").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "cnt", "rank")
+    )
+
+
+def _q_top_terms_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_terms_per_group(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_TOP_TERMS_GROUP = f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS t
+  FROM documents
+), counts AS (
+  SELECT source, unnest(t) AS term FROM toks
+), c AS (
+  SELECT source, term, count(*) AS cnt FROM counts GROUP BY 1, 2
+)
+SELECT source, term, cnt, rank FROM (
+  SELECT source, term, cnt,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY cnt DESC, term ASC) AS BIGINT) AS rank
+  FROM c
+) WHERE rank <= {TOP_TERMS_PER_GROUP}
+"""
+
+
 QUERIES: dict = {
     "text_lexical_stats_documents": (_q_lexical, _ORACLE_LEXICAL),
     "text_unigram_xent_documents": (_q_xent, _ORACLE_XENT),
@@ -464,4 +517,6 @@ QUERIES: dict = {
     "text_stats_by_group_documents": (_q_stats_by_group,
                                       _ORACLE_STATS_BY_GROUP),
     "text_composite_quality_documents": (_q_composite, _ORACLE_COMPOSITE),
+    "text_top_terms_per_source_documents": (_q_top_terms_group,
+                                            _ORACLE_TOP_TERMS_GROUP),
 }

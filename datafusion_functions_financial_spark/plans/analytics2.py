@@ -444,6 +444,50 @@ FROM (
 """
 
 
+def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
+    """Orders strictly above their own customer's average order value —
+    the correlated-subquery classic (``WHERE x > (SELECT avg ...)``),
+    planned as groupBy + broadcast join back to facts.
+
+    The comparison is INTEGER-exact: prices quantize to cents
+    (BIGINT), and ``price > avg`` becomes
+    ``cents * n > sum_cents`` — no float average whose last-ulp
+    summation order could differ between engines."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    stats = (
+        orders.withColumn("__c", cents)
+        .groupBy("o_custkey")
+        .agg(F.sum("__c").alias("__sum_c"),
+             F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        orders.withColumn("__c", cents)
+        .join(F.broadcast(stats), "o_custkey")
+        .filter(F.col("__c") * F.col("__n") > F.col("__sum_c"))
+        .select("o_custkey", "o_orderkey",
+                round_portable(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+def _q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return orders_above_customer_avg(load(spark, sf_dir, "orders"))
+
+
+_ORACLE_ABOVE_AVG = f"""
+WITH stats AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS sum_c,
+         count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT o.o_custkey, o.o_orderkey,
+  {round_portable_duck("o.o_totalprice")} AS o_totalprice
+FROM orders o JOIN stats s USING (o_custkey)
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * s.n > s.sum_c
+"""
+
+
 QUERIES: dict = {
     "q_user_activity_1h_events": (_q_activity, _ORACLE_ACTIVITY),
     "q_event_streaks_events": (_q_streaks, _ORACLE_STREAKS),
@@ -455,4 +499,5 @@ QUERIES: dict = {
     "q_orders_exists_bigitem": (_q_exists, _ORACLE_EXISTS),
     "q_session_stats_events": (_q_session_stats, _ORACLE_SESSION_STATS),
     "q_topk_events_per_user": (_q_topk_user, _ORACLE_TOPK_USER),
+    "q_orders_above_cust_avg": (_q_above_avg, _ORACLE_ABOVE_AVG),
 }

@@ -20,7 +20,7 @@ from ..operators import (
     embnorm, embstats, histogram, incremental, ivf, microstructure,
     multimodal,
     packing, pipeline, profile, quality, quantize, rollup, sampling,
-    similarity, sketch, skew, text, text2, tfidf, vocab,
+    similarity, sketch, skew, text, text2, tfidf, vocab, wquantile,
 )
 
 
@@ -116,6 +116,7 @@ _MODULES = [
     # land inside the window. ---
     technical2, rollstats2, analytics2, text2, embstats, candles,
     resample,  # moved into the r04 block: resample_interp is new
+    wquantile,  # last new-block module: its query is R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -130,9 +131,12 @@ _MODULES = [
 
 # Queries registered past the gate window, scheduled for the NEXT
 # round's gate. They run in the local parity suite every round like
-# everything else. Empty when the window has room for every ungated
-# query (the r04 state).
-R05_QUEUE = frozenset()
+# everything else. The r04 window is FULL: 45 ungated queries + 5
+# prior-gated riders (funnel/rollstats/resample siblings travel with
+# their modules) = 50; the one extra lands here.
+R05_QUEUE = frozenset({
+    "wq_weighted_median_lineitem",
+})
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the
 # queue by round number).

@@ -335,3 +335,51 @@ def test_streaming_state_survives_restart(spark, tmp_path):
                 assert g is None or (isinstance(g, float) and math.isnan(g))
             else:
                 assert g == pytest.approx(e, abs=1e-9), (t, f)
+
+
+def test_foreachbatch_bridge_streams_all_partitions(spark, tmp_path):
+    """The foreachBatch bridge (VERDICT r03 item 7) iterates with
+    toLocalIterator — one partition resident at a time. Every signal
+    row must still reach the handler exactly once across a
+    multi-partition micro-batch."""
+    import pandas as pd
+    from datafusion_functions_financial_spark.streaming.spark import (
+        TICK_SCHEMA,
+        start_signal_stream,
+    )
+
+    # 8 symbols, each with an overbought ramp -> >= 1 signal per symbol,
+    # spread over several input partitions.
+    frames = []
+    for i in range(8):
+        prices = [100.0, 104.0, 108.0, 112.0, 116.0, 120.0]
+        ticks = make_ticks(f"S{i}", prices)
+        frames.append(pd.DataFrame([
+            dict(symbol=t.symbol, timestamp=t.timestamp, price=t.price,
+                 volume=t.volume, bid=None, ask=None) for t in ticks
+        ]))
+    pdf = pd.concat(frames, ignore_index=True)
+    src = tmp_path / "many_ticks"
+    spark.createDataFrame(pdf, schema=TICK_SCHEMA).repartition(8) \
+        .write.parquet(str(src))
+
+    fired = []
+    stream = spark.readStream.schema(TICK_SCHEMA).parquet(str(src))
+    q = start_signal_stream(
+        stream, window_size=3,
+        handler=lambda row: fired.append(
+            (row["symbol"], row["timestamp"], row["signal_type"])),
+    )
+    import time as _time
+    deadline = _time.time() + 90
+    while _time.time() < deadline:
+        if q.lastProgress and q.lastProgress["numInputRows"] == 0 and fired:
+            break
+        _time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+
+    # No duplicates (exactly-once within the batch) and full coverage
+    # (every symbol's signals crossed the bridge).
+    assert len(fired) == len(set(fired))
+    assert {s for s, _, _ in fired} == {f"S{i}" for i in range(8)}

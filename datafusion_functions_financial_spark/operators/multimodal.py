@@ -165,3 +165,112 @@ def frame_sample_plan(
             F.sequence(F.lit(0), (n_frames - 1) * every_nth, F.lit(every_nth))
         ).alias("frame_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# Resize + audio passes: same stub-decoder pattern as image_features —
+# the Spark plumbing (schemas, Arrow batching, narrow mapInPandas) is
+# real; the codec work is an injection point.
+# --------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("format", StringType()),
+    StructField("payload", BinaryType()),   # re-encoded resized image
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+])
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("format", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("duration_s", DoubleType()),
+    StructField("sample_rate", LongType()),
+    StructField("rms", DoubleType()),
+])
+
+
+def default_image_resizer(payload: bytes, fmt: str,
+                          max_side: int) -> tuple[bytes, int, int]:
+    """STUB: plug in PIL's thumbnail/resize here."""
+    raise NotImplementedError(
+        "no image codec in this environment — inject a resizer "
+        "(e.g. PIL-based) via resize_images(resizer=...)"
+    )
+
+
+def fake_image_resizer(payload: bytes, fmt: str,
+                       max_side: int) -> tuple[bytes, int, int]:
+    """Deterministic stand-in: 'resizes' by truncating the payload to a
+    digest-derived length and scaling the fake dimensions to fit
+    ``max_side`` (aspect preserved)."""
+    w, h, _ = fake_image_decoder(payload, fmt)
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    cut = max(1, int(len(payload) * scale * scale))
+    return payload[:cut], nw, nh
+
+
+def resize_images(
+    media: DataFrame,
+    max_side: int = 256,
+    resizer: Callable[[bytes, str, int], tuple[bytes, int, int]] | None = None,
+) -> DataFrame:
+    """Re-encode every image to fit ``max_side`` (the training-data
+    thumbnail pass). Narrow mapInPandas: blobs never shuffle; output
+    partitioning mirrors the input splits."""
+    doit = resizer or default_image_resizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                out, w, h = doit(bytes(rec.payload), rec.format, max_side)
+                rows.append((rec.media_id, rec.format, out, w, h))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    images = media.filter(media.media_type == "image")
+    return images.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def default_audio_decoder(payload: bytes,
+                          fmt: str) -> tuple[float, int, float]:
+    """STUB: plug in soundfile/librosa here -> (duration_s,
+    sample_rate, rms)."""
+    raise NotImplementedError(
+        "no audio codec in this environment — inject a decoder via "
+        "audio_features(decoder=...)"
+    )
+
+
+def fake_audio_decoder(payload: bytes, fmt: str) -> tuple[float, int, float]:
+    """Deterministic stand-in derived from a stable digest."""
+    d = hashlib.sha256(payload).digest()
+    sample_rate = (8000, 16000, 22050, 44100)[d[0] % 4]
+    duration_s = round(len(payload) / float(sample_rate), 6)
+    rms = d[1] / 255.0
+    return duration_s, sample_rate, rms
+
+
+def audio_features(
+    media: DataFrame,
+    decoder: Callable[[bytes, str], tuple[float, int, float]] | None = None,
+) -> DataFrame:
+    """Per-clip audio stats via the same narrow Arrow pass."""
+    decode = decoder or default_audio_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload)
+                dur, sr, rms = decode(payload, rec.format)
+                rows.append((rec.media_id, rec.format, len(payload),
+                             dur, sr, rms))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    audio = media.filter(media.media_type == "audio")
+    return audio.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -50,3 +50,61 @@ def test_frame_sample_plan(media_df):
     idx = sorted(r["frame_index"] for r in out)
     assert idx[0] == 0 and all(i % 10 == 0 for i in idx)
     assert len(idx) == len(set(idx))
+
+
+def test_resize_images_plumbing(spark):
+    from datafusion_functions_financial_spark.operators.multimodal import (
+        fake_image_decoder,
+        fake_image_resizer,
+        resize_images,
+    )
+    rows = [(i, "image", "png", bytes(range(256)) * (i + 1), None)
+            for i in range(4)]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = resize_images(media, max_side=16,
+                        resizer=fake_image_resizer).collect()
+    assert len(out) == 4
+    for r in out:
+        assert max(r["width"], r["height"]) <= 16
+        assert r["width"] >= 1 and r["height"] >= 1
+        assert len(r["payload"]) >= 1
+    # Deterministic: same input -> same resized payload.
+    again = resize_images(media, max_side=16,
+                          resizer=fake_image_resizer).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_audio_features_plumbing_and_type_filter(spark):
+    from datafusion_functions_financial_spark.operators.multimodal import (
+        audio_features,
+        fake_audio_decoder,
+    )
+    rows = [
+        (1, "audio", "wav", b"\x01\x02" * 4000, None),
+        (2, "audio", "wav", b"\x07\x08" * 8000, None),
+        (3, "image", "png", b"\xff" * 100, None),  # must be filtered
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r["media_id"]: r
+           for r in audio_features(media, decoder=fake_audio_decoder).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        assert r["duration_s"] == round(
+            r["n_bytes"] / float(r["sample_rate"]), 6)
+        assert 0.0 <= r["rms"] <= 1.0
+
+
+def test_default_codecs_raise_loudly(spark):
+    import pytest as _pytest
+    from datafusion_functions_financial_spark.operators.multimodal import (
+        audio_features,
+        resize_images,
+    )
+    rows = [(1, "audio", "wav", b"x", None),
+            (2, "image", "png", b"y", None)]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="codec"):
+        audio_features(media).collect()
+    with _pytest.raises(Exception, match="codec"):
+        resize_images(media).collect()

@@ -16,7 +16,7 @@ from ..functions import (
     candles, resample, rollstats, rollstats2, technical, technical2,
 )
 from ..operators import (
-    asof, bm25, boilerplate, chunking, decontam, dedup, divergence,
+    asof, bm25, boilerplate, chunking, decontam, dedup, diff, divergence,
     embnorm, embstats, histogram, incremental, ivf, microstructure,
     multimodal,
     packing, pipeline, profile, quality, quantize, rollup, sampling,
@@ -116,7 +116,7 @@ _MODULES = [
     # land inside the window. ---
     technical2, rollstats2, analytics2, text2, embstats, candles,
     resample,  # moved into the r04 block: resample_interp is new
-    wquantile,  # last new-block module: its query is R05-queued
+    wquantile, diff,  # past the window cut: queries are R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -136,6 +136,8 @@ _MODULES = [
 # their modules) = 50; the one extra lands here.
 R05_QUEUE = frozenset({
     "wq_weighted_median_lineitem",
+    "diff_snapshots_orders",
+    "validate_fk_orphans_orders",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

@@ -300,3 +300,56 @@ def test_knn_label_vote_self_consistent(spark, sf_dir):
     labels = {r["label"] for r in emb.select("label").collect()}
     assert all(r["pred_label"] in labels for r in out)
     assert all(1 <= r["votes"] <= 5 for r in out)
+
+
+def test_weighted_quantile_known_values(spark):
+    from datafusion_functions_financial_spark.operators.wquantile import (
+        weighted_quantile,
+    )
+    # Group g: values 1(w=1), 2(w=1), 3(w=8) -> total 10, half 5 ->
+    # first value whose cumw*2 >= 10 is 3 (cum 1,2,10).
+    rows = [("g", 0, 1.0, 1.0), ("g", 1, 2.0, 1.0), ("g", 2, 3.0, 8.0),
+            # Group h: equal weights -> weighted median = lower median.
+            ("h", 0, 10.0, 1.0), ("h", 1, 20.0, 1.0)]
+    df = spark.createDataFrame(
+        rows, "k string, seq long, v double, w double")
+    out = {r["k"]: (r["w_quantile"], r["total_weight"])
+           for r in weighted_quantile(df, "v", "w", ["k"], ["seq"]).collect()}
+    assert out["g"] == (3.0, 10)
+    assert out["h"] == (10.0, 2)
+
+
+def test_weighted_quantile_p90(spark):
+    from datafusion_functions_financial_spark.operators.wquantile import (
+        weighted_quantile,
+    )
+    rows = [("g", i, float(i), 1.0) for i in range(1, 11)]  # 1..10
+    df = spark.createDataFrame(
+        rows, "k string, seq long, v double, w double")
+    out = weighted_quantile(df, "v", "w", ["k"], ["seq"],
+                            numer=9, denom=10).collect()[0]
+    assert out["w_quantile"] == 9.0  # first cumw*10 >= 90 is at v=9
+
+
+def test_snapshot_diff_statuses(spark):
+    from datafusion_functions_financial_spark.operators.diff import (
+        snapshot_diff,
+    )
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "id long, v string")
+    out = {r["id"]: r["status"]
+           for r in snapshot_diff(old, new, ["id"], ["v"]).collect()}
+    assert out == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_fk_orphans_anti_join(spark):
+    from datafusion_functions_financial_spark.operators.diff import (
+        fk_orphans,
+    )
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "id long, pk long")
+    parent = spark.createDataFrame([(10,), (20,)], "k long")
+    out = fk_orphans(child, parent, "pk", "k").collect()
+    assert [(r["id"], r["pk"]) for r in out] == [(3, 99)]

@@ -99,19 +99,49 @@ def rolling_corr(df: DataFrame, x_col: str, y_col: str, keys: Sequence[str],
     """Rolling Pearson correlation of two columns over the last ``n`` rows.
 
     NULL until the frame holds ``n`` rows, and NULL when either series
-    is constant within the frame (built from
-    ``covar_samp / nullif(sd_x * sd_y, 0)`` rather than ``corr`` —
-    ANSI-mode ``corr`` raises DIVIDE_BY_ZERO on constant frames, and
-    the explicit form keeps the Spark and oracle float expression
-    trees identical).
+    is constant within the frame.
+
+    Built from ordered array folds — ``(n·Sxy − Sx·Sy) /
+    sqrt((n·Sxx − Sx²)(n·Syy − Sy²))`` with every sum a sequential
+    fold over the frame order — NOT from ``covar_samp``/
+    ``stddev_samp`` windows: the engines' moment aggregates use
+    different update formulas that differ in the last ulp, and at
+    sf0.1 one frame crossed a .5 rounding boundary that way (the same
+    failure mode fixed in ``rollstats2.rolling_beta``). The oracle
+    folds the same lists in the same order, so the doubles are
+    bit-equal before rounding. ``order`` must be unique within a key
+    for the frame contents themselves to be deterministic.
     """
     w = _rows_window(keys, order, n)
-    full = F.count(F.lit(1)).over(w) >= n
-    cov = F.covar_samp(F.col(x_col), F.col(y_col)).over(w)
-    sds = F.stddev_samp(F.col(x_col)).over(w) * \
-        F.stddev_samp(F.col(y_col)).over(w)
-    corr = cov / F.nullif(sds, F.lit(0.0))
-    return df.withColumn("roll_corr", round_portable(F.when(full, corr)))
+    staged = (
+        df.withColumn("__xa", F.collect_list(F.col(x_col)).over(w))
+        .withColumn("__ya", F.collect_list(F.col(y_col)).over(w))
+        .withColumn("__sx", F.expr(
+            "aggregate(__xa, 0D, (a, v) -> a + v)"))
+        .withColumn("__sy", F.expr(
+            "aggregate(__ya, 0D, (a, v) -> a + v)"))
+        .withColumn("__sxy", F.expr(
+            "aggregate(zip_with(__xa, __ya, (p, q) -> p * q), 0D, "
+            "(a, v) -> a + v)"))
+        .withColumn("__sxx", F.expr(
+            "aggregate(zip_with(__xa, __xa, (p, q) -> p * q), 0D, "
+            "(a, v) -> a + v)"))
+        .withColumn("__syy", F.expr(
+            "aggregate(zip_with(__ya, __ya, (p, q) -> p * q), 0D, "
+            "(a, v) -> a + v)"))
+    )
+    nf = float(n)
+    denx = f"({nf!r} * __sxx - __sx * __sx)"
+    deny = f"({nf!r} * __syy - __sy * __sy)"
+    num = f"({nf!r} * __sxy - __sx * __sy)"
+    expr = (
+        f"CASE WHEN size(__xa) >= {n} "
+        f"AND {denx} > 0.0 AND {deny} > 0.0 "
+        f"THEN {num} / sqrt({denx} * {deny}) END"
+    )
+    return staged.withColumn(
+        "roll_corr", round_portable(F.expr(expr))
+    ).drop("__xa", "__ya", "__sx", "__sy", "__sxy", "__sxx", "__syy")
 
 
 # --------------------------------------------------------------------------
@@ -145,9 +175,14 @@ def _q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-part order: (shipdate, orderkey, linenumber) is NOT unique at
+    # sf0.1 (duplicate triple), and a non-unique ROWS-frame order makes
+    # the frame contents themselves nondeterministic — the price column
+    # is the standard tiebreaker (plans/series.py LINEITEM series).
     out = rolling_corr(load(spark, sf_dir, "lineitem"), "l_quantity",
                        "l_extendedprice", ["l_suppkey"],
-                       ["l_shipdate", "l_orderkey", "l_linenumber"],
+                       ["l_shipdate", "l_orderkey", "l_linenumber",
+                        "l_extendedprice"],
                        n=_CORR_N)
     return out.select("l_suppkey", "l_orderkey", "l_linenumber", "roll_corr")
 
@@ -207,21 +242,44 @@ FROM orders
 _ORACLE_CORR = f"""
 WITH t AS (
   SELECT l_suppkey, l_orderkey, l_linenumber,
-         covar_samp(l_quantity, l_extendedprice) OVER w
-           / nullif(stddev_samp(l_quantity) OVER w
-                    * stddev_samp(l_extendedprice) OVER w, 0) AS c,
-         count(*) OVER w AS cnt
+         list(l_quantity) OVER w AS xa,
+         list(l_extendedprice) OVER w AS ya
   FROM lineitem
   WINDOW w AS (PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_extendedprice
                ROWS BETWEEN {_CORR_N - 1} PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, len(xa) AS flen,
+         list_reduce(list_concat([CAST(0 AS DOUBLE)], xa),
+                     (a, v) -> a + v) AS sx,
+         list_reduce(list_concat([CAST(0 AS DOUBLE)], ya),
+                     (a, v) -> a + v) AS sy,
+         list_reduce(list_concat([CAST(0 AS DOUBLE)],
+             list_transform(range(1, len(xa) + 1),
+                            i -> xa[i] * ya[i])),
+                     (a, v) -> a + v) AS sxy,
+         list_reduce(list_concat([CAST(0 AS DOUBLE)],
+             list_transform(range(1, len(xa) + 1),
+                            i -> xa[i] * xa[i])),
+                     (a, v) -> a + v) AS sxx,
+         list_reduce(list_concat([CAST(0 AS DOUBLE)],
+             list_transform(range(1, len(ya) + 1),
+                            i -> ya[i] * ya[i])),
+                     (a, v) -> a + v) AS syy
+  FROM t
 )
 SELECT l_suppkey, l_orderkey, l_linenumber,
-  {round_portable_duck(f"CASE WHEN cnt >= {_CORR_N} THEN c END")}
+  {round_portable_duck(
+      f"CASE WHEN flen >= {_CORR_N} "
+      f"AND ({float(_CORR_N)!r} * sxx - sx * sx) > 0.0 "
+      f"AND ({float(_CORR_N)!r} * syy - sy * sy) > 0.0 "
+      f"THEN ({float(_CORR_N)!r} * sxy - sx * sy) "
+      f"/ sqrt(({float(_CORR_N)!r} * sxx - sx * sx) "
+      f"* ({float(_CORR_N)!r} * syy - sy * sy)) END")}
     AS roll_corr
-FROM t
+FROM s
 """
-
 QUERIES: dict = {
     "roll_bollinger_orders": (_q_bollinger, _ORACLE_BOLL),
     "roll_volatility_orders": (_q_volatility, _ORACLE_VOL),

@@ -488,6 +488,54 @@ WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * s.n > s.sum_c
 """
 
 
+def yoy_growth(orders: DataFrame) -> DataFrame:
+    """Year-over-year revenue growth per customer: yearly revenue in
+    integer cents (exact unordered sums), growth = rev/prev − 1 via a
+    LAG over years. One (custkey, year) aggregation shuffle; the year
+    window runs over a handful of rows per customer."""
+    yearly = (
+        orders
+        .withColumn("__yr", F.year(F.col("o_orderdate")))
+        .withColumn("__c", F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .groupBy("o_custkey", "__yr")
+        .agg(F.sum("__c").alias("__rev_c"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("__yr")
+    prev = F.lag("__rev_c", 1).over(w)
+    return yearly.select(
+        "o_custkey",
+        F.col("__yr").cast("bigint").alias("year"),
+        round_portable(F.col("__rev_c") / F.lit(100.0)).alias("revenue"),
+        round_portable(
+            F.col("__rev_c").cast("double")
+            / F.nullif(prev.cast("double"), F.lit(0.0)) - F.lit(1.0)
+        ).alias("yoy_growth"),
+    )
+
+
+def _q_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return yoy_growth(load(spark, sf_dir, "orders"))
+
+
+_ORACLE_YOY = f"""
+WITH yearly AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) AS BIGINT) AS year,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey, year,
+  {round_portable_duck("rev_c / 100.0")} AS revenue,
+  {round_portable_duck(
+      "CAST(rev_c AS DOUBLE) / nullif(CAST(lag(rev_c) OVER "
+      "(PARTITION BY o_custkey ORDER BY year) AS DOUBLE), 0.0) - 1.0")}
+    AS yoy_growth
+FROM yearly
+"""
+
+
 QUERIES: dict = {
     "q_user_activity_1h_events": (_q_activity, _ORACLE_ACTIVITY),
     "q_event_streaks_events": (_q_streaks, _ORACLE_STREAKS),
@@ -500,4 +548,10 @@ QUERIES: dict = {
     "q_session_stats_events": (_q_session_stats, _ORACLE_SESSION_STATS),
     "q_topk_events_per_user": (_q_topk_user, _ORACLE_TOPK_USER),
     "q_orders_above_cust_avg": (_q_above_avg, _ORACLE_ABOVE_AVG),
+}
+
+# Registered past the gate window via the registry's _queued shim (the
+# r04 window is full); lands in the R05 gate.
+QUEUED_QUERIES: dict = {
+    "q_yoy_growth_orders": (_q_yoy, _ORACLE_YOY),
 }

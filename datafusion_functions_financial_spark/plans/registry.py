@@ -35,6 +35,7 @@ def _queued(qdict: dict):
     return _Q
 
 
+_QueuedAnalytics2 = _queued(analytics2.QUEUED_QUERIES)
 _QueuedVocab = _queued(vocab.QUEUED_QUERIES)
 _QueuedMicro = _queued(microstructure.QUEUED_QUERIES)
 _QueuedDedup = _queued(dedup.QUEUED_QUERIES)
@@ -116,7 +117,7 @@ _MODULES = [
     # land inside the window. ---
     technical2, rollstats2, analytics2, text2, embstats, candles,
     resample,  # moved into the r04 block: resample_interp is new
-    wquantile, diff,  # past the window cut: queries are R05-queued
+    wquantile, diff, _QueuedAnalytics2,  # past the cut: R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -138,6 +139,7 @@ R05_QUEUE = frozenset({
     "wq_weighted_median_lineitem",
     "diff_snapshots_orders",
     "validate_fk_orphans_orders",
+    "q_yoy_growth_orders",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

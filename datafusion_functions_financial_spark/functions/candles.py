@@ -85,8 +85,15 @@ def candle_patterns(df: DataFrame, value_col: str = "value",
             & (upper <= body))
         .withColumn(
             "is_bull_engulf",
-            (p_close < p_open) & (F.col("close") > F.col("open"))
-            & (F.col("close") >= p_open) & (F.col("open") <= p_close))
+            # coalesce(FALSE): a key's first bar has no previous bar —
+            # "not engulfing", not NULL. Keeps the column non-nullable
+            # BOOLEAN on both engines (a nullable bool lands as a
+            # pandas OBJECT column where Spark emits None and DuckDB
+            # NaN — a hash hazard for the driver compare).
+            F.coalesce(
+                (p_close < p_open) & (F.col("close") > F.col("open"))
+                & (F.col("close") >= p_open) & (F.col("open") <= p_close),
+                F.lit(False)))
         .select(
             key_col, "day",
             round_portable(F.col("open")).alias("open"),
@@ -147,8 +154,8 @@ SELECT user_id, day,
    AND least(open, close) - low
        >= {HAMMER_SHADOW_MULT!r} * abs(close - open)
    AND high - greatest(open, close) <= abs(close - open)) AS is_hammer,
-  (p_close < p_open AND close > open
-   AND close >= p_open AND open <= p_close) AS is_bull_engulf
+  coalesce(p_close < p_open AND close > open
+   AND close >= p_open AND open <= p_close, FALSE) AS is_bull_engulf
 FROM lagged
 """
 

@@ -13,7 +13,7 @@ from . import (
     validate,
 )
 from ..functions import (
-    candles, resample, rollstats, rollstats2, technical, technical2,
+    candles, resample, risk, rollstats, rollstats2, technical, technical2,
 )
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, diff, divergence,
@@ -117,7 +117,7 @@ _MODULES = [
     # land inside the window. ---
     technical2, rollstats2, analytics2, text2, embstats, candles,
     resample,  # moved into the r04 block: resample_interp is new
-    wquantile, diff, _QueuedAnalytics2,  # past the cut: R05-queued
+    wquantile, diff, _QueuedAnalytics2, risk,  # past the cut: R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -140,6 +140,9 @@ R05_QUEUE = frozenset({
     "diff_snapshots_orders",
     "validate_fk_orphans_orders",
     "q_yoy_growth_orders",
+    "risk_var_cvar_events",
+    "risk_sortino_events",
+    "risk_ulcer_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

@@ -14,6 +14,7 @@ from . import (
 )
 from ..functions import (
     candles, resample, risk, rollstats, rollstats2, technical, technical2,
+    technical3,
 )
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, diff, divergence,
@@ -118,6 +119,7 @@ _MODULES = [
     technical2, rollstats2, analytics2, text2, embstats, candles,
     resample,  # moved into the r04 block: resample_interp is new
     wquantile, diff, _QueuedAnalytics2, risk,  # past the cut: R05-queued
+    technical3,  # R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -143,6 +145,10 @@ R05_QUEUE = frozenset({
     "risk_var_cvar_events",
     "risk_sortino_events",
     "risk_ulcer_events",
+    "ind_trix_events",
+    "ind_ppo_events",
+    "ind_adx_events",
+    "ind_aroon_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

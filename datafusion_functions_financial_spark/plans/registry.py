@@ -21,7 +21,8 @@ from ..operators import (
     embnorm, embstats, histogram, incremental, ivf, microstructure,
     multimodal,
     packing, pipeline, profile, quality, quantize, rollup, sampling,
-    similarity, sketch, skew, text, text2, tfidf, vocab, wquantile,
+    similarity, sketch, sketch2, skew, text, text2, tfidf, vocab,
+    wquantile,
 )
 
 
@@ -119,7 +120,7 @@ _MODULES = [
     technical2, rollstats2, analytics2, text2, embstats, candles,
     resample,  # moved into the r04 block: resample_interp is new
     wquantile, diff, _QueuedAnalytics2, risk,  # past the cut: R05-queued
-    technical3,  # R05-queued
+    technical3, sketch2,  # R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -149,6 +150,8 @@ R05_QUEUE = frozenset({
     "ind_ppo_events",
     "ind_adx_events",
     "ind_aroon_events",
+    "cms_token_counts_documents",
+    "bloom_membership_customers",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

@@ -13,8 +13,8 @@ from . import (
     validate,
 )
 from ..functions import (
-    candles, resample, risk, rollstats, rollstats2, technical, technical2,
-    technical3,
+    barvol, candles, resample, risk, rollstats, rollstats2, technical,
+    technical2, technical3,
 )
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, diff, divergence,
@@ -120,7 +120,7 @@ _MODULES = [
     technical2, rollstats2, analytics2, text2, embstats, candles,
     resample,  # moved into the r04 block: resample_interp is new
     wquantile, diff, _QueuedAnalytics2, risk,  # past the cut: R05-queued
-    technical3, sketch2,  # R05-queued
+    technical3, sketch2, barvol,  # R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -152,6 +152,7 @@ R05_QUEUE = frozenset({
     "ind_aroon_events",
     "cms_token_counts_documents",
     "bloom_membership_customers",
+    "barvol_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

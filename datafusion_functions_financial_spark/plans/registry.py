@@ -18,7 +18,7 @@ from ..functions import (
 )
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, diff, divergence,
-    embnorm, embstats, histogram, incremental, ivf, microstructure,
+    dq, embnorm, embstats, histogram, incremental, ivf, microstructure,
     multimodal,
     packing, pipeline, profile, quality, quantize, rollup, sampling,
     similarity, sketch, sketch2, skew, text, text2, tfidf, vocab,
@@ -120,7 +120,7 @@ _MODULES = [
     technical2, rollstats2, analytics2, text2, embstats, candles,
     resample,  # moved into the r04 block: resample_interp is new
     wquantile, diff, _QueuedAnalytics2, risk,  # past the cut: R05-queued
-    technical3, sketch2, barvol,  # R05-queued
+    technical3, sketch2, barvol, dq,  # R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -153,6 +153,8 @@ R05_QUEUE = frozenset({
     "cms_token_counts_documents",
     "bloom_membership_customers",
     "barvol_events",
+    "dq_benford_orders",
+    "dq_unique_keys_lineitem",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

@@ -418,26 +418,28 @@ def minhash_lsh_pairs(
     )
     cand = minhash_lsh_candidates(df, text_col, id_col, max_bucket_size,
                                   sig=sig)
-    sh = base.select(
-        "doc_id", F.explode("__mh.hashes").alias("h")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Verification joins the CANDIDATE pairs against per-doc hash-set
+    # ARRAYS and intersects in-row (the arrays are distinct sets, so
+    # size(array_intersect) IS the intersection cardinality). The
+    # earlier explode-join formulation shuffled the full shingle
+    # relation (corpus_docs x ~shingles_per_doc rows) through the
+    # (id, h) equi-join; this one moves only the candidate docs'
+    # arrays — shuffle volume scales with CANDIDATES (cap-bounded),
+    # not with corpus size. Same integers, same jaccard bits.
+    harr = base.select("doc_id", F.col("__mh.hashes").alias("__h"))
     inter = (
-        cand.join(sh.selectExpr("doc_id AS id_a", "h AS h_a"), "id_a")
-        .join(
-            sh.selectExpr("doc_id AS id_b2", "h AS h_b"),
-            (F.col("id_b") == F.col("id_b2"))
-            & (F.col("h_a") == F.col("h_b")),
+        cand.join(harr.selectExpr("doc_id AS id_a", "__h AS __h_a"),
+                  "id_a")
+        .join(harr.selectExpr("doc_id AS id_b", "__h AS __h_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.expr("size(array_intersect(__h_a, __h_b))").alias("inter"),
+            F.expr("size(__h_a)").alias("n_a"),
+            F.expr("size(__h_b)").alias("n_b"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
-                   .withColumnRenamed("n", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b")
-              .withColumnRenamed("n", "n_b"), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
         )

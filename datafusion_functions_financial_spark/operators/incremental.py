@@ -199,25 +199,24 @@ def incremental_neardup_pairs(
         .select("shard_id", "corpus_id")
     )
 
-    s_sh = s_sig.select("doc_id", F.explode("hashes").alias("h"))
-    c_sh = idx.select("doc_id", F.explode("hashes").alias("h"))
-    s_sizes = s_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
-    c_sizes = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    # In-row array intersection over the candidate pairs (the hash
+    # arrays are distinct sets) — the explode-join formulation shuffled
+    # shard+index shingle rows (linear in corpus); this moves only the
+    # candidate docs' arrays, like ``dedup.minhash_lsh_pairs``.
     inter = (
-        cand.join(s_sh.selectExpr("doc_id AS shard_id", "h AS h_a"),
-                  "shard_id")
-        .join(c_sh.selectExpr("doc_id AS corpus_id2", "h AS h_b"),
-              (F.col("corpus_id") == F.col("corpus_id2"))
-              & (F.col("h_a") == F.col("h_b")))
-        .groupBy("shard_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(s_sig.selectExpr("doc_id AS shard_id",
+                                   "hashes AS __h_a"), "shard_id")
+        .join(idx.selectExpr("doc_id AS corpus_id", "hashes AS __h_b"),
+              "corpus_id")
+        .select(
+            "shard_id", "corpus_id",
+            F.expr("size(array_intersect(__h_a, __h_b))").alias("inter"),
+            F.expr("size(__h_a)").alias("n_a"),
+            F.expr("size(__h_b)").alias("n_b"),
+        )
     )
     return (
-        inter.join(s_sizes.withColumnRenamed("doc_id", "shard_id"),
-                   "shard_id")
-        .join(c_sizes.withColumnRenamed("doc_id", "corpus_id"),
-              "corpus_id")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b")
                               - F.col("inter")),

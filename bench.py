@@ -97,9 +97,17 @@ def main() -> None:
         "roll_beta_lineitem",              # ordered-array-fold rolling beta
         "text_unigram_xent_documents",     # corpus-LM score, broadcast vocab
         "emb_label_cohesion_embeddings",   # 2-pass centroid cohesion
+        # --- r04 late additions ---
+        "ind_adx_events",                  # triple-Wilder kernel chain
+        "risk_var_cvar_events",            # sorted-frame order-stat quantile
+        "barvol_events",                   # bar build + range-vol folds
+        "cms_token_counts_documents",      # count-min cells + top-k audit
+        "bloom_membership_customers",      # broadcast bloom membership
+        "dq_benford_orders",               # digit pivot + fixed chi-square
     ]
     table_rows = {}
-    for t in ("events", "orders", "lineitem", "documents", "embeddings"):
+    for t in ("events", "orders", "lineitem", "documents", "embeddings",
+              "customer"):
         table_rows[t] = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     rows_for = {
         "ind_": table_rows["events"],
@@ -133,6 +141,11 @@ def main() -> None:
         "q_latest_order": table_rows["orders"],
         "roll_beta": table_rows["lineitem"],
         "emb_": table_rows["embeddings"],
+        "risk_": table_rows["events"],
+        "barvol_": table_rows["events"],
+        "cms_": table_rows["documents"],
+        "bloom_": table_rows["customer"],
+        "dq_benford": table_rows["orders"],
     }
 
     def run(name: str) -> float:

@@ -175,6 +175,55 @@ FROM ev e ASOF LEFT JOIN snaps s
 """
 
 
+def _q_asof_forward(spark, sf_dir):
+    """Forward as-of: each event carries the NEXT upcoming snapshot
+    (the "when is the next rebalance" direction) — exercises
+    ``direction='forward'``, which the backward gate query doesn't."""
+    from ..plans.series import ROUND_DP
+    from ..sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("us"), "value"
+    )
+    snaps = (
+        ev.withColumn("day", F.expr(f"us DIV {US_DAY}"))
+        .groupBy("user_id", "day")
+        .agg(F.min("value").alias("day_low"))
+        .filter(F.col("day") % 3 == 0)
+        .select(
+            "user_id",
+            (F.col("day") * US_DAY).alias("snap_us"),
+            "day_low",
+        )
+    )
+    out = asof_join(
+        ev, snaps, ["user_id"], "us", "snap_us", ["day_low"],
+        direction="forward", how="left", matched_on_col="snap_us",
+    )
+    return out.select(
+        "user_id", "event_id", "us",
+        F.round("day_low", ROUND_DP).alias("day_low"), "snap_us",
+    )
+
+
+_ORACLE_ASOF_FORWARD = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+), snaps AS (
+  SELECT user_id, day * 86400000000 AS snap_us, day_low
+  FROM (
+    SELECT user_id, us // 86400000000 AS day, min(value) AS day_low
+    FROM ev GROUP BY 1, 2
+  ) WHERE day % 3 = 0
+)
+SELECT e.user_id, e.event_id, e.us,
+       round(s.day_low, 4) AS day_low, s.snap_us
+FROM ev e ASOF LEFT JOIN snaps s
+  ON e.user_id = s.user_id AND e.us <= s.snap_us
+"""
+
+
 QUERIES: dict = {
     "asof_events_snapshots": (_q_asof_events_snapshots, _ORACLE_ASOF_EVENTS),
+    "asof_events_snapshots_fwd": (_q_asof_forward, _ORACLE_ASOF_FORWARD),
 }

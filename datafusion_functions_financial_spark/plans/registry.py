@@ -9,8 +9,8 @@ is pre-validated locally.
 from __future__ import annotations
 
 from . import (
-    analytics, analytics2, enrich, funnel, indicator_queries, signals,
-    validate,
+    analytics, analytics2, analytics3, enrich, funnel, indicator_queries,
+    signals, validate,
 )
 from ..functions import (
     barvol, candles, resample, risk, rollstats, rollstats2, technical,
@@ -120,7 +120,7 @@ _MODULES = [
     technical2, rollstats2, analytics2, text2, embstats, candles,
     resample,  # moved into the r04 block: resample_interp is new
     wquantile, diff, _QueuedAnalytics2, risk,  # past the cut: R05-queued
-    technical3, sketch2, barvol, dq,  # R05-queued
+    technical3, sketch2, barvol, dq, analytics3,  # R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -155,6 +155,9 @@ R05_QUEUE = frozenset({
     "barvol_events",
     "dq_benford_orders",
     "dq_unique_keys_lineitem",
+    "asof_events_snapshots_fwd",
+    "q_market_share_orders",
+    "q_custdist_orders",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

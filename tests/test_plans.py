@@ -368,3 +368,19 @@ def test_label_vote_single_shuffle_broadcast_labels(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "knn_label_vote_embeddings")
     assert count_exchanges(plan) == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_market_share_broadcasts_all_dims(spark, sf_dir):
+    # Q8-shape snowflake: customer/nation/region all broadcast; the
+    # orders fact reaches the per-year aggregation with only its own
+    # final groupBy exchange.
+    plan = plan_of(spark, sf_dir, "q_market_share_orders")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert count_exchanges(plan) <= 1, plan
+
+
+def test_bloom_membership_zero_probe_shuffle_pregroup(spark, sf_dir):
+    # The bloom word table broadcasts; the only hash exchanges are the
+    # members distinct and the probe-side collapse groupBy.
+    plan = plan_of(spark, sf_dir, "bloom_membership_customers")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -18,8 +18,8 @@ from ..functions import (
 )
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, diff, divergence,
-    dq, embnorm, embstats, histogram, incremental, ivf, microstructure,
-    multimodal,
+    dq, embnorm, embstats, histogram, incremental, ivf, keywords,
+    microstructure, multimodal,
     packing, pipeline, profile, quality, quantize, rollup, sampling,
     similarity, sketch, sketch2, skew, text, text2, tfidf, vocab,
     wquantile,
@@ -120,7 +120,7 @@ _MODULES = [
     technical2, rollstats2, analytics2, text2, embstats, candles,
     resample,  # moved into the r04 block: resample_interp is new
     wquantile, diff, _QueuedAnalytics2, risk,  # past the cut: R05-queued
-    technical3, sketch2, barvol, dq, analytics3,  # R05-queued
+    technical3, sketch2, barvol, dq, analytics3, keywords,  # R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -158,6 +158,7 @@ R05_QUEUE = frozenset({
     "asof_events_snapshots_fwd",
     "q_market_share_orders",
     "q_custdist_orders",
+    "text_rake_keywords_documents",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

@@ -15,6 +15,8 @@ import pytest
     "examples/validate.py",
     "examples/corpus_curation.py",
     "examples/training_data_prep.py",
+    "examples/quant_screen_demo.py",
+    "examples/data_audit_demo.py",
 ])
 def test_example_runs(script):
     proc = subprocess.run(

@@ -5,12 +5,18 @@ Extends the reference's sma/ema/rsi/macd family
 (``/root/reference/src/functions/``) along the same path as
 ``technical.py``/``technical2.py``. Two execution shapes:
 
-- **Recursive chains (TRIX, PPO, ADX)** run as ONE grouped
-  ``applyInPandas`` per series — the ``with_indicators`` shape: a
-  single hash shuffle on the series key, Arrow-batched numpy folds
-  (``kernels.ema_fold``) whose expression trees match the DuckDB
-  oracle lambdas bit-for-bit. Hot single-key series can be bucketed
-  through ``functions/segmented.py`` exactly like the A1-A4 kernels.
+- **Recursive chains (TRIX, PPO, ADX)** run in the
+  ``with_indicators(method="partition")`` shape: ONE hash shuffle on
+  the series key, JVM-side sort within partitions, then ONE
+  ``mapInPandas`` call per shuffle partition that packs every series
+  into a NaN-padded (G, maxlen) matrix and runs the folds
+  ROW-PARALLEL (``kernels.ema_fold2d`` — one vectorized step per time
+  index instead of a Python call per series; a 1500-series partition
+  costs one Arrow round-trip, not 1500). Per-element expression trees
+  match the DuckDB oracle lambdas bit-for-bit. Hot single-key series
+  can be bucketed through ``functions/segmented.py`` like the A1-A4
+  kernels. Values must be null-free (the oracles' prefix folds have
+  no null-skip branch; events.value is).
 - **Frame-local (Aroon)** is pure Catalyst: a ROWS frame
   ``collect_list`` plus an indexed fold to locate the latest high/low
   — no Python anywhere in the plan.
@@ -35,7 +41,6 @@ from pyspark.sql.types import DoubleType, StructField, StructType
 
 from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
-from .kernels import ema_fold
 
 __all__ = ["trix", "ppo", "adx", "aroon"]
 
@@ -50,23 +55,63 @@ def _frame(keys: Sequence[str], order: Sequence[str], n: int):
     return _row_window(keys, order).rowsBetween(-(n - 1), 0)
 
 
-def _grouped(df: DataFrame, keys: Sequence[str], order: Sequence[str],
-             new_cols: Sequence[str], fn) -> DataFrame:
-    """One ``applyInPandas`` per series key: sort the group by the
-    unique order columns (stable mergesort, like ``with_indicators``),
-    run ``fn(pdf) -> pdf`` which appends ``new_cols`` as float64
-    (NaN = undefined), then map NaN to NULL and round portably."""
+def _partitioned(df: DataFrame, value_col: str, keys: Sequence[str],
+                 order: Sequence[str], new_cols: Sequence[str],
+                 matrix_fn) -> DataFrame:
+    """Partition-mode kernel runner (see module docstring): shuffle on
+    ``keys``, sort within partitions by (keys, order), pack each
+    partition's series into a NaN-padded matrix, and call
+    ``matrix_fn(M, lens) -> {col: (G, L) matrix}`` once per partition.
+    NaN outputs map to NULL; results round portably."""
+    import numpy as np
+    import pandas as pd
+
+    from . import kernels
+
     schema = StructType(
         df.schema.fields
         + [StructField(c, DoubleType()) for c in new_cols]
     )
+    kcols = list(keys)
+    sort_cols = kcols + list(order)
 
-    def compute(pdf):
-        pdf = pdf.sort_values(list(order), kind="mergesort",
-                              ignore_index=True)
-        return fn(pdf)
+    def compute(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = (pd.concat(pdfs, ignore_index=True)
+               if len(pdfs) > 1 else pdfs[0])
+        if len(pdf) == 0:
+            return
+        # Null-safe group-boundary detection (same contract as
+        # indicators.with_indicators partition mode).
+        kdf = pdf[kcols]
+        shifted = kdf.shift()
+        changed = (
+            (kdf.ne(shifted) & ~(kdf.isna() & shifted.isna()))
+            .any(axis=1)
+            .to_numpy()
+        )
+        changed[0] = True
+        starts = np.flatnonzero(changed)
+        ends = np.append(starts[1:], len(pdf))
+        v = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+        M, _lens = kernels.pack_segments(
+            [v[s:e] for s, e in zip(starts, ends)])
+        outs = matrix_fn(M, _lens)
+        for c in new_cols:
+            full = np.full(len(pdf), np.nan)
+            R = outs[c]
+            for g, (s, e) in enumerate(zip(starts, ends)):
+                full[s:e] = R[g, : e - s]
+            pdf[c] = full
+        yield pdf
 
-    out = df.groupBy(*keys).applyInPandas(compute, schema)
+    out = (
+        df.repartition(*kcols)
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(compute, schema)
+    )
     for c in new_cols:
         out = out.withColumn(
             c, round_portable(F.when(~F.isnan(F.col(c)), F.col(c)))
@@ -83,20 +128,20 @@ def trix(df: DataFrame, value_col: str, keys: Sequence[str],
     """
     alpha = 2.0 / (float(n) + 1.0)
 
-    def fn(pdf):
-        v = pdf[value_col].to_numpy(dtype="float64")
-        e3 = ema_fold(ema_fold(ema_fold(v, alpha), alpha), alpha)
-        out = np.full(v.shape, np.nan)
-        if v.shape[0] > 1:
-            prev = e3[:-1]
+    def fn(M, lens):
+        from .kernels import ema_fold2d
+        e3 = ema_fold2d(ema_fold2d(ema_fold2d(M, alpha), alpha), alpha)
+        out = np.full(M.shape, np.nan)
+        if M.shape[1] > 1:
+            prev = e3[:, :-1]
             with np.errstate(divide="ignore", invalid="ignore"):
-                out[1:] = np.where(
-                    prev != 0.0, 100.0 * (e3[1:] / prev - 1.0), np.nan
+                out[:, 1:] = np.where(
+                    prev != 0.0,
+                    100.0 * (e3[:, 1:] / prev - 1.0), np.nan,
                 )
-        pdf["trix"] = out
-        return pdf
+        return {"trix": out}
 
-    return _grouped(df, keys, order, ["trix"], fn)
+    return _partitioned(df, value_col, keys, order, ["trix"], fn)
 
 
 def ppo(df: DataFrame, value_col: str, keys: Sequence[str],
@@ -110,16 +155,15 @@ def ppo(df: DataFrame, value_col: str, keys: Sequence[str],
     af = 2.0 / (float(fast) + 1.0)
     aslow = 2.0 / (float(slow) + 1.0)
 
-    def fn(pdf):
-        v = pdf[value_col].to_numpy(dtype="float64")
-        ef = ema_fold(v, af)
-        es = ema_fold(v, aslow)
+    def fn(M, lens):
+        from .kernels import ema_fold2d
+        ef = ema_fold2d(M, af)
+        es = ema_fold2d(M, aslow)
         with np.errstate(divide="ignore", invalid="ignore"):
             out = np.where(es != 0.0, 100.0 * (ef - es) / es, np.nan)
-        pdf["ppo"] = out
-        return pdf
+        return {"ppo": out}
 
-    return _grouped(df, keys, order, ["ppo"], fn)
+    return _partitioned(df, value_col, keys, order, ["ppo"], fn)
 
 
 def adx(df: DataFrame, value_col: str, keys: Sequence[str],
@@ -138,20 +182,22 @@ def adx(df: DataFrame, value_col: str, keys: Sequence[str],
     """
     alpha = 1.0 / float(n)
 
-    def fn(pdf):
-        v = pdf[value_col].to_numpy(dtype="float64")
-        m = v.shape[0]
-        if m == 0:
-            for c in ("di_plus", "di_minus", "adx"):
-                pdf[c] = np.empty(0)
-            return pdf
-        d = v[1:] - v[:-1]
+    def fn(M, lens):
+        from .kernels import ema_fold2d
+        G, L = M.shape
+        shape = (G, max(L - 1, 0))
+        if shape[1] == 0:
+            nanm = np.full((G, L), np.nan)
+            return {"di_plus": nanm, "di_minus": nanm.copy(),
+                    "adx": nanm.copy()}
+        d = M[:, 1:] - M[:, :-1]          # NaN on padded cells
+        valid = ~np.isnan(d)
         dmp = np.maximum(d, 0.0)
         dmm = np.maximum(-d, 0.0)
         tr = np.abs(d)
-        smp = ema_fold(dmp, alpha)
-        smm = ema_fold(dmm, alpha)
-        smt = ema_fold(tr, alpha)
+        smp = ema_fold2d(dmp, alpha)
+        smm = ema_fold2d(dmm, alpha)
+        smt = ema_fold2d(tr, alpha)
         with np.errstate(divide="ignore", invalid="ignore"):
             dip = np.where(smt != 0.0, 100.0 * smp / smt, np.nan)
             dim = np.where(smt != 0.0, 100.0 * smm / smt, np.nan)
@@ -161,14 +207,19 @@ def adx(df: DataFrame, value_col: str, keys: Sequence[str],
                 100.0 * np.abs(dip - dim) / ssum,
                 0.0,
             )
-        a = ema_fold(dx, alpha)
-        pad = np.full(1, np.nan)
-        pdf["di_plus"] = np.concatenate([pad, dip])
-        pdf["di_minus"] = np.concatenate([pad, dim])
-        pdf["adx"] = np.concatenate([pad, a])
-        return pdf
+        # keep padding NaN so the adx fold skips it (within a series
+        # dx is total, matching the per-series recurrence exactly)
+        dx = np.where(valid, dx, np.nan)
+        a = ema_fold2d(dx, alpha)
+        pad = np.full((G, 1), np.nan)
+        return {
+            "di_plus": np.concatenate([pad, dip], axis=1),
+            "di_minus": np.concatenate([pad, dim], axis=1),
+            "adx": np.concatenate([pad, a], axis=1),
+        }
 
-    out = _grouped(df, keys, order, ["di_plus", "di_minus", "adx"], fn)
+    out = _partitioned(df, value_col, keys, order,
+                       ["di_plus", "di_minus", "adx"], fn)
     # the Δ-undefined first row carries only NULLs — drop it so the
     # output matches the oracle's filtered relation row-for-row
     return out.filter(F.col("adx").isNotNull() | F.col("di_plus").isNotNull()

@@ -140,6 +140,30 @@ def _bloom_positions(value_expr: str, m_bits: int, k: int,
     return [f"(({h1}) + {i} * ({h2})) % {m_bits}" for i in range(k)]
 
 
+def _bloom_word_rows(df: DataFrame, value_expr: str, m_bits: int,
+                     k: int) -> DataFrame:
+    """Expand each input row into k (word_idx, mask) rows. The two
+    double-hash bases are STAGED as columns first — inlining them into
+    every position expression re-evaluates the quadratic mix ~4k times
+    per row (it dominated the probe-side runtime before staging); the
+    staged form computes each mix once and derives the k positions
+    with two integer ops each. Identical integers either way."""
+    base = df.selectExpr(
+        "*",
+        f"({_mix(value_expr, _BLOOM_C1, True)}) % {m_bits} AS __h1",
+        f"1 + ({_mix(value_expr, _BLOOM_C2, True)}) % {m_bits - 1}"
+        f" AS __h2",
+    )
+    pairs = ", ".join(
+        f"CAST(((__h1 + {i} * __h2) % {m_bits}) DIV 32 AS BIGINT), "
+        f"CAST(shiftleft(1L, CAST((__h1 + {i} * __h2) % {m_bits} % 32 "
+        f"AS INT)) AS BIGINT)"
+        for i in range(k)
+    )
+    return base.selectExpr(
+        "*", f"stack({k}, {pairs}) AS (word_idx, mask)")
+
+
 def bloom_build(df: DataFrame, value_expr: str,
                 m_bits: int = BLOOM_M_BITS,
                 k: int = BLOOM_K) -> DataFrame:
@@ -147,13 +171,7 @@ def bloom_build(df: DataFrame, value_expr: str,
     map-side. bits holds a 32-bit word in a BIGINT, so every value is
     positive on both engines (no BIGINT sign-bit shift at position 63).
     """
-    pos = _bloom_positions(value_expr, m_bits, k, spark=True)
-    pairs = ", ".join(
-        f"CAST(({p}) DIV 32 AS BIGINT), "
-        f"CAST(shiftleft(1L, CAST(({p}) % 32 AS INT)) AS BIGINT)"
-        for p in pos
-    )
-    words = df.selectExpr(f"stack({k}, {pairs}) AS (word_idx, mask)")
+    words = _bloom_word_rows(df, value_expr, m_bits, k)
     return words.groupBy("word_idx").agg(
         F.expr("bit_or(mask)").alias("bits"))
 
@@ -165,14 +183,8 @@ def bloom_membership(bloom: DataFrame, probes: DataFrame,
     are set. The word table broadcasts; the probe side never shuffles
     (the k-way expansion collapses back with a groupBy on the probe's
     own columns — map-side combinable)."""
-    pos = _bloom_positions(value_expr, m_bits, k, spark=True)
-    pairs = ", ".join(
-        f"CAST(({p}) DIV 32 AS BIGINT), "
-        f"CAST(shiftleft(1L, CAST(({p}) % 32 AS INT)) AS BIGINT)"
-        for p in pos
-    )
-    keyed = probes.selectExpr(
-        "*", f"stack({k}, {pairs}) AS (word_idx, mask)")
+    keyed = _bloom_word_rows(probes, value_expr, m_bits, k).drop(
+        "__h1", "__h2")
     joined = keyed.join(F.broadcast(bloom), ["word_idx"], "left")
     hit = F.when(
         (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")))

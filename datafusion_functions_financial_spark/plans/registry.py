@@ -14,7 +14,7 @@ from . import (
 )
 from ..functions import (
     barvol, candles, resample, risk, rollstats, rollstats2, technical,
-    technical2, technical3,
+    technical2, technical3, technical4,
 )
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, diff, divergence,
@@ -120,7 +120,8 @@ _MODULES = [
     technical2, rollstats2, analytics2, text2, embstats, candles,
     resample,  # moved into the r04 block: resample_interp is new
     wquantile, diff, _QueuedAnalytics2, risk,  # past the cut: R05-queued
-    technical3, sketch2, barvol, dq, analytics3, keywords,  # R05-queued
+    technical3, technical4, sketch2, barvol, dq, analytics3,
+    keywords,  # R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -159,6 +160,8 @@ R05_QUEUE = frozenset({
     "q_market_share_orders",
     "q_custdist_orders",
     "text_rake_keywords_documents",
+    "ind_ichimoku_events",
+    "ind_pivots_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

@@ -1,0 +1,155 @@
+"""Portfolio aggregation: weighted multi-asset value and return
+series from per-key tick streams.
+
+The composition step after the per-instrument indicator/risk surface:
+given basis-point weights per key, build the portfolio's value series
+on a common time grid and derive its returns — the input to the
+portfolio-level risk stats (``functions/risk.py`` applies unchanged,
+keyed by a constant).
+
+Exactness: the per-(key, bucket) price is integer CENTS
+(``sum(round(value*100))/count`` — numerator exact at any partial-agg
+order), and the portfolio value accumulates as ``weight_bp *
+price_cents`` BIGINT products — so the whole pipeline up to the final
+return division is exact integer arithmetic, per the SCALING.md rule.
+Only COMPLETE buckets (every portfolio key present) produce a value:
+a missing instrument would silently skew the weighted sum.
+
+Scale: one (key, bucket) aggregation over the ticks (map-side
+combinable), a broadcast join against the weights dim, one bucket
+aggregation for the portfolio sum, then a single-series window. The
+tick table shuffles once.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .series import round_portable, round_portable_duck
+
+__all__ = ["portfolio_value", "portfolio_returns"]
+
+# Daily grid: the synthetic event streams are sparse enough that an
+# hourly grid never sees every instrument in one bucket (the
+# complete-bucket rule would drop everything); real tick data would
+# use finer buckets.
+BUCKET_NS = 86_400 * 1_000_000_000
+
+
+def _weights_df(spark: SparkSession,
+                weights_bp: Mapping[int, int]) -> DataFrame:
+    rows = [(int(k), int(w)) for k, w in sorted(weights_bp.items())]
+    return spark.createDataFrame(rows, "key bigint, w_bp bigint")
+
+
+def portfolio_value(df: DataFrame, weights_bp: Mapping[int, int],
+                    key_col: str = "user_id", ts_ns_col: str = "ts",
+                    value_col: str = "value",
+                    bucket_ns: int = BUCKET_NS) -> DataFrame:
+    """(bucket, pv_cents_bp): portfolio value per complete time bucket
+    in cent-basis-points (BIGINT; divide by 10^4 for cents).
+
+    ``weights_bp``: {key: weight in basis points}. Keys absent from
+    the mapping are excluded from the portfolio (broadcast inner
+    join); buckets missing any weighted key are dropped.
+    """
+    spark = df.sparkSession
+    n_keys = len(weights_bp)
+    w = _weights_df(spark, weights_bp)
+    priced = (
+        df.selectExpr(
+            f"{key_col} AS key",
+            f"{ts_ns_col} DIV {bucket_ns} AS bucket",
+            f"CAST(round({value_col} * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.sum("cents").alias("__c"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn("price_cents",
+                    F.expr("CAST(__c DIV __n AS BIGINT)"))
+    )
+    weighted = priced.join(F.broadcast(w), "key")
+    return (
+        weighted.groupBy("bucket")
+        .agg(
+            F.sum(F.col("w_bp") * F.col("price_cents"))
+            .cast("bigint").alias("pv_cents_bp"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        .filter(F.col("__k") == n_keys)
+        .select("bucket", "pv_cents_bp")
+    )
+
+
+def portfolio_returns(df: DataFrame, weights_bp: Mapping[int, int],
+                      key_col: str = "user_id", ts_ns_col: str = "ts",
+                      value_col: str = "value",
+                      bucket_ns: int = BUCKET_NS) -> DataFrame:
+    """(bucket, pv_cents_bp, ret): simple returns of the portfolio
+    value series (NULL on the first bucket and after a zero value)."""
+    pv = portfolio_value(df, weights_bp, key_col, ts_ns_col,
+                         value_col, bucket_ns)
+    wrow = Window.orderBy("bucket")
+    prev = F.lag("pv_cents_bp", 1).over(wrow)
+    ret = F.when(
+        prev != F.lit(0),
+        F.col("pv_cents_bp").cast("double") / prev.cast("double")
+        - F.lit(1.0),
+    )
+    return pv.withColumn("ret", round_portable(ret))
+
+
+# ---------------------------------------------------------------------------
+# Gate query (R05 queue): a 5-instrument portfolio over the five most
+# even user ids (present at every sf).
+# ---------------------------------------------------------------------------
+
+_WEIGHTS = {0: 4000, 1: 2500, 2: 1500, 3: 1200, 4: 800}  # sums to 10000
+
+
+def _q_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return portfolio_returns(load(spark, sf_dir, "events"), _WEIGHTS)
+
+
+_W_VALUES = ", ".join(f"({k}, {w})" for k, w in sorted(_WEIGHTS.items()))
+
+_ORACLE_PORTFOLIO = f"""
+WITH w(key, w_bp) AS (VALUES {_W_VALUES}),
+t AS (
+  SELECT user_id AS key,
+         (epoch_us(ts) * 1000) // {BUCKET_NS} AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), priced AS (
+  SELECT key, bucket,
+         CAST(sum(cents) // count(*) AS BIGINT) AS price_cents
+  FROM t GROUP BY key, bucket
+), pv AS (
+  SELECT bucket,
+         CAST(sum(w_bp * price_cents) AS BIGINT) AS pv_cents_bp,
+         count(*) AS k
+  FROM priced JOIN w USING (key)
+  GROUP BY bucket
+), s AS (
+  SELECT bucket, pv_cents_bp,
+         lag(pv_cents_bp) OVER (ORDER BY bucket) AS prev
+  FROM pv WHERE k = {len(_WEIGHTS)}
+)
+SELECT bucket, pv_cents_bp,
+  {round_portable_duck(
+      "CASE WHEN prev != 0 THEN "
+      "CAST(pv_cents_bp AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0 END"
+  )} AS ret
+FROM s
+"""
+
+
+QUERIES: dict = {
+    "q_portfolio_returns_events": (_q_portfolio, _ORACLE_PORTFOLIO),
+}

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from . import (
     analytics, analytics2, analytics3, enrich, funnel, indicator_queries,
-    signals, validate,
+    portfolio, signals, validate,
 )
 from ..functions import (
     barvol, candles, resample, risk, rollstats, rollstats2, technical,
@@ -121,7 +121,7 @@ _MODULES = [
     resample,  # moved into the r04 block: resample_interp is new
     wquantile, diff, _QueuedAnalytics2, risk,  # past the cut: R05-queued
     technical3, technical4, sketch2, barvol, dq, analytics3,
-    keywords,  # R05-queued
+    keywords, portfolio,  # R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -162,6 +162,7 @@ R05_QUEUE = frozenset({
     "text_rake_keywords_documents",
     "ind_ichimoku_events",
     "ind_pivots_events",
+    "q_portfolio_returns_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

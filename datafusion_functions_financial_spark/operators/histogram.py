@@ -77,8 +77,13 @@ def _q_hist_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_HIST_EVENTS = f"""
 SELECT CAST(floor(value / {_VALUE_WIDTH!r}) AS BIGINT) AS bin,
-       CAST(floor(value / {_VALUE_WIDTH!r}) AS BIGINT) * {_VALUE_WIDTH!r}
-         AS bin_lo,
+       -- CAST: a float-looking literal is a DECIMAL in DuckDB, and
+       -- BIGINT * DECIMAL stays DECIMAL (no double in the expression
+       -- to contaminate it) — the driver's pandas path coerces it to
+       -- float64 so values matched, but the dtype drift is a hash
+       -- hazard; make the oracle emit DOUBLE like the Spark side.
+       CAST(CAST(floor(value / {_VALUE_WIDTH!r}) AS BIGINT)
+            * {_VALUE_WIDTH!r} AS DOUBLE) AS bin_lo,
        count(*) AS n_rows,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_cents

@@ -841,6 +841,46 @@ def dedup_clusters(
     )
 
 
+def select_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """The dedup DECISION: one canonical doc per cluster —
+    (cluster_id, rep_id, n_members). Policy: keep the LONGEST member
+    (duplicates are usually truncations/mutilations of the fullest
+    copy), ties to the smallest id.
+
+    The policy key packs (length, -id) into ONE BIGINT
+    (``length * 2^40 - id`` — lengths and ids both < 2^40 by a wide
+    margin) because a plain ``max_by`` with a scalar key is map-side
+    combinable on BOTH engines, while struct-keyed ``max_by`` isn't
+    portable (DuckDB has no struct overload). One groupBy over the
+    corpus-sized cluster relation; no window, no sort.
+    """
+    key = (f"CAST({length_col} AS BIGINT) * 1099511627776"
+           f" - CAST({id_col} AS BIGINT)")
+    joined = clusters.join(
+        docs.selectExpr(f"{id_col}", f"{length_col}"), id_col)
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.expr(f"max_by({id_col}, {key})").alias("rep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+    )
+
+
+def _q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        docs, minhash_lsh_pairs(docs, max_bucket_size=GATE_BUCKET_CAP)
+    )
+    reps = select_representatives(docs, clusters)
+    return reps.filter(F.col("n_members") > 1)
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return dedup_clusters(
@@ -848,7 +888,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_DEDUP_CLUSTERS = f"""
+_CLUSTERS_CTE_PREFIX = f"""
 WITH RECURSIVE lsh AS (
   {_ORACLE_MINHASH_LSH}
 ), edges AS (
@@ -860,17 +900,39 @@ WITH RECURSIVE lsh AS (
   UNION
   SELECT e.src AS id, reach.r
   FROM edges e JOIN reach ON reach.id = e.dst
-)
+)"""
+
+_ORACLE_DEDUP_CLUSTERS = f"""
+{_CLUSTERS_CTE_PREFIX}
 SELECT id AS doc_id, min(r) AS cluster_id,
        (id = min(r)) AS is_kept
 FROM reach
 GROUP BY id
 """
 
+_ORACLE_DEDUP_REPRESENTATIVES = f"""
+{_CLUSTERS_CTE_PREFIX}
+, clusters AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+), reps AS (
+  SELECT cluster_id,
+         max_by(c.doc_id, CAST(d.n_chars AS BIGINT) * 1099511627776
+                          - CAST(c.doc_id AS BIGINT)) AS rep_id,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+  GROUP BY cluster_id
+)
+SELECT * FROM reps WHERE n_members > 1
+"""
+
 
 QUERIES: dict = {
     "dedup_exact_documents": (_q_dedup_exact, _ORACLE_DEDUP_EXACT),
     "dedup_clusters_documents": (_q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS),
+    "dedup_representatives_documents": (
+        _q_dedup_representatives,
+        _ORACLE_DEDUP_REPRESENTATIVES,
+    ),
     "dedup_ngram_jaccard_documents": (_q_dedup_ngram, _ORACLE_DEDUP_NGRAM),
     "dedup_minhash_signatures_documents": (
         _q_minhash_signatures,

@@ -163,6 +163,7 @@ R05_QUEUE = frozenset({
     "ind_ichimoku_events",
     "ind_pivots_events",
     "q_portfolio_returns_events",
+    "dedup_representatives_documents",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

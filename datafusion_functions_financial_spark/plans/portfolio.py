@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 from ..sources.tables import load
 from .series import round_portable, round_portable_duck
 
-__all__ = ["portfolio_value", "portfolio_returns"]
+__all__ = ["portfolio_value", "portfolio_returns", "market_beta"]
+
+RET_SCALE = 1_000_000  # 1e6 fixed-point for the beta moment sums
 
 # Daily grid: the synthetic event streams are sparse enough that an
 # hourly grid never sees every instrument in one bucket (the
@@ -105,6 +107,67 @@ def portfolio_returns(df: DataFrame, weights_bp: Mapping[int, int],
     return pv.withColumn("ret", round_portable(ret))
 
 
+def market_beta(df: DataFrame, weights_bp: Mapping[int, int],
+                key_col: str = "user_id", ts_ns_col: str = "ts",
+                value_col: str = "value",
+                bucket_ns: int = BUCKET_NS,
+                min_obs: int = 5) -> DataFrame:
+    """OLS beta of each key's bucket returns against the portfolio's —
+    the cross-sectional "market exposure" screen.
+
+    Determinism: both return series QUANTIZE to 1e6 fixed-point
+    BIGINTs before any moment sum, so Sx/Sy/Sxy/Sxx are exact integer
+    aggregates (order-free at any scale; magnitudes stay < 2^56 for
+    millions of buckets at |ret| <= ~30). Only the final beta division
+    is floating point. The portfolio series is bucket-count-sized and
+    joins by BROADCAST — each key's ticks shuffle once for the
+    (key, bucket) price aggregation and once for the per-key moment
+    reduction; the corpus never joins the corpus.
+    """
+    pv = portfolio_returns(df, weights_bp, key_col, ts_ns_col,
+                           value_col, bucket_ns)
+    mkt = pv.filter(F.col("ret").isNotNull()).selectExpr(
+        "bucket",
+        f"CAST(round(ret * {RET_SCALE}) AS BIGINT) AS qx",
+    )
+    priced = (
+        df.selectExpr(
+            f"{key_col} AS key",
+            f"{ts_ns_col} DIV {bucket_ns} AS bucket",
+            f"CAST(round({value_col} * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("key", "bucket")
+        .agg(F.sum("cents").alias("__c"), F.count(F.lit(1)).alias("__n"))
+        .withColumn("price_cents", F.expr("CAST(__c DIV __n AS BIGINT)"))
+    )
+    wrow = Window.partitionBy("key").orderBy("bucket")
+    prev = F.lag("price_cents", 1).over(wrow)
+    rets = (
+        priced.withColumn(
+            "ret",
+            F.when(prev != F.lit(0),
+                   F.col("price_cents").cast("double")
+                   / prev.cast("double") - F.lit(1.0)),
+        )
+        .filter(F.col("ret").isNotNull())
+        .selectExpr("key", "bucket",
+                    f"CAST(round(ret * {RET_SCALE}) AS BIGINT) AS qy")
+    )
+    joined = rets.join(F.broadcast(mkt), "bucket")
+    mom = joined.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum(F.col("qx") * F.col("qy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sxx"),
+    )
+    beta = ("CASE WHEN n >= {m} AND (n * sxx - sx * sx) != 0 THEN "
+            "CAST(n * sxy - sx * sy AS DOUBLE) "
+            "/ CAST(n * sxx - sx * sx AS DOUBLE) END").format(m=min_obs)
+    return mom.select(
+        "key", "n", round_portable(F.expr(beta)).alias("beta"))
+
+
 # ---------------------------------------------------------------------------
 # Gate query (R05 queue): a 5-instrument portfolio over the five most
 # even user ids (present at every sf).
@@ -150,6 +213,69 @@ FROM s
 """
 
 
+def _q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return market_beta(load(spark, sf_dir, "events"), _WEIGHTS)
+
+
+_ORACLE_MARKET_BETA = f"""
+WITH w(key, w_bp) AS (VALUES {_W_VALUES}),
+t AS (
+  SELECT user_id AS key,
+         (epoch_us(ts) * 1000) // {BUCKET_NS} AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), priced AS (
+  SELECT key, bucket,
+         CAST(sum(cents) // count(*) AS BIGINT) AS price_cents
+  FROM t GROUP BY key, bucket
+), pv AS (
+  SELECT bucket,
+         CAST(sum(w_bp * price_cents) AS BIGINT) AS pv_cents_bp,
+         count(*) AS k
+  FROM priced JOIN w USING (key)
+  GROUP BY bucket
+), mret AS (
+  SELECT bucket,
+         CAST(round(({round_portable_duck(
+             "CASE WHEN prev != 0 THEN "
+             "CAST(pv_cents_bp AS DOUBLE) / CAST(prev AS DOUBLE)"
+             " - 1.0 END")}) * {RET_SCALE}) AS BIGINT) AS qx
+  FROM (
+    SELECT bucket, pv_cents_bp,
+           lag(pv_cents_bp) OVER (ORDER BY bucket) AS prev
+    FROM pv WHERE k = {len(_WEIGHTS)}
+  ) WHERE prev IS NOT NULL AND prev != 0
+), uret AS (
+  SELECT key, bucket,
+         CAST(round((CASE WHEN prev != 0 THEN
+             CAST(price_cents AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0
+           END) * {RET_SCALE}) AS BIGINT) AS qy
+  FROM (
+    SELECT key, bucket, price_cents,
+           lag(price_cents) OVER (PARTITION BY key ORDER BY bucket)
+             AS prev
+    FROM priced
+  ) WHERE prev IS NOT NULL AND prev != 0
+), mom AS (
+  SELECT key,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qx) AS BIGINT) AS sx,
+         CAST(sum(qy) AS BIGINT) AS sy,
+         CAST(sum(qx * qy) AS BIGINT) AS sxy,
+         CAST(sum(qx * qx) AS BIGINT) AS sxx
+  FROM uret JOIN mret USING (bucket)
+  GROUP BY key
+)
+SELECT key, n,
+  {round_portable_duck(
+      "CASE WHEN n >= 5 AND (n * sxx - sx * sx) != 0 THEN "
+      "CAST(n * sxy - sx * sy AS DOUBLE) "
+      "/ CAST(n * sxx - sx * sx AS DOUBLE) END")} AS beta
+FROM mom
+"""
+
+
 QUERIES: dict = {
     "q_portfolio_returns_events": (_q_portfolio, _ORACLE_PORTFOLIO),
+    "q_market_beta_events": (_q_market_beta, _ORACLE_MARKET_BETA),
 }

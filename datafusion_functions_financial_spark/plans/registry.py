@@ -164,6 +164,7 @@ R05_QUEUE = frozenset({
     "ind_pivots_events",
     "q_portfolio_returns_events",
     "dedup_representatives_documents",
+    "q_market_beta_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

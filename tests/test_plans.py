@@ -384,3 +384,10 @@ def test_bloom_membership_zero_probe_shuffle_pregroup(spark, sf_dir):
     # members distinct and the probe-side collapse groupBy.
     plan = plan_of(spark, sf_dir, "bloom_membership_customers")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_market_beta_broadcasts_market_series(spark, sf_dir):
+    # The bucket-count-sized portfolio return series and the weights
+    # dim must broadcast; only the tick-side aggregations shuffle.
+    plan = plan_of(spark, sf_dir, "q_market_beta_events")
+    assert "BroadcastHashJoin" in plan, plan

@@ -79,6 +79,27 @@ def main() -> None:
     print(f"top-quintile customers: {screen.count()}")
     screen.show(5)
 
+    print("=== 5. Tier-3 trend/tail-risk overlay (late-r04 surface) ===")
+    from datafusion_functions_financial_spark.functions import (
+        risk as riskmod,
+        technical3,
+    )
+    from datafusion_functions_financial_spark.plans import portfolio
+
+    trend = technical3.adx(events, "value", *keyed, n=5)
+    strong = trend.filter("adx IS NOT NULL AND adx > 50")
+    print(f"strong-trend ticks (ADX>50): {strong.count()}")
+    tail = riskmod.rolling_var_cvar(events, "value", *keyed, n=10)
+    tail.filter("cvar IS NOT NULL").orderBy(
+        F.col("cvar").desc()).select(
+        "user_id", "event_id", "var", "cvar").show(3)
+
+    weights = {0: 4000, 1: 2500, 2: 1500, 3: 1200, 4: 800}
+    betas = portfolio.market_beta(events, weights)
+    print("market beta extremes:")
+    betas.filter("beta IS NOT NULL").orderBy(
+        F.col("beta").desc()).show(3)
+
     spark.stop()
 
 

@@ -19,7 +19,7 @@ from ..functions import (
 from ..operators import (
     asof, bm25, boilerplate, chunking, decontam, dedup, diff, divergence,
     dq, embnorm, embstats, histogram, incremental, ivf, keywords,
-    microstructure, multimodal,
+    linkage, microstructure, multimodal,
     packing, pipeline, profile, quality, quantize, rollup, sampling,
     similarity, sketch, sketch2, skew, text, text2, tfidf, vocab,
     wquantile,
@@ -121,7 +121,7 @@ _MODULES = [
     resample,  # moved into the r04 block: resample_interp is new
     wquantile, diff, _QueuedAnalytics2, risk,  # past the cut: R05-queued
     technical3, technical4, sketch2, barvol, dq, analytics3,
-    keywords, portfolio,  # R05-queued
+    keywords, portfolio, linkage,  # R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -165,6 +165,7 @@ R05_QUEUE = frozenset({
     "q_portfolio_returns_events",
     "dedup_representatives_documents",
     "q_market_beta_events",
+    "link_customers_fuzzy",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

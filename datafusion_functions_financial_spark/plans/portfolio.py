@@ -48,21 +48,11 @@ def _weights_df(spark: SparkSession,
     return spark.createDataFrame(rows, "key bigint, w_bp bigint")
 
 
-def portfolio_value(df: DataFrame, weights_bp: Mapping[int, int],
-                    key_col: str = "user_id", ts_ns_col: str = "ts",
-                    value_col: str = "value",
-                    bucket_ns: int = BUCKET_NS) -> DataFrame:
-    """(bucket, pv_cents_bp): portfolio value per complete time bucket
-    in cent-basis-points (BIGINT; divide by 10^4 for cents).
-
-    ``weights_bp``: {key: weight in basis points}. Keys absent from
-    the mapping are excluded from the portfolio (broadcast inner
-    join); buckets missing any weighted key are dropped.
-    """
-    spark = df.sparkSession
-    n_keys = len(weights_bp)
-    w = _weights_df(spark, weights_bp)
-    priced = (
+def _bucket_prices(df: DataFrame, key_col: str, ts_ns_col: str,
+                   value_col: str, bucket_ns: int) -> DataFrame:
+    """(key, bucket, price_cents): integer-cent mean price per bucket
+    (exact numerator at any partial-agg order)."""
+    return (
         df.selectExpr(
             f"{key_col} AS key",
             f"{ts_ns_col} DIV {bucket_ns} AS bucket",
@@ -75,7 +65,30 @@ def portfolio_value(df: DataFrame, weights_bp: Mapping[int, int],
         )
         .withColumn("price_cents",
                     F.expr("CAST(__c DIV __n AS BIGINT)"))
+        .select("key", "bucket", "price_cents")
     )
+
+
+def portfolio_value(df: DataFrame, weights_bp: Mapping[int, int],
+                    key_col: str = "user_id", ts_ns_col: str = "ts",
+                    value_col: str = "value",
+                    bucket_ns: int = BUCKET_NS,
+                    priced: DataFrame | None = None) -> DataFrame:
+    """(bucket, pv_cents_bp): portfolio value per complete time bucket
+    in cent-basis-points (BIGINT; divide by 10^4 for cents).
+
+    ``weights_bp``: {key: weight in basis points}. Keys absent from
+    the mapping are excluded from the portfolio (broadcast inner
+    join); buckets missing any weighted key are dropped. Pass a
+    precomputed ``priced`` relation to share the tick aggregation with
+    other consumers (``market_beta`` does).
+    """
+    spark = df.sparkSession
+    n_keys = len(weights_bp)
+    w = _weights_df(spark, weights_bp)
+    if priced is None:
+        priced = _bucket_prices(df, key_col, ts_ns_col, value_col,
+                                bucket_ns)
     weighted = priced.join(F.broadcast(w), "key")
     return (
         weighted.groupBy("bucket")
@@ -92,11 +105,12 @@ def portfolio_value(df: DataFrame, weights_bp: Mapping[int, int],
 def portfolio_returns(df: DataFrame, weights_bp: Mapping[int, int],
                       key_col: str = "user_id", ts_ns_col: str = "ts",
                       value_col: str = "value",
-                      bucket_ns: int = BUCKET_NS) -> DataFrame:
+                      bucket_ns: int = BUCKET_NS,
+                      priced: DataFrame | None = None) -> DataFrame:
     """(bucket, pv_cents_bp, ret): simple returns of the portfolio
     value series (NULL on the first bucket and after a zero value)."""
     pv = portfolio_value(df, weights_bp, key_col, ts_ns_col,
-                         value_col, bucket_ns)
+                         value_col, bucket_ns, priced=priced)
     wrow = Window.orderBy("bucket")
     prev = F.lag("pv_cents_bp", 1).over(wrow)
     ret = F.when(
@@ -124,21 +138,16 @@ def market_beta(df: DataFrame, weights_bp: Mapping[int, int],
     (key, bucket) price aggregation and once for the per-key moment
     reduction; the corpus never joins the corpus.
     """
+    # ONE tick aggregation feeds both the portfolio series and the
+    # per-key return series (localCheckpoint: the two consumers would
+    # otherwise re-execute the scan+shuffle).
+    priced = _bucket_prices(df, key_col, ts_ns_col, value_col,
+                            bucket_ns).localCheckpoint()
     pv = portfolio_returns(df, weights_bp, key_col, ts_ns_col,
-                           value_col, bucket_ns)
+                           value_col, bucket_ns, priced=priced)
     mkt = pv.filter(F.col("ret").isNotNull()).selectExpr(
         "bucket",
         f"CAST(round(ret * {RET_SCALE}) AS BIGINT) AS qx",
-    )
-    priced = (
-        df.selectExpr(
-            f"{key_col} AS key",
-            f"{ts_ns_col} DIV {bucket_ns} AS bucket",
-            f"CAST(round({value_col} * 100) AS BIGINT) AS cents",
-        )
-        .groupBy("key", "bucket")
-        .agg(F.sum("cents").alias("__c"), F.count(F.lit(1)).alias("__n"))
-        .withColumn("price_cents", F.expr("CAST(__c DIV __n AS BIGINT)"))
     )
     wrow = Window.partitionBy("key").orderBy("bucket")
     prev = F.lag("price_cents", 1).over(wrow)

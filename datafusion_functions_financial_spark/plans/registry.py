@@ -17,7 +17,8 @@ from ..functions import (
     technical2, technical3, technical4,
 )
 from ..operators import (
-    asof, bm25, boilerplate, chunking, decontam, dedup, diff, divergence,
+    asof, bm25, boilerplate, chunking, crossmodal, decontam, dedup, diff,
+    divergence,
     dq, embnorm, embstats, histogram, incremental, ivf, keywords,
     linkage, microstructure, multimodal,
     packing, pipeline, profile, quality, quantize, rollup, sampling,
@@ -121,7 +122,7 @@ _MODULES = [
     resample,  # moved into the r04 block: resample_interp is new
     wquantile, diff, _QueuedAnalytics2, risk,  # past the cut: R05-queued
     technical3, technical4, sketch2, barvol, dq, analytics3,
-    keywords, portfolio, linkage,  # R05-queued
+    keywords, portfolio, linkage, crossmodal,  # R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -166,6 +167,7 @@ R05_QUEUE = frozenset({
     "dedup_representatives_documents",
     "q_market_beta_events",
     "link_customers_fuzzy",
+    "semantic_neardup_verified",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

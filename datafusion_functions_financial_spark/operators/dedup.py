@@ -320,6 +320,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     sig: DataFrame | None = None,
+    min_sig_matches: int = EST_MIN_MATCHES,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from MinHash LSH banding plus the
     signature-agreement pre-filter — no exact verification yet. This is
@@ -376,14 +377,19 @@ def minhash_lsh_candidates(
         F.when(F.expr(f"a.__sig[{j}] = b.__sig[{j}]"), 1).otherwise(0)
         for j in range(N_PERMS)
     )
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if min_sig_matches > 0:
+        # Containment callers pass 0: a short doc inside a long one has
+        # LOW jaccard, so the jaccard-estimating pre-filter would kill
+        # exactly the pairs they're after.
+        joined = joined.filter(agree >= min_sig_matches)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(agree >= EST_MIN_MATCHES)
+        joined
         .select(F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"))
         .distinct()
@@ -841,6 +847,59 @@ def dedup_clusters(
     )
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Asymmetric near-dup: ``containment = |A∩B| / min(|A|, |B|)`` —
+    catches truncation/quote duplicates (one doc embedded in another)
+    whose symmetric Jaccard is low. Same banded candidates as
+    ``minhash_lsh_pairs`` but WITHOUT the jaccard-estimating
+    signature pre-filter (it would kill exactly these pairs); the
+    in-row array-intersect verify applies the containment test
+    instead. Recall caveat: MinHash bands estimate JACCARD, so a tiny
+    doc inside a huge one may never share a band — at scale, stack a
+    dedicated containment LSH (e.g. size-stratified re-hashing) on
+    top; for truncation-style dups (sizes within ~2x) band recall
+    stays high.
+    """
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        fasthash.make_minhash_with_hashes_udf(PERMS)(
+            F.col(text_col)
+        ).alias("__mh"),
+    ).localCheckpoint()
+    sig = base.selectExpr(
+        "doc_id", *[f"__mh.sig[{j}] AS mh_{j}" for j in range(N_PERMS)]
+    )
+    cand = minhash_lsh_candidates(df, text_col, id_col, max_bucket_size,
+                                  sig=sig, min_sig_matches=0)
+    harr = base.select("doc_id", F.col("__mh.hashes").alias("__h"))
+    inter = (
+        cand.join(harr.selectExpr("doc_id AS id_a", "__h AS __h_a"),
+                  "id_a")
+        .join(harr.selectExpr("doc_id AS id_b", "__h AS __h_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.expr("size(array_intersect(__h_a, __h_b))").alias("inter"),
+            F.expr("size(__h_a)").alias("n_a"),
+            F.expr("size(__h_b)").alias("n_b"),
+        )
+    )
+    cont = F.col("inter") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def select_representatives(
     docs: DataFrame,
     clusters: DataFrame,
@@ -870,6 +929,29 @@ def select_representatives(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
         )
     )
+
+
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = containment_pairs(load(spark, sf_dir, "documents"),
+                            max_bucket_size=GATE_BUCKET_CAP)
+    return out.selectExpr(
+        "id_a", "id_b",
+        f"round(containment, {ROUND_DP}) AS containment")
+
+
+_ORACLE_DEDUP_CONTAINMENT = f"""
+WITH {_DUCK_LSH_CAND_CTES}
+SELECT c.id_a, c.id_b,
+  round(CAST(len(list_intersect(ha.__hashes, hb.__hashes)) AS DOUBLE)
+        / CAST(least(len(ha.__hashes), len(hb.__hashes)) AS DOUBLE),
+        {ROUND_DP}) AS containment
+FROM cand0 c
+JOIN hashed ha ON ha.doc_id = c.id_a
+JOIN hashed hb ON hb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(ha.__hashes, hb.__hashes)) AS DOUBLE)
+      / CAST(least(len(ha.__hashes), len(hb.__hashes)) AS DOUBLE)
+      >= {CONTAINMENT_THRESHOLD}
+"""
 
 
 def _q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,6 +1014,10 @@ QUERIES: dict = {
     "dedup_representatives_documents": (
         _q_dedup_representatives,
         _ORACLE_DEDUP_REPRESENTATIVES,
+    ),
+    "dedup_containment_documents": (
+        _q_dedup_containment,
+        _ORACLE_DEDUP_CONTAINMENT,
     ),
     "dedup_ngram_jaccard_documents": (_q_dedup_ngram, _ORACLE_DEDUP_NGRAM),
     "dedup_minhash_signatures_documents": (

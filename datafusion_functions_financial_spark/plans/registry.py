@@ -168,6 +168,7 @@ R05_QUEUE = frozenset({
     "q_market_beta_events",
     "link_customers_fuzzy",
     "semantic_neardup_verified",
+    "dedup_containment_documents",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

@@ -61,9 +61,14 @@ BLOOM_K = 5
 def _mix(value_expr: str, c: int, spark: bool) -> str:
     """Affine + quadratic mixing of a BIGINT expr onto [0, PRIME),
     identical construction to ``sketch._hash_expr`` but with a chosen
-    additive constant ``c`` selecting the family member."""
+    additive constant ``c`` selecting the family member. The input is
+    pre-reduced mod PRIME so ``_HA * x`` can never overflow BIGINT for
+    ANY input (without it, |x| >= ~8.4e9 would wrap); values already
+    in [0, PRIME) — every current caller — hash identically."""
     suf = "L" if spark else ""
-    h1 = (f"(({_HA}{suf} * ({value_expr}) + {_HB}{suf}) % {PRIME}{suf} "
+    x0 = (f"((({value_expr}) % {PRIME}{suf}) + {PRIME}{suf}) "
+          f"% {PRIME}{suf}")
+    h1 = (f"(({_HA}{suf} * ({x0}) + {_HB}{suf}) % {PRIME}{suf} "
           f"+ {PRIME}{suf}) % {PRIME}{suf}")
     return (f"((({h1}) * ({h1}) % {PRIME}{suf}) * {_HA}{suf} "
             f"+ ({h1}) * {_HB}{suf} + {c}{suf}) % {PRIME}{suf}")

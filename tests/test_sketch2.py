@@ -90,3 +90,17 @@ def test_cms_estimate_plan_broadcasts_cells(spark):
     est = cms_estimate(cms, _vals(spark, range(10)), "x")
     plan = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_hash_total_over_any_bigint(spark):
+    # pre-reduction makes the family total: huge and negative keys
+    # build and probe without overflow, and membership stays exact
+    from pyspark.sql import functions as F
+    xs = [2**62, -(2**61), 9_999_999_999, -1, 0]
+    members = spark.createDataFrame([(int(x),) for x in xs], "x bigint")
+    bloom = bloom_build(members, "x")
+    out = bloom_membership(bloom, members, "x")
+    assert all(r["in_bloom"] for r in out.collect())
+    cms = cms_build(members.withColumn("w", F.lit(1)), "x", "w")
+    est = cms_estimate(cms, members, "x")
+    assert all(r["cms_n"] >= 1 for r in est.collect())

@@ -177,6 +177,62 @@ def market_beta(df: DataFrame, weights_bp: Mapping[int, int],
         "key", "n", round_portable(F.expr(beta)).alias("beta"))
 
 
+def pairwise_correlation(df: DataFrame, keys: "list[int]",
+                         key_col: str = "user_id",
+                         ts_ns_col: str = "ts",
+                         value_col: str = "value",
+                         bucket_ns: int = BUCKET_NS,
+                         min_obs: int = 5) -> DataFrame:
+    """Pearson correlation of bucket returns for every pair of the
+    given keys: (key_a, key_b, n, corr), key_a < key_b.
+
+    The watch-list correlation matrix: the heavy input (ticks)
+    collapses to per-key bucket returns FIRST, so the pair join runs
+    over a keys x buckets relation — never the tick table. Moments are
+    1e6-fixed-point BIGINTs (order-free, the ``market_beta``
+    discipline); only the final ratio is floating point, with the
+    variance product kept as a single sqrt argument.
+    """
+    key_list = ", ".join(str(int(k)) for k in sorted(keys))
+    priced = _bucket_prices(
+        df.filter(F.expr(f"{key_col} IN ({key_list})")),
+        key_col, ts_ns_col, value_col, bucket_ns)
+    wrow = Window.partitionBy("key").orderBy("bucket")
+    prev = F.lag("price_cents", 1).over(wrow)
+    rets = (
+        priced.withColumn(
+            "ret",
+            F.when(prev != F.lit(0),
+                   F.col("price_cents").cast("double")
+                   / prev.cast("double") - F.lit(1.0)),
+        )
+        .filter(F.col("ret").isNotNull())
+        .selectExpr("key", "bucket",
+                    f"CAST(round(ret * {RET_SCALE}) AS BIGINT) AS q")
+    )
+    a = rets.selectExpr("key AS key_a", "bucket", "q AS qx")
+    b = rets.selectExpr("key AS key_b", "bucket", "q AS qy")
+    joined = a.join(b, "bucket").filter(F.col("key_a") < F.col("key_b"))
+    mom = joined.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum(F.col("qx") * F.col("qy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("qy") * F.col("qy")).cast("bigint").alias("syy"),
+    )
+    corr = (
+        f"CASE WHEN n >= {min_obs} "
+        f"AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN "
+        f"CAST(n * sxy - sx * sy AS DOUBLE) "
+        f"/ sqrt(CAST((n * sxx - sx * sx) AS DOUBLE) "
+        f"* CAST((n * syy - sy * sy) AS DOUBLE)) END"
+    )
+    return mom.select(
+        "key_a", "key_b", "n",
+        round_portable(F.expr(corr)).alias("corr"))
+
+
 # ---------------------------------------------------------------------------
 # Gate query (R05 queue): a 5-instrument portfolio over the five most
 # even user ids (present at every sf).
@@ -284,7 +340,60 @@ FROM mom
 """
 
 
+_CORR_KEYS = list(range(8))
+
+
+def _q_pairwise_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pairwise_correlation(load(spark, sf_dir, "events"),
+                                _CORR_KEYS)
+
+
+_ORACLE_PAIRWISE_CORR = f"""
+WITH t AS (
+  SELECT user_id AS key,
+         (epoch_us(ts) * 1000) // {BUCKET_NS} AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IN ({", ".join(str(k) for k in _CORR_KEYS)})
+), priced AS (
+  SELECT key, bucket,
+         CAST(sum(cents) // count(*) AS BIGINT) AS price_cents
+  FROM t GROUP BY key, bucket
+), rets AS (
+  SELECT key, bucket,
+         CAST(round((CASE WHEN prev != 0 THEN
+             CAST(price_cents AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0
+           END) * {RET_SCALE}) AS BIGINT) AS q
+  FROM (
+    SELECT key, bucket, price_cents,
+           lag(price_cents) OVER (PARTITION BY key ORDER BY bucket)
+             AS prev
+    FROM priced
+  ) WHERE prev IS NOT NULL AND prev != 0
+), mom AS (
+  SELECT a.key AS key_a, b.key AS key_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.q) AS BIGINT) AS sx,
+         CAST(sum(b.q) AS BIGINT) AS sy,
+         CAST(sum(a.q * b.q) AS BIGINT) AS sxy,
+         CAST(sum(a.q * a.q) AS BIGINT) AS sxx,
+         CAST(sum(b.q * b.q) AS BIGINT) AS syy
+  FROM rets a JOIN rets b ON a.bucket = b.bucket AND a.key < b.key
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b, n,
+  {round_portable_duck(
+      "CASE WHEN n >= 5 "
+      "AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN "
+      "CAST(n * sxy - sx * sy AS DOUBLE) "
+      "/ sqrt(CAST((n * sxx - sx * sx) AS DOUBLE) "
+      "* CAST((n * syy - sy * sy) AS DOUBLE)) END")} AS corr
+FROM mom
+"""
+
+
 QUERIES: dict = {
     "q_portfolio_returns_events": (_q_portfolio, _ORACLE_PORTFOLIO),
     "q_market_beta_events": (_q_market_beta, _ORACLE_MARKET_BETA),
+    "q_pairwise_corr_events": (_q_pairwise_corr, _ORACLE_PAIRWISE_CORR),
 }

@@ -169,6 +169,7 @@ R05_QUEUE = frozenset({
     "link_customers_fuzzy",
     "semantic_neardup_verified",
     "dedup_containment_documents",
+    "q_pairwise_corr_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

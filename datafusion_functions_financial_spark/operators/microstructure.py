@@ -218,6 +218,89 @@ FROM d
 """
 
 
+def flow_imbalance(
+    trades: DataFrame,
+    keys: Sequence[str] = ("ticker",),
+    ts_col: str = "sip_timestamp",
+    price_col: str = "price",
+    tiebreak_cols: Sequence[str] = ("sequence_number",),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Order-flow imbalance per (key, time bucket):
+    ``(buys − sells) / (buys + sells)`` over tick-rule signed trades —
+    the flow-toxicity screen an execution desk watches per interval.
+
+    Signs come from ``sign_trades`` (zero-ticks carry the previous
+    sign; leading unsigned rows are excluded); counts are exact
+    BIGINTs and only the final ratio is a double. One window pass for
+    the signs plus one map-side-combinable (key, bucket) aggregation.
+    """
+    bucket_ns = int(bucket_seconds) * 1_000_000_000
+    signed = sign_trades(trades, keys, ts_col, price_col, tiebreak_cols)
+    kc = list(keys)
+    agg = (
+        signed.filter(F.col("trade_sign").isNotNull())
+        .withColumn("__bucket", F.expr(f"{ts_col} DIV {bucket_ns}"))
+        .groupBy(*kc, "__bucket")
+        .agg(
+            F.sum(F.when(F.col("trade_sign") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_buys"),
+            F.sum(F.when(F.col("trade_sign") == -1, 1).otherwise(0))
+            .cast("bigint").alias("n_sells"),
+        )
+        .withColumnRenamed("__bucket", "bucket")
+    )
+    imb = ("CAST(n_buys - n_sells AS DOUBLE) "
+           "/ CAST(n_buys + n_sells AS DOUBLE)")
+    return agg.withColumn("imbalance", round_portable(F.expr(imb)))
+
+
+def _q_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = flow_imbalance(
+        _events_as_trades(spark, sf_dir),
+        keys=("ticker",),
+        ts_col="sip_timestamp",
+        price_col="price_cents",
+        tiebreak_cols=("sequence_number",),
+    )
+    return out.select("ticker", "bucket", "n_buys", "n_sells",
+                      "imbalance")
+
+
+_ORACLE_FLOW = f"""
+WITH t AS (
+  SELECT event_type AS ticker, event_id,
+         epoch_us(ts) * 1000 AS tns,
+         CAST(round(value * 100) AS BIGINT) AS price_cents
+  FROM events
+), d AS (
+  SELECT ticker, event_id, tns, price_cents,
+         price_cents - lag(price_cents) OVER w AS chg
+  FROM t
+  WINDOW w AS (PARTITION BY ticker ORDER BY tns, event_id)
+), s AS (
+  SELECT ticker, tns,
+         last_value(CASE WHEN chg > 0 THEN 1 WHEN chg < 0 THEN -1 END
+                    IGNORE NULLS) OVER (
+           PARTITION BY ticker ORDER BY tns, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS trade_sign
+  FROM d
+)
+SELECT ticker, tns // {3600 * 1_000_000_000} AS bucket,
+       CAST(sum(CASE WHEN trade_sign = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_buys,
+       CAST(sum(CASE WHEN trade_sign = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sells,
+       {round_portable_duck(
+           "CAST(sum(CASE WHEN trade_sign = 1 THEN 1 ELSE 0 END)"
+           " - sum(CASE WHEN trade_sign = -1 THEN 1 ELSE 0 END)"
+           " AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS imbalance
+FROM s WHERE trade_sign IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def _q_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Synthetic NBBO in integer cents around the event value; spreads
     # range [-12, 10] cents so the crossed-quote counter is exercised.
@@ -350,6 +433,7 @@ QUERIES: dict = {
     "micro_vwap_events": (_q_vwap, _ORACLE_VWAP),
     "micro_sign_trades_events": (_q_sign_trades, _ORACLE_SIGN),
     "micro_spread_events": (_q_spread, _ORACLE_SPREAD),
+    "micro_flow_imbalance_events": (_q_flow_imbalance, _ORACLE_FLOW),
 }
 
 # Registered via the registry's r04-queue tail.

@@ -170,6 +170,7 @@ R05_QUEUE = frozenset({
     "semantic_neardup_verified",
     "dedup_containment_documents",
     "q_pairwise_corr_events",
+    "micro_flow_imbalance_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

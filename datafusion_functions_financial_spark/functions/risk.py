@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
 
-__all__ = ["rolling_var_cvar", "rolling_sortino", "ulcer_index"]
+__all__ = ["rolling_var_cvar", "rolling_sortino", "ulcer_index",
+           "drawdown_episodes"]
 
 
 def _row_window(keys: Sequence[str], order: Sequence[str]):
@@ -175,6 +176,46 @@ def ulcer_index(df: DataFrame, value_col: str, keys: Sequence[str],
     )
 
 
+def drawdown_episodes(df: DataFrame, value_col: str,
+                      keys: Sequence[str],
+                      order: Sequence[str]) -> DataFrame:
+    """Discrete drawdown episodes per key: every maximal run of rows
+    strictly below the running high, reported as (keys..., episode,
+    peak_cents, trough_cents, depth, duration) — the event-level view
+    that rolling drawdown (``rollstats``) and the Ulcer index
+    summarize away.
+
+    Gap-and-islands: the episode id is the running count of new-high
+    rows (one prefix window), so detection is one key shuffle plus a
+    map-side-combinable (key, episode) aggregation. Prices reduce to
+    integer CENTS before min/max (order-free exact); depth =
+    trough/peak − 1 is the only float, rounded portably.
+    """
+    wrow = _row_window(keys, order)
+    pfx = wrow.rowsBetween(Window.unboundedPreceding, 0)
+    cents = F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+    staged = (
+        df.withColumn("__cents", cents)
+        .withColumn("__peak", F.max("__cents").over(pfx))
+        .withColumn("__ishigh",
+                    (F.col("__cents") == F.col("__peak")).cast("int"))
+        .withColumn("__episode", F.sum("__ishigh").over(pfx))
+    )
+    below = staged.filter(F.col("__cents") < F.col("__peak"))
+    depth = ("CAST(trough_cents AS DOUBLE) "
+             "/ CAST(peak_cents AS DOUBLE) - 1.0")
+    return (
+        below.groupBy(*keys, "__episode")
+        .agg(
+            F.max("__peak").cast("bigint").alias("peak_cents"),
+            F.min("__cents").cast("bigint").alias("trough_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("duration"),
+        )
+        .withColumnRenamed("__episode", "episode")
+        .withColumn("depth", round_portable(F.expr(depth)))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate queries (R05 queue: the r04 window is full). Events series —
 # strictly positive values (returns always defined), ~66-99 rows/user,
@@ -287,8 +328,47 @@ FROM f
 """
 
 
+def _q_dd_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = drawdown_episodes(load(spark, sf_dir, "events"), "value",
+                            ["user_id"], ["ts", "event_id"])
+    return out.select("user_id", "episode", "peak_cents",
+                      "trough_cents", "depth", "duration")
+
+
+_ORACLE_DD_EPISODES = f"""
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), p AS (
+  SELECT user_id, event_id, ts, cents,
+         max(cents) OVER w AS peak
+  FROM t
+  WINDOW w AS ({_EVENTS_W}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT user_id, cents, peak,
+         sum(CASE WHEN cents = peak THEN 1 ELSE 0 END) OVER w
+           AS episode
+  FROM p
+  WINDOW w AS ({_EVENTS_W}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, CAST(episode AS BIGINT) AS episode,
+       CAST(max(peak) AS BIGINT) AS peak_cents,
+       CAST(min(cents) AS BIGINT) AS trough_cents,
+  {round_portable_duck(
+      "CAST(min(cents) AS DOUBLE) / CAST(max(peak) AS DOUBLE) - 1.0"
+  )} AS depth,
+       CAST(count(*) AS BIGINT) AS duration
+FROM s WHERE cents < peak
+GROUP BY user_id, episode
+"""
+
+
 QUERIES: dict = {
     "risk_var_cvar_events": (_q_var_cvar, _ORACLE_VAR_CVAR),
     "risk_sortino_events": (_q_sortino, _ORACLE_SORTINO),
     "risk_ulcer_events": (_q_ulcer, _ORACLE_ULCER),
+    "risk_dd_episodes_events": (_q_dd_episodes, _ORACLE_DD_EPISODES),
 }

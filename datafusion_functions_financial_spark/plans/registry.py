@@ -171,6 +171,7 @@ R05_QUEUE = frozenset({
     "dedup_containment_documents",
     "q_pairwise_corr_events",
     "micro_flow_imbalance_events",
+    "risk_dd_episodes_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

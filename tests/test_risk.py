@@ -93,3 +93,32 @@ def test_zero_prev_value_rows_are_dropped(spark):
     rows = out.collect()
     # returns defined: t=1 (0/100-1=-1), t=3 (0.1); t=2 dropped
     assert sorted(r["t"] for r in rows) == [1, 3]
+
+
+def test_drawdown_episodes_islands(spark):
+    from datafusion_functions_financial_spark.functions.risk import (
+        drawdown_episodes,
+    )
+    # peaks at 100 (t0), dips, recovers to new high 110 (t3), dips twice
+    df = _series(spark, [100, 90, 95, 110, 105, 99])
+    out = drawdown_episodes(df, "p", ["k"], ["t"]).collect()
+    eps = {r["episode"]: r for r in out}
+    assert len(eps) == 2
+    # episode after the first high: rows 90,95 under peak 100
+    e1 = eps[1]
+    assert (e1["peak_cents"], e1["trough_cents"], e1["duration"]) \
+        == (10000, 9000, 2)
+    assert e1["depth"] == pytest.approx(-0.1)
+    # episode after the 110 high: rows 105,99
+    e2 = eps[2]
+    assert (e2["peak_cents"], e2["trough_cents"], e2["duration"]) \
+        == (11000, 9900, 2)
+    assert e2["depth"] == pytest.approx(-0.1)
+
+
+def test_drawdown_episodes_none_on_monotonic_rise(spark):
+    from datafusion_functions_financial_spark.functions.risk import (
+        drawdown_episodes,
+    )
+    df = _series(spark, [1, 2, 3, 4])
+    assert drawdown_episodes(df, "p", ["k"], ["t"]).count() == 0

@@ -228,6 +228,30 @@ FROM s
 """
 
 
+def lang_confusion(df: DataFrame, text_col: str = "text",
+                   label_col: str = "lang") -> DataFrame:
+    """Confusion matrix of declared vs detected language:
+    (lang, lang_pred, n) — the label-quality audit a corpus ingest
+    runs on its metadata. One map-side-combinable groupBy over the
+    scan-local ``lang_id`` scores."""
+    pred = lang_id(df, text_col)
+    return (
+        pred.groupBy(label_col, "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_confusion(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_LANG_CONFUSION = f"""
+WITH pred AS ({_ORACLE_LANG_ID})
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, lang_pred
+"""
+
+
 # --------------------------------------------------------------------------
 # document fingerprint (rolling polynomial hash)
 # --------------------------------------------------------------------------
@@ -435,6 +459,8 @@ QUERIES: dict = {
     "text_stats_documents": (_q_text_stats, _ORACLE_TEXT_STATS),
     "text_token_bpe_documents": (_q_token_bpe, _ORACLE_TOKEN_BPE),
     "text_langid_documents": (_q_lang_id, _ORACLE_LANG_ID),
+    "text_lang_confusion_documents": (
+        _q_lang_confusion, _ORACLE_LANG_CONFUSION),
     "text_fingerprint_documents": (_q_fingerprint, _ORACLE_FINGERPRINT),
     "text_repetition_documents": (_q_repetition, _ORACLE_REPETITION),
     "text_redact_documents": (_q_redact, _ORACLE_REDACT),

@@ -24,7 +24,42 @@ from pyspark.sql import functions as F
 from ..sources.tables import load
 from .series import round_portable, round_portable_duck
 
-__all__ = ["nation_market_share", "customer_order_distribution"]
+__all__ = ["nation_market_share", "customer_order_distribution",
+           "seasonality_profile"]
+
+_HOUR_NS = 3_600 * 1_000_000_000
+_DAY_NS = 86_400 * 1_000_000_000
+
+
+def seasonality_profile(events: DataFrame,
+                        ts_ns_col: str = "ts",
+                        type_col: str = "event_type",
+                        value_col: str = "value") -> DataFrame:
+    """(event_type, dow, hour, n, avg_cents): activity/value profile
+    by day-of-week (0 = Sunday) and UTC hour — the load/seasonality
+    heatmap behind capacity planning and anomaly baselines.
+
+    Calendar math is pure INTEGER arithmetic on the epoch-ns column
+    (``(days + 4) % 7`` — 1970-01-01 was a Thursday), so both engines
+    compute identical buckets without touching calendar functions or
+    session time zones; one map-side-combinable groupBy.
+    """
+    return (
+        events.selectExpr(
+            f"{type_col} AS event_type",
+            f"CAST(({ts_ns_col} DIV {_DAY_NS} + 4) % 7 AS BIGINT)"
+            f" AS dow",
+            f"CAST({ts_ns_col} DIV {_HOUR_NS} % 24 AS BIGINT) AS hour",
+            f"CAST(round({value_col} * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "dow", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            round_portable(F.expr(
+                "CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+            )).alias("avg_cents"),
+        )
+    )
 
 
 def nation_market_share(orders: DataFrame, customer: DataFrame,
@@ -141,7 +176,31 @@ GROUP BY c_count
 """
 
 
+def _q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonality_profile(load(spark, sf_dir, "events"))
+
+
+_ORACLE_SEASONALITY = f"""
+WITH t AS (
+  SELECT event_type,
+         CAST(((epoch_us(ts) * 1000) // {_DAY_NS} + 4) % 7 AS BIGINT)
+           AS dow,
+         CAST((epoch_us(ts) * 1000) // {_HOUR_NS} % 24 AS BIGINT)
+           AS hour,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, dow, hour,
+       CAST(count(*) AS BIGINT) AS n,
+  {round_portable_duck(
+      "CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+  )} AS avg_cents
+FROM t GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict = {
     "q_market_share_orders": (_q_market_share, _ORACLE_MARKET_SHARE),
     "q_custdist_orders": (_q_custdist, _ORACLE_CUSTDIST),
+    "q_seasonality_events": (_q_seasonality, _ORACLE_SEASONALITY),
 }

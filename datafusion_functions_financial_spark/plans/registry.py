@@ -172,6 +172,8 @@ R05_QUEUE = frozenset({
     "q_pairwise_corr_events",
     "micro_flow_imbalance_events",
     "risk_dd_episodes_events",
+    "text_lang_confusion_documents",
+    "q_seasonality_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

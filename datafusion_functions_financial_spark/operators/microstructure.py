@@ -255,6 +255,218 @@ def flow_imbalance(
     return agg.withColumn("imbalance", round_portable(F.expr(imb)))
 
 
+def roll_spread(
+    trades: DataFrame,
+    keys: Sequence[str] = ("ticker",),
+    ts_col: str = "sip_timestamp",
+    price_col: str = "price",
+    tiebreak_cols: Sequence[str] = ("sequence_number",),
+    min_pairs: int = 10,
+) -> DataFrame:
+    """Roll (1984) implied effective spread per key:
+    ``2 * sqrt(−Cov(Δp_t, Δp_{t−1}))`` — the bid-ask bounce estimate
+    that needs only the trade tape, no quotes. NULL when the serial
+    covariance is non-negative (no bounce signal) or pairs < min.
+
+    Price changes are integer cents, so Σx, Σy, Σxy and the population
+    covariance NUMERATOR ``n·Σxy − Σx·Σy`` are exact BIGINTs at any
+    partial-agg order; only the final divide/sqrt is floating point.
+    One window pass + one map-side-combinable aggregation per key.
+    """
+    order = [ts_col] + [c for c in tiebreak_cols
+                        if c in trades.columns]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    kc = list(keys)
+    d = (F.col(price_col) - F.lag(price_col, 1).over(w))
+    staged = (
+        trades.withColumn("__d", d)
+        .withColumn("__dprev", F.lag("__d", 1).over(w))
+        .filter(F.col("__d").isNotNull()
+                & F.col("__dprev").isNotNull())
+    )
+    mom = staged.groupBy(*kc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("__d").cast("bigint").alias("sx"),
+        F.sum("__dprev").cast("bigint").alias("sy"),
+        F.sum(F.col("__d") * F.col("__dprev")).cast("bigint")
+        .alias("sxy"),
+    )
+    spread = (
+        f"CASE WHEN n_pairs >= {min_pairs} "
+        f"AND (n_pairs * sxy - sx * sy) < 0 THEN "
+        f"2.0 * sqrt(-(CAST(n_pairs * sxy - sx * sy AS DOUBLE) "
+        f"/ (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE)))) END"
+    )
+    return mom.withColumn(
+        "roll_spread_cents", round_portable(F.expr(spread)))
+
+
+def _q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = roll_spread(
+        _events_as_trades(spark, sf_dir),
+        keys=("ticker",),
+        ts_col="sip_timestamp",
+        price_col="price_cents",
+        tiebreak_cols=("sequence_number",),
+    )
+    return out.select("ticker", "n_pairs", "sx", "sy", "sxy",
+                      "roll_spread_cents")
+
+
+_ORACLE_ROLL_SPREAD = f"""
+WITH t AS (
+  SELECT event_type AS ticker, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS price_cents
+  FROM events
+), d1 AS (
+  SELECT ticker, event_id, ts,
+         price_cents - lag(price_cents) OVER w AS dd
+  FROM t
+  WINDOW w AS (PARTITION BY ticker ORDER BY ts, event_id)
+), d AS (
+  SELECT ticker, dd, lag(dd) OVER w AS dprev
+  FROM d1
+  WINDOW w AS (PARTITION BY ticker ORDER BY ts, event_id)
+), f AS (
+  SELECT ticker, dd, dprev FROM d
+  WHERE dd IS NOT NULL AND dprev IS NOT NULL
+), mom AS (
+  SELECT ticker,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(dd) AS BIGINT) AS sx,
+         CAST(sum(dprev) AS BIGINT) AS sy,
+         CAST(sum(dd * dprev) AS BIGINT) AS sxy
+  FROM f GROUP BY ticker
+)
+SELECT ticker, n_pairs, sx, sy, sxy,
+  {round_portable_duck(
+      "CASE WHEN n_pairs >= 10 AND (n_pairs * sxy - sx * sy) < 0 THEN "
+      "2.0 * sqrt(-(CAST(n_pairs * sxy - sx * sy AS DOUBLE) "
+      "/ (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE)))) END"
+  )} AS roll_spread_cents
+FROM mom
+"""
+
+
+AMIHUD_SCALE = 100_000_000  # 1e8 fixed-point for the per-bucket terms
+
+
+def amihud_illiquidity(
+    trades: DataFrame,
+    keys: Sequence[str] = ("ticker",),
+    ts_col: str = "sip_timestamp",
+    price_col: str = "price",
+    size_col: str = "size",
+    bucket_seconds: int = 3600,
+    min_buckets: int = 5,
+) -> DataFrame:
+    """Amihud (2002) illiquidity per key: the average over time
+    buckets of ``|bucket return| / dollar volume`` (here cent-volume:
+    price x size summed over the bucket) — price impact per unit
+    traded. NULL under ``min_buckets`` observations.
+
+    Determinism: bucket VWAP-free prices are integer-cent means and
+    cent-volume is an exact BIGINT; each bucket's ratio QUANTIZES to
+    1e8 fixed-point before the cross-bucket average (the SCALING.md
+    integer-contribution rule), so the result is add-order-free.
+    Output is scaled x1e6 (per-million-cents impact) for readability.
+    """
+    bucket_ns = int(bucket_seconds) * 1_000_000_000
+    kc = list(keys)
+    per_bucket = (
+        trades.selectExpr(
+            *kc,
+            f"{ts_col} DIV {bucket_ns} AS __bucket",
+            f"CAST({price_col} AS BIGINT) AS __p",
+            f"CAST({size_col} AS BIGINT) AS __s",
+        )
+        .groupBy(*kc, "__bucket")
+        .agg(
+            F.expr("CAST(sum(__p) DIV count(*) AS BIGINT)")
+            .alias("__price"),
+            F.sum(F.expr("__p * __s")).cast("bigint").alias("__cvol"),
+        )
+    )
+    w = Window.partitionBy(*kc).orderBy("__bucket")
+    prev = F.lag("__price", 1).over(w)
+    terms = (
+        per_bucket.withColumn(
+            "__ret",
+            F.when((prev != F.lit(0)) & (F.col("__cvol") > 0),
+                   F.col("__price").cast("double")
+                   / prev.cast("double") - F.lit(1.0)),
+        )
+        .filter(F.col("__ret").isNotNull())
+        .selectExpr(
+            *kc,
+            f"CAST(round(abs(__ret) * 1000000.0 "
+            f"/ CAST(__cvol AS DOUBLE) * {AMIHUD_SCALE}) AS BIGINT)"
+            f" AS __q",
+        )
+    )
+    out = terms.groupBy(*kc).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("__q").cast("bigint").alias("__sq"),
+    )
+    amihud = (
+        f"CASE WHEN n_buckets >= {min_buckets} THEN "
+        f"CAST(__sq AS DOUBLE) / {float(AMIHUD_SCALE)!r} "
+        f"/ CAST(n_buckets AS DOUBLE) END"
+    )
+    return out.withColumn(
+        "amihud_per_mcent", round_portable(F.expr(amihud))
+    ).drop("__sq")
+
+
+def _q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = amihud_illiquidity(
+        _events_as_trades(spark, sf_dir),
+        keys=("ticker",),
+        ts_col="sip_timestamp",
+        price_col="price_cents",
+        size_col="size",
+    )
+    return out.select("ticker", "n_buckets", "amihud_per_mcent")
+
+
+_ORACLE_AMIHUD = f"""
+WITH t AS (
+  SELECT event_type AS ticker,
+         (epoch_us(ts) * 1000) // {3600 * 1_000_000_000} AS bucket,
+         CAST(round(value * 100) AS BIGINT) AS p,
+         CAST(event_id % 97 + 1 AS BIGINT) AS s
+  FROM events
+), pb AS (
+  SELECT ticker, bucket,
+         CAST(sum(p) // count(*) AS BIGINT) AS price,
+         CAST(sum(p * s) AS BIGINT) AS cvol
+  FROM t GROUP BY 1, 2
+), r AS (
+  SELECT ticker, price, cvol,
+         lag(price) OVER (PARTITION BY ticker ORDER BY bucket) AS prev
+  FROM pb
+), q AS (
+  SELECT ticker,
+         CAST(round(abs(CASE WHEN prev != 0 AND cvol > 0 THEN
+             CAST(price AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0 END)
+           * 1000000.0 / CAST(cvol AS DOUBLE) * {AMIHUD_SCALE})
+           AS BIGINT) AS qterm
+  FROM r
+  WHERE prev IS NOT NULL AND prev != 0 AND cvol > 0
+), agg AS (
+  SELECT ticker, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(qterm) AS BIGINT) AS sq
+  FROM q GROUP BY ticker
+)
+SELECT ticker, n_buckets,
+  {round_portable_duck(
+      "CASE WHEN n_buckets >= 5 THEN "
+      f"CAST(sq AS DOUBLE) / {float(AMIHUD_SCALE)!r} "
+      "/ CAST(n_buckets AS DOUBLE) END")} AS amihud_per_mcent
+FROM agg
+"""
+
+
 def _q_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = flow_imbalance(
         _events_as_trades(spark, sf_dir),
@@ -434,6 +646,8 @@ QUERIES: dict = {
     "micro_sign_trades_events": (_q_sign_trades, _ORACLE_SIGN),
     "micro_spread_events": (_q_spread, _ORACLE_SPREAD),
     "micro_flow_imbalance_events": (_q_flow_imbalance, _ORACLE_FLOW),
+    "micro_roll_spread_events": (_q_roll_spread, _ORACLE_ROLL_SPREAD),
+    "micro_amihud_events": (_q_amihud, _ORACLE_AMIHUD),
 }
 
 # Registered via the registry's r04-queue tail.

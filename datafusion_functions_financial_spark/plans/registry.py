@@ -174,6 +174,8 @@ R05_QUEUE = frozenset({
     "risk_dd_episodes_events",
     "text_lang_confusion_documents",
     "q_seasonality_events",
+    "micro_roll_spread_events",
+    "micro_amihud_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

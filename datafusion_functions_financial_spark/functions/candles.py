@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
 
-__all__ = ["daily_candles", "candle_patterns"]
+__all__ = ["daily_candles", "candle_patterns", "heikin_ashi"]
 
 _DAY_NS = 86_400 * 1_000_000_000
 
@@ -105,6 +105,46 @@ def candle_patterns(df: DataFrame, value_col: str = "value",
     )
 
 
+def heikin_ashi(bars: DataFrame, key_col: str = "user_id",
+                order_col: str = "day") -> DataFrame:
+    """Heikin-Ashi smoothed candles from raw OHLC bars:
+
+    - ``ha_close_t = (o + h + l + c) / 4`` (bar-local);
+    - ``ha_open_1 = (o_1 + c_1) / 2``, then the recursion
+      ``ha_open_t = (ha_open_{t-1} + ha_close_{t-1}) / 2``;
+    - ``ha_high/ha_low`` = extremes of (h, ha_open, ha_close) /
+      (l, ha_open, ha_close).
+
+    The open recursion is an affine fold over the PRIOR ha_close
+    prefix, so it stays pure Catalyst: ``aggregate(prefix_list, seed,
+    (a, x) -> (a + x) / 2)`` — identical tree to the DuckDB
+    ``list_reduce`` oracle (the ema-fold pattern at alpha = 1/2).
+    O(bars²) per key, but the input is DAILY bars (tens of rows per
+    key-month), not ticks.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    hc = ("(CAST(open AS DOUBLE) + high + low + close) / 4.0")
+    staged = (
+        bars.withColumn("__hc", F.expr(hc))
+        .withColumn("__seed", F.first(
+            F.expr("(open + close) / 2.0")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__pfx", F.collect_list("__hc").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)))
+    )
+    ha_open = "aggregate(__pfx, __seed, (a, x) -> (a + x) / 2.0D)"
+    out = (
+        staged.withColumn("__ho", F.expr(ha_open))
+        .withColumn("ha_open", round_portable(F.col("__ho")))
+        .withColumn("ha_close", round_portable(F.col("__hc")))
+        .withColumn("ha_high", round_portable(
+            F.expr("greatest(high, __ho, __hc)")))
+        .withColumn("ha_low", round_portable(
+            F.expr("least(low, __ho, __hc)")))
+    )
+    return out.drop("__hc", "__seed", "__pfx", "__ho")
+
+
 # --------------------------------------------------------------------------
 # Gate query
 # --------------------------------------------------------------------------
@@ -160,6 +200,52 @@ FROM lagged
 """
 
 
+def _q_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_candles(load(spark, sf_dir, "events"))
+    out = heikin_ashi(bars)
+    return out.select("user_id", "day", "ha_open", "ha_close",
+                      "ha_high", "ha_low")
+
+
+_HA_W = "PARTITION BY user_id ORDER BY day ASC"
+
+_ORACLE_HEIKIN_ASHI = f"""
+WITH {_BARS_CTE},
+hc AS (
+  SELECT user_id, day, open, high, low, close,
+         (CAST(open AS DOUBLE) + high + low + close) / 4.0 AS hcv
+  FROM bars
+), st AS (
+  SELECT user_id, day, high, low, hcv,
+         first_value((open + close) / 2.0) OVER
+           ({_HA_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS seed,
+         coalesce(list(hcv) OVER
+           ({_HA_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           []) AS pfx
+  FROM hc
+), ho AS (
+  SELECT user_id, day, high, low, hcv,
+         list_reduce(list_concat([seed], pfx),
+                     (a, x) -> (a + x) / 2.0) AS hov
+  FROM st
+)
+SELECT user_id, day,
+  {round_portable_duck("hov")} AS ha_open,
+  {round_portable_duck("hcv")} AS ha_close,
+  {round_portable_duck("greatest(high, hov, hcv)")} AS ha_high,
+  {round_portable_duck("least(low, hov, hcv)")} AS ha_low
+FROM ho
+"""
+
+
 QUERIES: dict = {
     "ind_candles_events": (_q_candles, _ORACLE_CANDLES),
+}
+
+# Registered past the gate window (the candles module itself sits
+# INSIDE the sealed r04 window — adding here would displace
+# resample_interp out of its gate slot).
+QUEUED_QUERIES: dict = {
+    "ind_heikin_ashi_events": (_q_heikin_ashi, _ORACLE_HEIKIN_ASHI),
 }

@@ -39,6 +39,7 @@ def _queued(qdict: dict):
 
 
 _QueuedAnalytics2 = _queued(analytics2.QUEUED_QUERIES)
+_QueuedCandles = _queued(candles.QUEUED_QUERIES)
 _QueuedVocab = _queued(vocab.QUEUED_QUERIES)
 _QueuedMicro = _queued(microstructure.QUEUED_QUERIES)
 _QueuedDedup = _queued(dedup.QUEUED_QUERIES)
@@ -122,7 +123,8 @@ _MODULES = [
     resample,  # moved into the r04 block: resample_interp is new
     wquantile, diff, _QueuedAnalytics2, risk,  # past the cut: R05-queued
     technical3, technical4, sketch2, barvol, dq, analytics3,
-    keywords, portfolio, linkage, crossmodal,  # R05-queued
+    keywords, portfolio, linkage, crossmodal,
+    _QueuedCandles,  # R05-queued
     # --- window filler: re-gates of the oldest (r01/r02) green modules;
     # the window cuts somewhere inside this block and everything past it
     # is prior-gated, so the cut position is harmless. ---
@@ -176,6 +178,7 @@ R05_QUEUE = frozenset({
     "q_seasonality_events",
     "micro_roll_spread_events",
     "micro_amihud_events",
+    "ind_heikin_ashi_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

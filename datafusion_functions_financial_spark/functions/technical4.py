@@ -33,7 +33,7 @@ from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
 from .candles import _BARS_CTE, daily_candles
 
-__all__ = ["ichimoku", "pivot_points"]
+__all__ = ["ichimoku", "pivot_points", "cmo", "stoch_rsi"]
 
 
 def _row_window(keys: Sequence[str], order: Sequence[str]):
@@ -113,6 +113,72 @@ def pivot_points(bars: DataFrame, keys: Sequence[str] = ("user_id",),
 # column is populated at every sf.
 # ---------------------------------------------------------------------------
 
+
+def cmo(df: DataFrame, value_col: str, keys: Sequence[str],
+        order: Sequence[str], n: int = 14) -> DataFrame:
+    """Chande Momentum Oscillator:
+    ``100 * (Σgains − Σlosses) / (Σgains + Σlosses)`` over the last
+    ``n`` price changes. Changes reduce to integer CENTS first, so the
+    frame sums are EXACT BIGINTs (add-order-free at any scale) and
+    only the final ratio is a double. NULL until the frame holds ``n``
+    changes or when every change in the frame is zero."""
+    wrow = _row_window(keys, order)
+    c = f"CAST(round({value_col} * 100) AS BIGINT)"
+    staged = (
+        df.withColumn("__c", F.expr(c))
+        .withColumn("__d", F.col("__c") - F.lag("__c", 1).over(wrow))
+        .withColumn("__g",
+                    F.expr("CASE WHEN __d > 0 THEN __d ELSE 0 END"))
+        .withColumn("__l",
+                    F.expr("CASE WHEN __d < 0 THEN -__d ELSE 0 END"))
+    )
+    w = wrow.rowsBetween(-(n - 1), 0)
+    staged = (
+        staged
+        .withColumn("__sg", F.sum("__g").over(w).cast("bigint"))
+        .withColumn("__sl", F.sum("__l").over(w).cast("bigint"))
+        .withColumn("__cnt", F.count("__d").over(w))
+    )
+    expr = (f"CASE WHEN __cnt >= {n} AND (__sg + __sl) > 0 THEN "
+            f"100.0 * CAST(__sg - __sl AS DOUBLE) "
+            f"/ CAST(__sg + __sl AS DOUBLE) END")
+    return (
+        staged.withColumn("cmo", round_portable(F.expr(expr)))
+        .drop("__c", "__d", "__g", "__l", "__sg", "__sl", "__cnt")
+    )
+
+
+def stoch_rsi(df: DataFrame, value_col: str, keys: Sequence[str],
+              order: Sequence[str], rsi_n: int = 14,
+              stoch_n: int = 14) -> DataFrame:
+    """Stochastic RSI: ``(rsi − min_n(rsi)) / (max_n − min_n)`` over
+    the last ``stoch_n`` RSI values — RSI renormalized to its own
+    recent range (what traders use when plain RSI pins at an extreme).
+
+    The RSI stage is the reference-exact kernel
+    (``with_indicators``); the stochastic stage is frame-local
+    Catalyst min/max (null-skipping on BOTH engines, so RSI's warm-up
+    NULLs shrink early frames identically). NULL until the frame holds
+    ``stoch_n`` RSI values and when the frame is flat."""
+    from . import indicators as ind
+
+    with_rsi = ind.with_indicators(
+        df, value_col, list(order), list(keys), [ind.rsi(rsi_n)])
+    rsi_col = f"rsi_{rsi_n}"
+    w = _row_window(keys, order).rowsBetween(-(stoch_n - 1), 0)
+    staged = (
+        with_rsi
+        .withColumn("__mn", F.min(rsi_col).over(w))
+        .withColumn("__mx", F.max(rsi_col).over(w))
+        .withColumn("__cnt", F.count(rsi_col).over(w))
+    )
+    expr = (f"CASE WHEN __cnt >= {stoch_n} AND __mx != __mn THEN "
+            f"({rsi_col} - __mn) / (__mx - __mn) END")
+    return (
+        staged.withColumn("stoch_rsi", round_portable(F.expr(expr)))
+        .drop("__mn", "__mx", "__cnt")
+    )
+
 _P, _Q, _R = 5, 10, 20
 _EVENTS_W = "PARTITION BY user_id ORDER BY ts, event_id"
 
@@ -187,7 +253,85 @@ FROM l
 """
 
 
+_CMO_N = 14
+
+
+def _q_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cmo(load(spark, sf_dir, "events"), "value",
+              ["user_id"], ["ts", "event_id"], n=_CMO_N)
+    return out.select("user_id", "event_id", "cmo")
+
+
+_ORACLE_CMO = f"""
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), d AS (
+  SELECT user_id, event_id, ts,
+         c - lag(c) OVER ({_EVENTS_W}) AS dd
+  FROM t
+), f AS (
+  SELECT user_id, event_id,
+         CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) OVER w
+              AS BIGINT) AS sg,
+         CAST(sum(CASE WHEN dd < 0 THEN -dd ELSE 0 END) OVER w
+              AS BIGINT) AS sl,
+         count(dd) OVER w AS cnt
+  FROM d
+  WINDOW w AS ({_EVENTS_W}
+               ROWS BETWEEN {_CMO_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+  {round_portable_duck(
+      f"CASE WHEN cnt >= {_CMO_N} AND (sg + sl) > 0 THEN "
+      f"100.0 * CAST(sg - sl AS DOUBLE) "
+      f"/ CAST(sg + sl AS DOUBLE) END")} AS cmo
+FROM f
+"""
+
+_SRSI_RSI_N = 14
+_SRSI_N = 14
+
+
+def _q_stoch_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = stoch_rsi(load(spark, sf_dir, "events"), "value",
+                    ["user_id"], ["ts", "event_id"],
+                    rsi_n=_SRSI_RSI_N, stoch_n=_SRSI_N)
+    return out.select("user_id", "event_id", "stoch_rsi")
+
+
+def _srsi_oracle() -> str:
+    from ..plans.indicator_queries import oracle_indicator_sql
+    from ..plans.series import SeriesCfg
+    from . import indicators as ind
+
+    cfg = SeriesCfg(table="events", keys=("user_id",),
+                    order=("ts", "event_id"), value="value",
+                    out_cols=("user_id", "event_id", "ts"))
+    inner = oracle_indicator_sql(cfg, [ind.rsi(_SRSI_RSI_N)], dp=None)
+    col = f"rsi_{_SRSI_RSI_N}"
+    return f"""
+WITH r AS ({inner}),
+f AS (
+  SELECT user_id, event_id, {col},
+         min({col}) OVER w AS mn, max({col}) OVER w AS mx,
+         count({col}) OVER w AS cnt
+  FROM r
+  WINDOW w AS ({_EVENTS_W}
+               ROWS BETWEEN {_SRSI_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+  {round_portable_duck(
+      f"CASE WHEN cnt >= {_SRSI_N} AND mx != mn THEN "
+      f"({col} - mn) / (mx - mn) END")} AS stoch_rsi
+FROM f
+"""
+
+
 QUERIES: dict = {
     "ind_ichimoku_events": (_q_ichimoku, _ORACLE_ICHIMOKU),
     "ind_pivots_events": (_q_pivots, _ORACLE_PIVOTS),
+    "ind_cmo_events": (_q_cmo, _ORACLE_CMO),
+    "ind_stochrsi_events": (_q_stoch_rsi, _srsi_oracle()),
 }

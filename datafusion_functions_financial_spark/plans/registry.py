@@ -179,6 +179,8 @@ R05_QUEUE = frozenset({
     "micro_roll_spread_events",
     "micro_amihud_events",
     "ind_heikin_ashi_events",
+    "ind_cmo_events",
+    "ind_stochrsi_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

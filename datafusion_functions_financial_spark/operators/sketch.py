@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from ..sources.tables import load
 from ..plans.series import ROUND_DP
 
-__all__ = ["hll_estimate", "hll_registers", "merge_registers"]
+__all__ = ["hll_estimate", "hll_registers", "merge_registers",
+           "sliding_hll_distinct"]
 
 PRIME = 2_147_483_647  # 2^31 - 1; hash values carry 31 bits
 _HA, _HB = 1_103_515_245, 12_345  # classic LCG constants, public domain
@@ -205,7 +206,97 @@ FROM approx a JOIN exact e USING (event_type)
 
 _ORACLE_HLL_PARTS = duck_hll_sql("lineitem", "l_partkey", ())
 
+def sliding_hll_distinct(df: DataFrame, value_expr: str,
+                         day_expr: str,
+                         window_days: int = 7) -> DataFrame:
+    """Trailing-``window_days`` distinct count per day via MERGED HLL
+    registers — the scale answer to sliding COUNT DISTINCT (which
+    Spark's windows cannot express and an explode-based exact count
+    pays users x days x window rows for).
+
+    Each day's register table (<= M rows) is exploded to the
+    ``window_days`` target days it covers; merging is register-wise
+    max per (day, bucket). Cost at 100 TB: the daily register build is
+    the only pass over the data — the sliding merge touches
+    days x M x window rows, i.e. kilobytes. Output
+    (day, wau_hll) for every day present in the input.
+    """
+    base = df.withColumn("__day", F.expr(day_expr))
+    regs = hll_registers(base, value_expr, ("__day",))
+    expanded = regs.selectExpr(
+        f"explode(sequence(__day, __day + {window_days - 1})) AS day",
+        "bucket", "r",
+    )
+    merged = expanded.groupBy("day", "bucket").agg(
+        F.max("r").alias("r"))
+    est = _estimate_from_registers(merged, ("day",))
+    days = base.select(F.col("__day").alias("day")).distinct()
+    return (
+        est.join(days, "day")
+        .withColumnRenamed("approx_distinct", "wau_hll")
+    )
+
+
+_DAY_NS = 86_400 * 1_000_000_000
+_WAU_W = 7
+
+
+def _q_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: exact DAU, exact trailing-7d WAU, and the HLL WAU —
+    the approximate path's error is visible in the gate output (both
+    engines compute identical values for all three)."""
+    ev = load(spark, sf_dir, "events")
+    day = f"ts DIV {_DAY_NS}"
+    hll = sliding_hll_distinct(ev, "user_id", day, _WAU_W)
+    base = ev.selectExpr(f"{day} AS day", "user_id").distinct()
+    dau = base.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau_exact"))
+    wau_exact = (
+        base.selectExpr(
+            f"explode(sequence(day, day + {_WAU_W - 1})) AS wday",
+            "user_id")
+        .distinct()
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau_exact"))
+        .withColumnRenamed("wday", "day")
+    )
+    return (
+        dau.join(wau_exact, "day").join(hll, "day")
+        .select("day", "dau_exact", "wau_exact", "wau_hll")
+    )
+
+
+_ORACLE_WAU = f"""
+WITH ev AS (
+  SELECT (epoch_us(ts) * 1000) // {_DAY_NS} AS day, user_id
+  FROM events
+), pairs AS (
+  SELECT DISTINCT day, user_id FROM ev
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau_exact
+  FROM pairs GROUP BY day
+), cover AS (
+  SELECT DISTINCT p.day + u.i AS wday, p.user_id
+  FROM pairs p, UNNEST(range(0, {_WAU_W})) AS u(i)
+), wexact AS (
+  SELECT wday AS day, CAST(count(*) AS BIGINT) AS wau_exact
+  FROM cover GROUP BY wday
+), hllsrc AS (
+  SELECT day + u.i AS wday, user_id
+  FROM ev, UNNEST(range(0, {_WAU_W})) AS u(i)
+), hll AS (
+  SELECT wday AS day, approx_distinct AS wau_hll FROM (
+    {duck_hll_sql("hllsrc", "user_id", ("wday",))}
+  )
+)
+SELECT d.day, d.dau_exact, w.wau_exact, h.wau_hll
+FROM dau d JOIN wexact w ON d.day = w.day
+JOIN hll h ON d.day = h.day
+"""
+
+
 QUERIES: dict = {
     "sketch_hll_users_events": (_q_hll_users, _ORACLE_HLL_USERS),
     "sketch_hll_parts_lineitem": (_q_hll_parts, _ORACLE_HLL_PARTS),
+    "q_wau_hll_events": (_q_wau, _ORACLE_WAU),
 }

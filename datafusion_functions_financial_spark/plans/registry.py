@@ -181,6 +181,7 @@ R05_QUEUE = frozenset({
     "ind_heikin_ashi_events",
     "ind_cmo_events",
     "ind_stochrsi_events",
+    "q_wau_hll_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

@@ -18,14 +18,14 @@ Beyond-reference (the crate has no joins, SURVEY §2.C). Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load
 from .series import round_portable, round_portable_duck
 
 __all__ = ["nation_market_share", "customer_order_distribution",
-           "seasonality_profile"]
+           "seasonality_profile", "cohort_ltv"]
 
 _HOUR_NS = 3_600 * 1_000_000_000
 _DAY_NS = 86_400 * 1_000_000_000
@@ -176,6 +176,37 @@ GROUP BY c_count
 """
 
 
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by FIRST-order
+    month, revenue accumulated by month offset —
+    (cohort_month, offset, n_orders, cum_cents). The retention
+    triangle's revenue twin (``plans/funnel.cohort_retention`` counts
+    users; this sums money).
+
+    Exact end to end: months are integer ``year*12 + month − 1``,
+    revenue is integer cents, and the cumulative sum is a prefix
+    window over (cohort, offset) aggregates — at most
+    cohorts x offsets rows, however large the fact table.
+    """
+    m = "year(o_orderdate) * 12 + month(o_orderdate) - 1"
+    base = orders.selectExpr(
+        "o_custkey", f"{m} AS om",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+    first = base.groupBy("o_custkey").agg(
+        F.min("om").alias("cohort_month"))
+    joined = base.join(first, "o_custkey").withColumn(
+        "offset", F.col("om") - F.col("cohort_month"))
+    per_cell = joined.groupBy("cohort_month", "offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("__cents"),
+    )
+    w = (Window.partitionBy("cohort_month").orderBy("offset")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return per_cell.withColumn(
+        "cum_cents", F.sum("__cents").over(w).cast("bigint")
+    ).select("cohort_month", "offset", "n_orders", "cum_cents")
+
+
 def _q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonality_profile(load(spark, sf_dir, "events"))
 
@@ -199,8 +230,36 @@ FROM t GROUP BY 1, 2, 3
 """
 
 
+def _q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_ltv(load(spark, sf_dir, "orders"))
+
+
+_ORACLE_COHORT_LTV = """
+WITH base AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS om,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), first AS (
+  SELECT o_custkey, min(om) AS cohort_month FROM base GROUP BY 1
+), cells AS (
+  SELECT f.cohort_month, b.om - f.cohort_month AS "offset",
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(b.cents) AS BIGINT) AS c
+  FROM base b JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT cohort_month, "offset", n_orders,
+       CAST(sum(c) OVER (PARTITION BY cohort_month ORDER BY "offset"
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cents
+FROM cells
+"""
+
+
 QUERIES: dict = {
     "q_market_share_orders": (_q_market_share, _ORACLE_MARKET_SHARE),
     "q_custdist_orders": (_q_custdist, _ORACLE_CUSTDIST),
     "q_seasonality_events": (_q_seasonality, _ORACLE_SEASONALITY),
+    "q_cohort_ltv_orders": (_q_cohort_ltv, _ORACLE_COHORT_LTV),
 }

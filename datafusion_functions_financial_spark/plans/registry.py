@@ -182,6 +182,7 @@ R05_QUEUE = frozenset({
     "ind_cmo_events",
     "ind_stochrsi_events",
     "q_wau_hll_events",
+    "q_cohort_ltv_orders",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

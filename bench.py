@@ -104,6 +104,12 @@ def main() -> None:
         "cms_token_counts_documents",      # count-min cells + top-k audit
         "bloom_membership_customers",      # broadcast bloom membership
         "dq_benford_orders",               # digit pivot + fixed chi-square
+        "ind_stochrsi_events",             # kernel RSI + frame renorm
+        "q_wau_hll_events",                # sliding distinct via HLL merge
+        "q_cohort_ltv_orders",             # cohort x offset cumulative
+        "micro_flow_imbalance_events",     # signed-flow bucket collapse
+        "dedup_representatives_documents",  # cluster canonical selection
+        "link_customers_fuzzy",            # blocked trigram linkage
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings",
@@ -146,6 +152,9 @@ def main() -> None:
         "cms_": table_rows["documents"],
         "bloom_": table_rows["customer"],
         "dq_benford": table_rows["orders"],
+        "q_wau": table_rows["events"],
+        "q_cohort": table_rows["orders"],
+        "link_": table_rows["customer"],
     }
 
     def run(name: str) -> float:

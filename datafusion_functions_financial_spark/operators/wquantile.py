@@ -92,6 +92,60 @@ FROM q WHERE rn = 1
 """
 
 
+def _q_wiqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted interquartile range per supplier: the robust
+    dispersion screen (two reach tests over one staged cumulative,
+    exact BIGINT throughout)."""
+    li = load(spark, sf_dir, "lineitem")
+    args = ("l_extendedprice", "l_quantity", ["l_suppkey"],
+            ["l_orderkey", "l_linenumber"])
+    p25 = weighted_quantile(li, *args, numer=1, denom=4).selectExpr(
+        "l_suppkey", "w_quantile AS p25")
+    p75 = weighted_quantile(li, *args, numer=3, denom=4).selectExpr(
+        "l_suppkey", "w_quantile AS p75", "total_weight")
+    return (
+        p25.join(p75, "l_suppkey")
+        .withColumn("iqr", round_portable(
+            F.col("p75") - F.col("p25")))
+        .select("l_suppkey", "p25", "p75", "iqr", "total_weight")
+    )
+
+
+def _duck_wq(numer: int, denom: int, alias: str) -> str:
+    return f"""
+  SELECT l_suppkey,
+         {round_portable_duck("l_extendedprice")} AS {alias},
+         total AS total_weight
+  FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+    FROM (
+      SELECT l_suppkey, l_extendedprice, l_orderkey, l_linenumber,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cumw,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_suppkey
+             ) AS BIGINT) AS total
+      FROM lineitem
+    ) WHERE cumw * {denom} >= total * {numer}
+  ) WHERE rn = 1"""
+
+
+_ORACLE_WIQR = f"""
+WITH q25 AS ({_duck_wq(1, 4, "p25")}),
+q75 AS ({_duck_wq(3, 4, "p75")})
+SELECT a.l_suppkey, a.p25, b.p75,
+  {round_portable_duck("b.p75 - a.p25")} AS iqr,
+  b.total_weight
+FROM q25 a JOIN q75 b USING (l_suppkey)
+"""
+
+
 QUERIES: dict = {
     "wq_weighted_median_lineitem": (_q_wmedian, _ORACLE_WMEDIAN),
+    "wq_weighted_iqr_lineitem": (_q_wiqr, _ORACLE_WIQR),
 }

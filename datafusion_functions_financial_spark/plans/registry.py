@@ -183,6 +183,7 @@ R05_QUEUE = frozenset({
     "ind_stochrsi_events",
     "q_wau_hll_events",
     "q_cohort_ltv_orders",
+    "wq_weighted_iqr_lineitem",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

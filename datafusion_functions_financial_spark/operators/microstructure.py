@@ -467,6 +467,80 @@ FROM agg
 """
 
 
+POC_BIN_CENTS = 500  # $5 price bins
+
+
+def volume_profile_poc(
+    trades: DataFrame,
+    keys: Sequence[str] = ("ticker",),
+    price_col: str = "price",
+    size_col: str = "size",
+    bin_cents: int = POC_BIN_CENTS,
+) -> DataFrame:
+    """Volume-profile point of control per key: the price bin where
+    the most volume traded — (keys..., poc_bin, poc_lo_cents, poc_vol,
+    total_vol). Ties take the LOWEST bin via the packed-scalar
+    ``max_by`` idiom (vol·2^20 − bin; bins stay < 2^20 for any sane
+    width). Two map-side-combinable aggregations over integer cents —
+    nothing floats.
+    """
+    kc = list(keys)
+    binned = (
+        trades.selectExpr(
+            *kc,
+            f"CAST({price_col} AS BIGINT) DIV {bin_cents} AS __bin",
+            f"CAST({size_col} AS BIGINT) AS __s",
+        )
+        .groupBy(*kc, "__bin")
+        .agg(F.sum("__s").cast("bigint").alias("__vol"))
+    )
+    pick = "max_by(__bin, __vol * 1048576 - __bin)"
+    return (
+        binned.groupBy(*kc)
+        .agg(
+            F.expr(pick).cast("bigint").alias("poc_bin"),
+            F.max(F.expr("__vol * 1048576 - __bin")).alias("__pk"),
+            F.sum("__vol").cast("bigint").alias("total_vol"),
+        )
+        .withColumn("poc_vol", F.expr(
+            "CAST((__pk + poc_bin) DIV 1048576 AS BIGINT)"))
+        .withColumn("poc_lo_cents",
+                    (F.col("poc_bin") * bin_cents).cast("bigint"))
+        .select(*kc, "poc_bin", "poc_lo_cents", "poc_vol", "total_vol")
+    )
+
+
+def _q_poc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return volume_profile_poc(
+        _events_as_trades(spark, sf_dir),
+        keys=("ticker",),
+        price_col="price_cents",
+        size_col="size",
+    )
+
+
+_ORACLE_POC = f"""
+WITH t AS (
+  SELECT event_type AS ticker,
+         CAST(round(value * 100) AS BIGINT) // {POC_BIN_CENTS} AS bin,
+         CAST(event_id % 97 + 1 AS BIGINT) AS s
+  FROM events
+), b AS (
+  SELECT ticker, bin, CAST(sum(s) AS BIGINT) AS vol
+  FROM t GROUP BY 1, 2
+)
+SELECT ticker,
+       CAST(max_by(bin, vol * 1048576 - bin) AS BIGINT) AS poc_bin,
+       CAST(max_by(bin, vol * 1048576 - bin) * {POC_BIN_CENTS}
+            AS BIGINT) AS poc_lo_cents,
+       CAST((max(vol * 1048576 - bin)
+             + max_by(bin, vol * 1048576 - bin)) // 1048576
+            AS BIGINT) AS poc_vol,
+       CAST(sum(vol) AS BIGINT) AS total_vol
+FROM b GROUP BY ticker
+"""
+
+
 def _q_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = flow_imbalance(
         _events_as_trades(spark, sf_dir),
@@ -648,6 +722,7 @@ QUERIES: dict = {
     "micro_flow_imbalance_events": (_q_flow_imbalance, _ORACLE_FLOW),
     "micro_roll_spread_events": (_q_roll_spread, _ORACLE_ROLL_SPREAD),
     "micro_amihud_events": (_q_amihud, _ORACLE_AMIHUD),
+    "micro_volume_poc_events": (_q_poc, _ORACLE_POC),
 }
 
 # Registered via the registry's r04-queue tail.

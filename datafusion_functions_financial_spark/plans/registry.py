@@ -184,6 +184,7 @@ R05_QUEUE = frozenset({
     "q_wau_hll_events",
     "q_cohort_ltv_orders",
     "wq_weighted_iqr_lineitem",
+    "micro_volume_poc_events",
 })
 
 # Backwards-compatible alias (tests and COVERAGE.md referred to the

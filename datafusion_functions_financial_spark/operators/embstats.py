@@ -187,7 +187,18 @@ FROM embeddings GROUP BY 1
 
 
 def _q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return random_projection(load(spark, sf_dir, "embeddings"))
+    # Gate shape: one scalar row per (vector, output dimension). The
+    # library API (``random_projection``) returns the array column;
+    # the gate explodes it because the driver's canonicalizer sorts
+    # with pandas and cannot hash ``array<double>`` cells (the r04 red
+    # row was a harness TypeError, not a value mismatch).
+    proj = random_projection(load(spark, sf_dir, "embeddings"))
+    return (
+        proj.select(F.col("vec_id"),
+                    F.posexplode("projected").alias("pos", "value"))
+        .select("vec_id", F.col("pos").cast("bigint").alias("pos"),
+                "value")
+    )
 
 
 _DUCK_PROJ_DOT = (
@@ -197,11 +208,20 @@ _DUCK_PROJ_DOT = (
     "(a, v) -> a + v)"
 )
 
+# The projection itself stays array-shaped in a CTE (bit-identical to
+# the Spark ``transform``), then unnests positionally via a range
+# cross join + 1-based list indexing (DuckDB here lacks WITH
+# ORDINALITY; plain indexing avoids the vectorized-lambda
+# outer-column-capture hazard).
 _ORACLE_PROJECTION = f"""
-SELECT vec_id,
-  list_transform(range(0, {OUT_DIM}), p ->
-    round(({_DUCK_PROJ_DOT}) * 10000.0) / 10000.0 + 0.0) AS projected
-FROM embeddings
+WITH proj AS (
+  SELECT vec_id,
+    list_transform(range(0, {OUT_DIM}), p ->
+      round(({_DUCK_PROJ_DOT}) * 10000.0) / 10000.0 + 0.0) AS projected
+  FROM embeddings
+), ps AS (SELECT unnest(range(0, {OUT_DIM})) AS pos)
+SELECT proj.vec_id, ps.pos, proj.projected[ps.pos + 1] AS value
+FROM proj, ps
 """
 
 

@@ -20,28 +20,28 @@ def test_every_ungated_query_inside_gate_window_or_queued():
     window = set(names[: registry.GATE_WINDOW])
     pending = [n for n in names if n not in registry.PRIOR_GATED]
     outside = [n for n in pending
-               if n not in window and n not in registry.R05_QUEUE]
+               if n not in window and n not in registry.NEXT_ROUND_QUEUE]
     assert not outside, (
         "queries with no driver CORRECTNESS row fell outside the gate "
         "window without being queued — reorder registry._MODULES or add "
-        f"to R05_QUEUE: {outside}"
+        f"to NEXT_ROUND_QUEUE: {outside}"
     )
 
 
 def test_queue_names_exist_and_pending_fit_window():
     names = set(registry.all_queries())
-    assert registry.R05_QUEUE <= names, (
-        registry.R05_QUEUE - names)
+    assert registry.NEXT_ROUND_QUEUE <= names, (
+        registry.NEXT_ROUND_QUEUE - names)
     # 98/106 queries were driver-green by r03, so (unlike r02/r03) the
     # window is mostly re-gate filler. The invariant that still matters:
     # ungated queries must not outgrow the window — if this trips, move
-    # the overflow into R05_QUEUE explicitly.
+    # the overflow into NEXT_ROUND_QUEUE explicitly.
     pending = [n for n in registry.all_queries()
                if n not in registry.PRIOR_GATED
-               and n not in registry.R05_QUEUE]
+               and n not in registry.NEXT_ROUND_QUEUE]
     assert len(pending) <= registry.GATE_WINDOW, (
         f"{len(pending)} ungated queries exceed the {registry.GATE_WINDOW}"
-        "-entry window — queue the overflow in R05_QUEUE"
+        "-entry window — queue the overflow in NEXT_ROUND_QUEUE"
     )
 
 
@@ -60,6 +60,20 @@ def test_every_query_has_an_oracle():
         "query/oracle mismatch — every queries() entry needs an "
         f"oracle_sql() entry: {sorted(set(q) ^ set(o))}"
     )
+
+
+def test_plan_rotation_check_mode():
+    # VERDICT r04 item 7: the rotation planner's --check mode runs as
+    # CI so a query landing outside both the window and the queue
+    # surfaces at commit time, not gate time.
+    import importlib.util
+    import pathlib
+
+    tool = pathlib.Path(__file__).parent.parent / "tools" / "plan_rotation.py"
+    spec = importlib.util.spec_from_file_location("plan_rotation", tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.check() == 0
 
 
 def test_gate_window_is_full():

@@ -9,6 +9,9 @@ a prior CORRECTNESS row).
 
 Usage:
     python tools/plan_rotation.py CORRECTNESS_r04.json
+    python tools/plan_rotation.py --check   # CI mode: exit 1 when any
+        # query lands outside both the gate window and the next-round
+        # queue (rotation mistake); no CORRECTNESS file needed.
 """
 
 from __future__ import annotations
@@ -19,7 +22,37 @@ import sys
 sys.path.insert(0, ".")
 
 
+def check() -> int:
+    """CI guard: every query must be prior-gated, inside the current
+    gate window, or explicitly queued for the next round. Returns the
+    number of violations (0 = clean)."""
+    from datafusion_functions_financial_spark.plans import registry
+
+    names = list(registry.all_queries())
+    window = set(names[: registry.GATE_WINDOW])
+    lost = [
+        n for n in names
+        if n not in registry.PRIOR_GATED
+        and n not in window
+        and n not in registry.NEXT_ROUND_QUEUE
+    ]
+    for n in lost:
+        print(f"ROTATION ERROR: {n} has no driver CORRECTNESS row, "
+              f"sits outside the first-{registry.GATE_WINDOW} window, "
+              "and is not in NEXT_ROUND_QUEUE")
+    if not lost:
+        ungated_in_window = sum(
+            1 for n in names[: registry.GATE_WINDOW]
+            if n not in registry.PRIOR_GATED)
+        print(f"rotation OK: {len(names)} queries, "
+              f"{ungated_in_window} ungated in window, "
+              f"{len(registry.NEXT_ROUND_QUEUE)} queued")
+    return len(lost)
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--check":
+        return 1 if check() else 0
     path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_r04.json"
     rows = json.load(open(path))
 

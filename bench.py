@@ -168,12 +168,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     rows_per_sec: dict[str, int] = {}
+    spreads: dict[str, float] = {}
     for name in headline:
-        # Best of 2: single-shot wall times on a shared box carry ±30%
-        # scheduler/GC noise; the minimum approximates steady-state,
-        # the same convention as the reference's criterion baseline
-        # (which reports statistically robust centers over many runs).
-        sec = min(run(name), run(name))
+        # Best of 2, escalating to median of 3 when the two runs
+        # disagree by >2x: single-shot wall times on this shared box
+        # carry ±30% scheduler noise and the occasional 10x steal
+        # transient (BENCH_r04 recorded 5.5s for a query that
+        # reproduces at 1.4s). The per-query spread (max/min across
+        # all runs taken) is recorded so a reviewer can discount
+        # noise without re-running.
+        runs = [run(name), run(name)]
+        if max(runs) > 2.0 * min(runs):
+            runs.append(run(name))
+            sec = sorted(runs)[1]  # median of 3
+        else:
+            sec = min(runs)
+        spreads[name] = round(max(runs) / min(runs), 2)
         timings[name] = round(sec, 3)
         nrows = next(
             (v for k, v in rows_for.items() if name.startswith(k)), 0
@@ -191,6 +201,7 @@ def main() -> None:
         "sf": sf,
         "rows": table_rows,
         "rows_per_sec": rows_per_sec,
+        "spread": spreads,
         "cpus": int(cpus),
     }
     # Full detail (rows, rows/s) goes to a file; BENCH_r02.json showed the
@@ -206,6 +217,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Per-query max/min run-time ratio, printed only where it
+        # exceeds 1.3x so the compact line stays under the driver's
+        # stdout-tail capture. Any query absent here timed tight
+        # (spread <= 1.3); the full spread map is in
+        # bench_detail.json. A large spread marks a host transient —
+        # the recorded (best/median) time, not the spread, is the
+        # steady-state estimate.
+        "spread": {k: v for k, v in spreads.items() if v > 1.3},
     }
     print(json.dumps(compact, separators=(",", ":")))
     spark.stop()

@@ -314,6 +314,31 @@ def _cap_hot_buckets(bands: DataFrame, key_cols: list[str],
     return bands.join(F.broadcast(hot), key_cols, "left_anti")
 
 
+def _cap_hot_buckets_fused(bands: DataFrame, key_cols: list[str],
+                           max_bucket_size: int) -> DataFrame:
+    """Same contract as ``_cap_hot_buckets`` (drop every row of a
+    bucket whose occupancy exceeds the cap), expressed as a window
+    COUNT over the bucket key instead of a separate aggregate +
+    broadcast anti-join.
+
+    Use when the DOWNSTREAM operator already shuffles on ``key_cols``
+    (the LSH band self-join does): the window's exchange is the same
+    exchange the join needs, so Spark's exchange reuse makes the cap
+    free of extra shuffles — the standalone variant costs a full
+    aggregate job plus a broadcast build per run. The window buffers
+    one bucket's rows per key group (spilling past memory), which is
+    exactly the relation the join would have buffered anyway; the cap
+    filter still kills over-cap buckets before any pair is emitted."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    return (
+        bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -367,8 +392,8 @@ def minhash_lsh_candidates(
         f"explode(array({', '.join(band_exprs)})) AS bk",
     ).selectExpr("doc_id", "__sig", "bk.band AS band", "bk.key AS band_key")
     if max_bucket_size is not None:
-        bands = _cap_hot_buckets(bands, ["band", "band_key"],
-                                 max_bucket_size)
+        bands = _cap_hot_buckets_fused(bands, ["band", "band_key"],
+                                       max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     # Direct indexed compares, NOT zip_with/aggregate: higher-order
     # functions are interpreted per row (outside whole-stage codegen);

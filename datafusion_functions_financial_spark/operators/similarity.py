@@ -158,7 +158,28 @@ def _bucket_duck(vec: str) -> str:
 
 
 def lsh_buckets(vectors: DataFrame, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                use_arrow: bool = False) -> DataFrame:
+    """(vec_id, embedding, bucket): sign-random-projection bucket per
+    vector, as an ``N_PLANES``-char '0'/'1' string.
+
+    ``use_arrow=True`` computes the plane dots in one vectorized numpy
+    pass per Arrow batch (``fasthash.make_band_sig_udf`` with a single
+    band) instead of the interpreted Catalyst higher-order fold — same
+    LCG planes, same per-dimension accumulation order, bit-identical
+    sign bits (equality-tested), ~10x faster per corpus row. The
+    Catalyst default stays because the DuckDB oracles mirror its
+    expression text; the Arrow path is the 100 TB scan shape."""
+    if use_arrow:
+        sig_udf = fasthash.make_band_sig_udf(1, N_PLANES, DIM)
+        return vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            sig_udf(F.col(vec_col)).alias("__sig"),
+        ).selectExpr(
+            "vec_id", "embedding",
+            f"lpad(bin(__sig[0]), {N_PLANES}, '0') AS bucket",
+        )
     return vectors.selectExpr(
         f"{id_col} AS vec_id", f"{vec_col} AS embedding",
         f"{_bucket_spark(vec_col)} AS bucket",
@@ -171,12 +192,15 @@ def cosine_topk_lsh(
     k: int = K_LSH,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> DataFrame:
-    """ANN: candidates restricted to the query's LSH bucket."""
-    v = lsh_buckets(vectors, id_col, vec_col).selectExpr(
+    """ANN: candidates restricted to the query's LSH bucket.
+    ``use_arrow`` selects the vectorized bucket path (see
+    ``lsh_buckets``) — identical buckets, identical output."""
+    v = lsh_buckets(vectors, id_col, vec_col, use_arrow).selectExpr(
         "vec_id AS n_id", "embedding AS n_vec", "bucket"
     )
-    q = lsh_buckets(queries, id_col, vec_col).selectExpr(
+    q = lsh_buckets(queries, id_col, vec_col, use_arrow).selectExpr(
         "vec_id AS q_id", "embedding AS q_vec", "bucket"
     )
     joined = v.join(F.broadcast(q), "bucket").filter("q_id != n_id")

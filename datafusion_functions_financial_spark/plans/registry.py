@@ -17,8 +17,8 @@ from ..functions import (
     technical2, technical3, technical4,
 )
 from ..operators import (
-    asof, bm25, boilerplate, chunking, crossmodal, decontam, dedup, diff,
-    divergence,
+    asof, bm25, boilerplate, chunking, concentration, crossmodal,
+    decontam, dedup, diff, divergence,
     dq, embnorm, embstats, histogram, incremental, ivf, keywords,
     linkage, microstructure, multimodal,
     packing, pipeline, profile, quality, quantize, rollup, sampling,
@@ -194,6 +194,9 @@ _MODULES = [
     incremental, tfidf, quantize, boilerplate, bm25,
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
+    # --- new in r05: registered past the window, gated in r06 (the
+    # r05 window is sealed at exactly the 43-query backlog). ---
+    concentration,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -201,7 +204,11 @@ _MODULES = [
 # everything else. The entire r04 backlog (R05_QUEUE, 42 entries)
 # plus the r04 red row fit the r05 window (43 ≤ 50), so the queue
 # resets to hold only queries ADDED during r05.
-NEXT_ROUND_QUEUE: frozenset = frozenset()
+NEXT_ROUND_QUEUE: frozenset = frozenset({
+    "q_gini_orders",
+    "q_lorenz_deciles_orders",
+    "q_hhi_nation_orders",
+})
 
 # Backwards-compatible aliases (earlier rounds referred to the queue
 # by round number; R06 is the round these queries gate in).

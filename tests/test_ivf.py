@@ -58,3 +58,25 @@ def test_topk_rank_contract(spark, emb):
         cs = [r.cos_sim for r in ordered]
         assert cs == sorted(cs, reverse=True)
         assert all(r.n_id != q_id for r in rows)
+
+
+def test_matrix_nearest_equals_join_path(spark, emb):
+    """The matrix-form nearest-centroid UDF must be bit-identical to
+    the broadcast-crossJoin fold path: same cosines, same tie order,
+    for both the assignment pass (keep=1) and the probe pass."""
+    v = emb.selectExpr("vec_id", "embedding")
+    cents, _ = ivf.ivf_index(emb)
+    for keep in (1, ivf.IVF_NPROBE):
+        a = sorted(
+            (r.vec_id, r[1], r.cs, r.rn)
+            for r in ivf._nearest(v, cents, "cell_id", "centroid", keep,
+                                  method="matrix")
+            .select("vec_id", "cell_id", "cs", "rn").collect()
+        )
+        b = sorted(
+            (r.vec_id, r[1], r.cs, r.rn)
+            for r in ivf._nearest(v, cents, "cell_id", "centroid", keep,
+                                  method="join")
+            .select("vec_id", "cell_id", "cs", "rn").collect()
+        )
+        assert a == b and len(a) > 0

@@ -21,7 +21,8 @@ from ..operators import (
     decontam, dedup, diff, divergence,
     dq, embnorm, embstats, histogram, incremental, ivf, keywords,
     linkage, microstructure, multimodal,
-    packing, pipeline, profile, quality, quantize, rollup, sampling,
+    outliers, packing, pipeline, profile, quality, quantize, rollup,
+    sampling,
     similarity, sketch, sketch2, skew, text, text2, tfidf, vocab,
     wquantile,
 )
@@ -196,7 +197,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- new in r05: registered past the window, gated in r06 (the
     # r05 window is sealed at exactly the 43-query backlog). ---
-    concentration,
+    concentration, outliers,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -208,6 +209,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_gini_orders",
     "q_lorenz_deciles_orders",
     "q_hhi_nation_orders",
+    "q_anomaly_mad_events",
+    "q_changepoint_cusum_events",
+    "q_arrival_burstiness_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

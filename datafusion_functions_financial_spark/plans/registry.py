@@ -9,7 +9,7 @@ is pre-validated locally.
 from __future__ import annotations
 
 from . import (
-    analytics, analytics2, analytics3, enrich, funnel, indicator_queries,
+    analytics, analytics2, analytics3, analytics4, enrich, funnel, indicator_queries,
     portfolio, signals, validate,
 )
 from ..functions import (
@@ -197,7 +197,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- new in r05: registered past the window, gated in r06 (the
     # r05 window is sealed at exactly the 43-query backlog). ---
-    concentration, outliers,
+    concentration, outliers, analytics4,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -212,6 +212,10 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_anomaly_mad_events",
     "q_changepoint_cusum_events",
     "q_arrival_burstiness_events",
+    "graph_degree_customers",
+    "graph_copurchase_parts",
+    "q_monthly_streak_orders",
+    "q_value_bands_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

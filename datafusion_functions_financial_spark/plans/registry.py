@@ -14,7 +14,7 @@ from . import (
 )
 from ..functions import (
     barvol, candles, resample, risk, rollstats, rollstats2, technical,
-    technical2, technical3, technical4,
+    technical2, technical3, technical4, technical5,
 )
 from ..operators import (
     asof, bm25, boilerplate, chunking, concentration, crossmodal,
@@ -197,7 +197,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- new in r05: registered past the window, gated in r06 (the
     # r05 window is sealed at exactly the 43-query backlog). ---
-    concentration, outliers, analytics4,
+    concentration, outliers, analytics4, technical5,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -216,6 +216,10 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "graph_copurchase_parts",
     "q_monthly_streak_orders",
     "q_value_bands_events",
+    "ind_vortex_events",
+    "ind_elder_ray_events",
+    "ind_chandelier_events",
+    "ind_fractals_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -21,8 +21,8 @@ from ..operators import (
     decontam, dedup, diff, divergence,
     dq, embnorm, embstats, histogram, incremental, ivf, keywords,
     linkage, microstructure, multimodal,
-    outliers, packing, pipeline, profile, quality, quantize, rollup,
-    sampling,
+    outliers, packing, pipeline, profile, quality, quantize, rfm,
+    robustfit, rollup, sampling, strsim,
     similarity, sketch, sketch2, skew, text, text2, tfidf, vocab,
     wquantile,
 )
@@ -197,7 +197,8 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- new in r05: registered past the window, gated in r06 (the
     # r05 window is sealed at exactly the 43-query backlog). ---
-    concentration, outliers, analytics4, technical5,
+    concentration, outliers, analytics4, technical5, robustfit,
+    strsim, rfm,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -220,6 +221,10 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "ind_elder_ray_events",
     "ind_chandelier_events",
     "ind_fractals_events",
+    "q_theil_sen_events",
+    "text_zipf_documents",
+    "str_editdist_suppliers",
+    "rfm_segment_orders",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -1,0 +1,159 @@
+"""Leading principal direction of an embedding corpus via power
+iteration — the cheap "what is this embedding space mostly doing"
+diagnostic (a dominant component with high explained share usually
+means un-centered embeddings or a degenerate model).
+
+Power iteration without ever forming the covariance matrix: repeat
+``v ← normalize(Σ_rows x · (x·v))`` from a fixed deterministic start
+(uniform 1/√dim). A FIXED number of iterations is part of the
+operator's definition — both engines run the identical unrolled
+computation, so parity is exact rather than convergence-dependent.
+
+Engine-exact: every cross-row float sum follows the repo's
+integer-quantized contribution rule (SCALING.md): per-term products
+quantize to BIGINT at 1e8 before summation (dots and component
+accumulations) or 1e12 (the 64-term norm), so aggregation order can
+never flip a bit; normalization and the final sign fix (component 0
+non-negative) are fixed scalar expressions.
+
+Plan shape at scale: each iteration is one explode of the corpus
+(vec → dim rows) with the CURRENT direction broadcast-joined on the
+dimension index, then two map-side-combinable integer aggregations
+(per-vector dot, per-dimension accumulation) — linear scans, no
+corpus shuffle beyond the groupBys, O(dim) state. Iterations
+compose as repeated stages over the same scan.
+
+Beyond-reference scope (SURVEY.md extension: embedding monitoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.series import round_portable, round_portable_duck
+from ..sources.tables import load
+from .similarity import DIM
+
+__all__ = ["power_iteration_component"]
+
+Q = 10 ** 8          # dot / accumulation quantizer
+QN = 10 ** 12        # norm-term quantizer
+N_ITER = 2
+
+
+def _iterate(comp: DataFrame, vecs: DataFrame, spark) -> DataFrame:
+    """One power step: comp (pos, val) -> next normalized (pos, val)."""
+    dots = (
+        vecs.join(F.broadcast(comp), "pos")
+        .withColumn("__t", F.expr(
+            f"CAST(round(x * val * {Q}) AS BIGINT)"))
+        .groupBy("vec_id")
+        .agg(F.expr(
+            f"CAST(sum(__t) AS DOUBLE) / {float(Q)!r} AS dot"))
+    )
+    acc = (
+        vecs.join(dots, "vec_id")
+        .withColumn("__c", F.expr(
+            f"CAST(round(x * dot * {Q}) AS BIGINT)"))
+        .groupBy("pos")
+        .agg(F.expr(
+            f"CAST(sum(__c) AS DOUBLE) / {float(Q)!r} AS raw"))
+    )
+    return (
+        acc.withColumn("__n2", F.expr(
+            f"CAST(round(raw * raw * {QN}) AS BIGINT)"))
+        .withColumn("__norm", F.expr(
+            f"sqrt(CAST(sum(__n2) OVER () AS DOUBLE) / {float(QN)!r})"))
+        .selectExpr("pos", "raw / __norm AS val")
+    )
+
+
+def power_iteration_component(df: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              n_iter: int = N_ITER) -> DataFrame:
+    """(pos, loading): the unit leading direction after ``n_iter``
+    power steps, sign-fixed so loading[0] ≥ 0."""
+    spark = df.sparkSession
+    vecs = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    start = spark.range(DIM).selectExpr(
+        "CAST(id AS INT) AS pos",
+        f"CAST(1.0 / sqrt(CAST({DIM} AS DOUBLE)) AS DOUBLE) AS val",
+    )
+    comp = start
+    for _ in range(n_iter):
+        comp = _iterate(comp, vecs, spark)
+    # max() over the single non-null pos-0 value: order-free (first()
+    # over an unordered frame is not deterministic).
+    sign = F.expr(
+        "CASE WHEN max(CASE WHEN pos = 0 THEN val END) "
+        "OVER () >= 0 THEN 1.0 ELSE -1.0 END"
+    )
+    return (
+        comp.withColumn("__s", sign)
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            round_portable(F.col("val") * F.col("__s")).alias("loading"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gate query
+# --------------------------------------------------------------------------
+
+
+def _q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return power_iteration_component(load(spark, sf_dir, "embeddings"))
+
+
+def _duck_iter(prev: str, k: int) -> str:
+    return f"""
+d{k} AS (
+  SELECT v.vec_id,
+         CAST(sum(CAST(round(v.x * c.val * {Q}) AS BIGINT)) AS DOUBLE)
+           / {float(Q)!r} AS dot
+  FROM vecs v JOIN {prev} c ON v.pos = c.pos
+  GROUP BY 1
+), a{k} AS (
+  SELECT v.pos,
+         CAST(sum(CAST(round(v.x * d.dot * {Q}) AS BIGINT)) AS DOUBLE)
+           / {float(Q)!r} AS raw
+  FROM vecs v JOIN d{k} d ON v.vec_id = d.vec_id
+  GROUP BY 1
+), c{k} AS (
+  SELECT pos, raw / sqrt(
+           CAST(sum(CAST(round(raw * raw * {QN}) AS BIGINT)) OVER ()
+             AS DOUBLE) / {float(QN)!r}) AS val
+  FROM a{k}
+)"""
+
+
+_ORACLE_PCA = f"""
+WITH vecs AS (
+  SELECT vec_id, pos - 1 AS pos, CAST(x AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+), c0 AS (
+  SELECT unnest(range(0, {DIM})) AS pos,
+         CAST(1.0 / sqrt(CAST({DIM} AS DOUBLE)) AS DOUBLE) AS val
+), {_duck_iter('c0', 1)}, {_duck_iter('c1', 2)},
+signed AS (
+  SELECT pos, val,
+         CASE WHEN max(CASE WHEN pos = 0 THEN val END) OVER () >= 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM c2
+)
+SELECT CAST(pos AS BIGINT) AS pos,
+  {round_portable_duck("val * s")} AS loading
+FROM signed
+"""
+
+
+QUERIES: dict = {
+    "emb_pca_power_embeddings": (_q_pca, _ORACLE_PCA),
+}

@@ -19,7 +19,7 @@ from ..functions import (
 from ..operators import (
     asof, bm25, boilerplate, chunking, concentration, crossmodal,
     decontam, dedup, diff, divergence,
-    dq, embnorm, embstats, histogram, incremental, ivf, keywords,
+    dq, embnorm, embpca, embstats, histogram, incremental, ivf, keywords,
     linkage, microstructure, multimodal,
     outliers, packing, pipeline, profile, quality, quantize, rfm,
     robustfit, rollup, sampling, strsim,
@@ -180,11 +180,12 @@ _MODULES = [
     keywords, portfolio, linkage, crossmodal, _QueuedCandles,
     _PickAsofFwd, _PickTextConf, _PickDedupNew, _PickMicroNew,
     _PickWauHll,
-    # --- window filler (7 slots): re-gates of green queries; the
-    # window cuts inside this block and everything past the cut is
-    # prior-gated, so the cut position is harmless. ---
-    _RestEmbstats, _RestAsof, _RestSketch, _RestText,
+    # --- window tail (7 slots): NEW r05 queries (never gated) fill
+    # the remainder instead of re-gate filler — they get driver rows
+    # this round; the rest of the r05 additions queue for r06. ---
+    concentration, outliers, strsim,
     # --- past the window: all driver-green in r01-r04. ---
+    _RestEmbstats, _RestAsof, _RestSketch, _RestText,
     _RestDedup, _RestMicro,
     profile, _QueuedVocab, embnorm, _QueuedMicro, _QueuedDedup,
     _QueuedQuality, funnel, rollstats,
@@ -195,10 +196,8 @@ _MODULES = [
     incremental, tfidf, quantize, boilerplate, bm25,
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
-    # --- new in r05: registered past the window, gated in r06 (the
-    # r05 window is sealed at exactly the 43-query backlog). ---
-    concentration, outliers, analytics4, technical5, robustfit,
-    strsim, rfm,
+    # --- new in r05, registered past the window: gated in r06. ---
+    analytics4, technical5, robustfit, rfm, embpca,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -207,12 +206,6 @@ _MODULES = [
 # plus the r04 red row fit the r05 window (43 ≤ 50), so the queue
 # resets to hold only queries ADDED during r05.
 NEXT_ROUND_QUEUE: frozenset = frozenset({
-    "q_gini_orders",
-    "q_lorenz_deciles_orders",
-    "q_hhi_nation_orders",
-    "q_anomaly_mad_events",
-    "q_changepoint_cusum_events",
-    "q_arrival_burstiness_events",
     "graph_degree_customers",
     "graph_copurchase_parts",
     "q_monthly_streak_orders",
@@ -223,8 +216,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "ind_fractals_events",
     "q_theil_sen_events",
     "text_zipf_documents",
-    "str_editdist_suppliers",
     "rfm_segment_orders",
+    "emb_pca_power_embeddings",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -19,7 +19,7 @@ from ..functions import (
 from ..operators import (
     asof, bm25, boilerplate, chunking, concentration, crossmodal,
     decontam, dedup, diff, divergence,
-    dq, embnorm, embpca, embstats, histogram, incremental, ivf, keywords,
+    dq, dq2, embnorm, embpca, embstats, histogram, incremental, ivf, keywords,
     linkage, microstructure, multimodal,
     outliers, packing, pipeline, profile, quality, quantize, rfm,
     robustfit, rollup, sampling, strsim,
@@ -197,7 +197,7 @@ _MODULES = [
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
     # --- new in r05, registered past the window: gated in r06. ---
-    analytics4, technical5, robustfit, rfm, embpca,
+    analytics4, technical5, robustfit, rfm, embpca, dq2,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -218,6 +218,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "text_zipf_documents",
     "rfm_segment_orders",
     "emb_pca_power_embeddings",
+    "dq_null_profile_orders",
+    "dq_psi_drift_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from . import (
     analytics, analytics2, analytics3, analytics4, enrich, funnel, indicator_queries,
-    portfolio, signals, validate,
+    portfolio, sequences, signals, validate,
 )
 from ..functions import (
     barvol, candles, resample, risk, rollstats, rollstats2, technical,
@@ -197,7 +197,7 @@ _MODULES = [
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
     # --- new in r05, registered past the window: gated in r06. ---
-    analytics4, technical5, robustfit, rfm, embpca, dq2,
+    analytics4, technical5, robustfit, rfm, embpca, dq2, sequences,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -220,6 +220,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "emb_pca_power_embeddings",
     "dq_null_profile_orders",
     "dq_psi_drift_events",
+    "q_markov_transitions_events",
+    "q_transition_entropy_events",
+    "q_gap_survival_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

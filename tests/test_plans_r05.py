@@ -1,0 +1,73 @@
+"""Physical-plan assertions for the r05 operator additions — the
+scale-critical shapes: no cartesian products anywhere, broadcasts on
+the small sides, partial aggregation before exchanges, and the LSH
+cap fused into the band-join exchange (no separate aggregate job)."""
+
+import re
+
+from tests.test_plans import count_exchanges, plan_of
+
+
+def _no_cartesian(plan: str):
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_copurchase_equijoin_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "graph_copurchase_parts")
+    _no_cartesian(plan)
+    # Pair generation is an equi-join on the basket key.
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan, plan
+
+
+def test_editdist_blocked_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "str_editdist_suppliers")
+    _no_cartesian(plan)
+
+
+def test_theil_sen_pairs_after_daily_collapse(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_theil_sen_events")
+    _no_cartesian(plan)
+    # The pair join must consume AGGREGATED daily rows, not raw
+    # events: partial aggregation appears below the join.
+    assert "HashAggregate" in plan, plan
+
+
+def test_mad_outliers_broadcasts_medians(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_anomaly_mad_events")
+    assert "BroadcastExchange" in plan, plan
+    _no_cartesian(plan)
+
+
+def test_gini_partial_agg_before_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_gini_orders")
+    assert "partial" in plan.lower(), plan
+    _no_cartesian(plan)
+
+
+def test_markov_single_sequence_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_markov_transitions_events")
+    _no_cartesian(plan)
+    # user window + (cur, nxt) agg + per-cur window: bounded exchanges.
+    assert count_exchanges(plan) <= 3, plan
+
+
+def test_lsh_cap_is_fused_no_standalone_agg_job(spark, sf_dir):
+    # The r05 cap rewrite: the hot-bucket filter is a window COUNT on
+    # the same (band, band_key) partitioning the self-join uses — the
+    # plan must not contain a broadcast anti-join (the old shape).
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh_documents")
+    assert "LeftAnti" not in plan, plan
+    _no_cartesian(plan)
+
+
+def test_pca_linear_scans_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "emb_pca_power_embeddings")
+    _no_cartesian(plan)
+    # The direction vector joins in via broadcast (DIM rows).
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_null_profile_single_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dq_null_profile_orders")
+    assert plan.count("FileScan") == 1, plan

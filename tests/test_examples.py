@@ -17,6 +17,7 @@ import pytest
     "examples/training_data_prep.py",
     "examples/quant_screen_demo.py",
     "examples/data_audit_demo.py",
+    "examples/distribution_health_demo.py",
 ])
 def test_example_runs(script):
     proc = subprocess.run(

@@ -13,8 +13,8 @@ from . import (
     portfolio, sequences, signals, validate,
 )
 from ..functions import (
-    barvol, candles, resample, risk, rollstats, rollstats2, technical,
-    technical2, technical3, technical4, technical5,
+    barvol, candles, forecast, resample, risk, rollstats, rollstats2,
+    technical, technical2, technical3, technical4, technical5,
 )
 from ..operators import (
     asof, bm25, boilerplate, chunking, concentration, crossmodal,
@@ -198,6 +198,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- new in r05, registered past the window: gated in r06. ---
     analytics4, technical5, robustfit, rfm, embpca, dq2, sequences,
+    forecast,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -223,6 +224,7 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_markov_transitions_events",
     "q_transition_entropy_events",
     "q_gap_survival_events",
+    "q_holt_forecast_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -225,6 +225,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_transition_entropy_events",
     "q_gap_survival_events",
     "q_holt_forecast_events",
+    "q_ols_trend_events",
+    "q_acf_events",
+    "q_attribution_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -194,3 +194,87 @@ QUERIES: dict = {
     "q_transition_entropy_events": (_q_entropy, _ORACLE_ENTROPY),
     "q_gap_survival_events": (_q_survival, _ORACLE_SURVIVAL),
 }
+
+
+# --------------------------------------------------------------------------
+# Conversion attribution (first-touch / last-touch)
+# --------------------------------------------------------------------------
+
+TARGET_EVENT = "purchase"
+
+
+def attribution(df: DataFrame, key: str = "user_id",
+                cat: str = "event_type",
+                target: str = TARGET_EVENT,
+                order: list[str] | None = None) -> DataFrame:
+    """(channel, n_first_touch, n_last_touch): conversions credited to
+    the user's FIRST preceding non-target event and to the LAST one —
+    the two standard single-touch attribution models, as exact window
+    selections (ignore-nulls first/last over the strict-past frame)."""
+    order = order or ["ts", "event_id"]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(c).asc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = F.when(F.col(cat) != target, F.col(cat))
+    touched = (
+        df.withColumn("__first", F.first(ch, ignorenulls=True).over(w))
+        .withColumn("__last", F.last(ch, ignorenulls=True).over(w))
+        .filter(F.col(cat) == target)
+    )
+    firsts = (
+        touched.filter(F.col("__first").isNotNull())
+        .groupBy(F.col("__first").alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_first_touch"))
+    )
+    lasts = (
+        touched.filter(F.col("__last").isNotNull())
+        .groupBy(F.col("__last").alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_last_touch"))
+    )
+    return (
+        firsts.join(lasts, "channel", "full")
+        .select(
+            "channel",
+            F.coalesce("n_first_touch", F.lit(0)).cast("bigint")
+            .alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0)).cast("bigint")
+            .alias("n_last_touch"),
+        )
+    )
+
+
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attribution(load(spark, sf_dir, "events"))
+
+
+_ORACLE_ATTRIBUTION = f"""
+WITH touched AS (
+  SELECT event_type,
+         first_value(CASE WHEN event_type != '{TARGET_EVENT}'
+                     THEN event_type END IGNORE NULLS)
+           OVER ({_EVENTS_W} ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS ft,
+         last_value(CASE WHEN event_type != '{TARGET_EVENT}'
+                    THEN event_type END IGNORE NULLS)
+           OVER ({_EVENTS_W} ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) AS lt
+  FROM events
+), conv AS (
+  SELECT * FROM touched WHERE event_type = '{TARGET_EVENT}'
+), f AS (
+  SELECT ft AS channel, count(*) AS n_first_touch
+  FROM conv WHERE ft IS NOT NULL GROUP BY 1
+), l AS (
+  SELECT lt AS channel, count(*) AS n_last_touch
+  FROM conv WHERE lt IS NOT NULL GROUP BY 1
+)
+SELECT coalesce(f.channel, l.channel) AS channel,
+       CAST(coalesce(n_first_touch, 0) AS BIGINT) AS n_first_touch,
+       CAST(coalesce(n_last_touch, 0) AS BIGINT) AS n_last_touch
+FROM f FULL JOIN l ON f.channel = l.channel
+"""
+
+
+QUERIES["q_attribution_events"] = (_q_attribution, _ORACLE_ATTRIBUTION)

@@ -1,0 +1,64 @@
+"""Holt double-exponential smoothing: kernel invariants + the
+operator's agreement with a naive reference loop."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafusion_functions_financial_spark.functions.forecast import (
+    ALPHA, BETA, holt_kernel, holt_smooth,
+)
+
+
+def _naive(values, alpha=ALPHA, beta=BETA):
+    lvl, trd = values[0], 0.0
+    out = [(lvl, trd)]
+    for x in values[1:]:
+        lvl_new = alpha * x + (1.0 - alpha) * (lvl + trd)
+        trd = beta * (lvl_new - lvl) + (1.0 - beta) * trd
+        lvl = lvl_new
+        out.append((lvl, trd))
+    return out
+
+
+def test_constant_series_is_fixed_point():
+    lvl, trd = holt_kernel(np.full(50, 7.5))
+    assert np.allclose(lvl, 7.5) and np.allclose(trd, 0.0)
+
+
+def test_linear_series_trend_converges_to_slope():
+    xs = 2.0 + 0.5 * np.arange(200, dtype=np.float64)
+    lvl, trd = holt_kernel(xs)
+    # Level tracks the line and the trend estimate approaches the slope.
+    assert abs(trd[-1] - 0.5) < 0.05
+    assert abs((lvl[-1] + trd[-1]) - xs[-1]) < 1.0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1,
+                max_size=60))
+def test_kernel_matches_naive_loop_bitwise(vals):
+    lvl, trd = holt_kernel(np.asarray(vals, dtype=np.float64))
+    ref = _naive(vals)
+    for i, (rl, rt) in enumerate(ref):
+        assert lvl[i] == rl and trd[i] == rt
+
+
+def test_operator_matches_kernel_per_series(spark):
+    pdf = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 3,
+        "seq": [1, 2, 3, 4, 5, 1, 2, 3],
+        "x": [1.0, 2.0, 1.5, 3.0, 2.5, 10.0, 9.0, 11.0],
+    })
+    out = holt_smooth(
+        spark.createDataFrame(pdf, schema="k string, seq long, x double"),
+        "x", ["k"], ["seq"],
+    ).toPandas().sort_values(["k", "seq"])
+    for k, g in pdf.groupby("k"):
+        lvl, trd = holt_kernel(g["x"].to_numpy())
+        got = out[out["k"] == k]
+        assert np.array_equal(got["level"].to_numpy(), lvl)
+        assert np.array_equal(got["trend"].to_numpy(), trd)
+        assert np.array_equal(got["forecast_1"].to_numpy(), lvl + trd)

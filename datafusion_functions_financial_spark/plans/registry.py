@@ -23,7 +23,8 @@ from ..operators import (
     linkage, microstructure, multimodal,
     outliers, packing, pipeline, profile, quality, quantize, rfm,
     robustfit, rollup, sampling, strsim,
-    similarity, sketch, sketch2, skew, text, text2, tfidf, vocab,
+    similarity, sketch, sketch2, sketch3, skew, text, text2, tfidf,
+    vocab,
     wquantile,
 )
 
@@ -198,7 +199,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- new in r05, registered past the window: gated in r06. ---
     analytics4, technical5, robustfit, rfm, embpca, dq2, sequences,
-    forecast,
+    forecast, sketch3,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -228,6 +229,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_ols_trend_events",
     "q_acf_events",
     "q_attribution_events",
+    "q_joinsize_cms_orders",
+    "q_overlap_hll_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -110,6 +110,14 @@ def main() -> None:
         "micro_flow_imbalance_events",     # signed-flow bucket collapse
         "dedup_representatives_documents",  # cluster canonical selection
         "link_customers_fuzzy",            # blocked trigram linkage
+        # --- r05 additions ---
+        "q_gini_orders",                   # rank-product inequality
+        "q_anomaly_mad_events",            # order-statistic MAD screen
+        "q_holt_forecast_events",          # double-state recursive kernel
+        "q_markov_transitions_events",     # sequence transition matrix
+        "graph_copurchase_parts",          # basket-key pair explosion
+        "text_zipf_documents",             # token-rank OLS
+        "q_joinsize_cms_orders",           # sketch inner-product planner
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings",
@@ -155,6 +163,12 @@ def main() -> None:
         "q_wau": table_rows["events"],
         "q_cohort": table_rows["orders"],
         "link_": table_rows["customer"],
+        "q_gini": table_rows["orders"],
+        "q_anomaly": table_rows["events"],
+        "q_holt": table_rows["events"],
+        "q_markov": table_rows["events"],
+        "graph_": table_rows["lineitem"],
+        "q_joinsize": table_rows["orders"],
     }
 
     def run(name: str) -> float:

@@ -62,3 +62,23 @@ def test_operator_matches_kernel_per_series(spark):
         assert np.array_equal(got["level"].to_numpy(), lvl)
         assert np.array_equal(got["trend"].to_numpy(), trd)
         assert np.array_equal(got["forecast_1"].to_numpy(), lvl + trd)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(st.floats(-1e6, 1e6, allow_nan=False),
+                         min_size=1, max_size=40),
+                min_size=1, max_size=8))
+def test_fold2d_matches_scalar_kernel_bitwise(series_list):
+    from datafusion_functions_financial_spark.functions.forecast import (
+        holt_fold2d,
+    )
+    lens = [len(s) for s in series_list]
+    maxlen = max(lens)
+    M = np.full((len(series_list), maxlen), np.nan)
+    for g, s in enumerate(series_list):
+        M[g, :len(s)] = s
+    L2, T2 = holt_fold2d(M)
+    for g, s in enumerate(series_list):
+        lvl, trd = holt_kernel(np.asarray(s, dtype=np.float64))
+        assert np.array_equal(L2[g, :len(s)], lvl)
+        assert np.array_equal(T2[g, :len(s)], trd)

@@ -113,9 +113,11 @@ prod AS (
   FROM ca JOIN cb ON ca.row_j = cb.row_j AND ca.col = cb.col
   GROUP BY 1
 ), est AS (
-  SELECT CAST(min(ip) AS BIGINT) AS est_join_size,
-         CAST(min(row_j ORDER BY ip, row_j) AS INT) AS row_j_used
-  FROM prod
+  -- argmin, not min(row_j): the winning row is the one holding the
+  -- smallest inner product (row index breaks exact ties).
+  SELECT CAST(ip AS BIGINT) AS est_join_size,
+         CAST(row_j AS INT) AS row_j_used
+  FROM prod ORDER BY ip, row_j LIMIT 1
 ), exact AS (
   SELECT CAST(count(*) AS BIGINT) AS exact_join_size
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

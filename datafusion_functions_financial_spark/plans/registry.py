@@ -9,7 +9,8 @@ is pre-validated locally.
 from __future__ import annotations
 
 from . import (
-    analytics, analytics2, analytics3, analytics4, enrich, funnel, indicator_queries,
+    analytics, analytics2, analytics3, analytics4, analytics5, enrich,
+    funnel, indicator_queries,
     portfolio, sequences, signals, validate,
 )
 from ..functions import (
@@ -19,7 +20,8 @@ from ..functions import (
 from ..operators import (
     asof, bm25, boilerplate, chunking, concentration, crossmodal,
     decontam, dedup, diff, divergence,
-    dq, dq2, embnorm, embpca, embstats, histogram, incremental, ivf, keywords,
+    dq, dq2, embnorm, embpca, embstats, embstats2, histogram,
+    incremental, ivf, keywords,
     linkage, microstructure, multimodal,
     outliers, packing, pipeline, profile, quality, quantize, rfm,
     robustfit, rollup, sampling, strsim,
@@ -199,7 +201,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- new in r05, registered past the window: gated in r06. ---
     analytics4, technical5, robustfit, rfm, embpca, dq2, sequences,
-    forecast, sketch3,
+    forecast, sketch3, analytics5, embstats2,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -231,6 +233,12 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_attribution_events",
     "q_joinsize_cms_orders",
     "q_overlap_hll_events",
+    "q_basket_lift_parts",
+    "q_transition_time_events",
+    "q_twr_events",
+    "q_dow_anova_events",
+    "text_spearman_len_tokens",
+    "emb_label_separation_embeddings",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

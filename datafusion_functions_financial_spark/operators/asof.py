@@ -227,3 +227,60 @@ QUERIES: dict = {
     "asof_events_snapshots": (_q_asof_events_snapshots, _ORACLE_ASOF_EVENTS),
     "asof_events_snapshots_fwd": (_q_asof_forward, _ORACLE_ASOF_FORWARD),
 }
+
+
+def _q_asof_tolerance(spark, sf_dir):
+    """Tolerance as-of: the carried snapshot goes STALE after one day
+    — events more than US_DAY past their user's last snapshot unmatch
+    (NULL), the max-staleness semantics every trades-vs-quotes
+    pipeline needs. Exercises ``tolerance=``, which neither prior
+    as-of gate query covers."""
+    from ..plans.series import ROUND_DP
+    from ..sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("us"), "value"
+    )
+    snaps = (
+        ev.withColumn("day", F.expr(f"us DIV {US_DAY}"))
+        .groupBy("user_id", "day")
+        .agg(F.min("value").alias("day_low"))
+        .filter(F.col("day") % 3 == 0)
+        .select(
+            "user_id",
+            (F.col("day") * US_DAY).alias("snap_us"),
+            "day_low",
+        )
+    )
+    out = asof_join(
+        ev, snaps, ["user_id"], "us", "snap_us", ["day_low"],
+        how="left", matched_on_col="snap_us", tolerance=US_DAY,
+    )
+    return out.select(
+        "user_id", "event_id", "us",
+        F.round("day_low", ROUND_DP).alias("day_low"), "snap_us",
+    )
+
+
+_ORACLE_ASOF_TOLERANCE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+), snaps AS (
+  SELECT user_id, day * {US_DAY} AS snap_us, day_low
+  FROM (
+    SELECT user_id, us // {US_DAY} AS day, min(value) AS day_low
+    FROM ev GROUP BY 1, 2
+  ) WHERE day % 3 = 0
+)
+SELECT e.user_id, e.event_id, e.us,
+       CASE WHEN e.us - s.snap_us <= {US_DAY}
+            THEN round(s.day_low, 4) END AS day_low,
+       CASE WHEN e.us - s.snap_us <= {US_DAY}
+            THEN s.snap_us END AS snap_us
+FROM ev e ASOF LEFT JOIN snaps s
+  ON e.user_id = s.user_id AND e.us >= s.snap_us
+"""
+
+
+QUERIES["asof_events_snapshots_tol"] = (_q_asof_tolerance,
+                                        _ORACLE_ASOF_TOLERANCE)

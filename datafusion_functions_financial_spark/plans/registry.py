@@ -239,6 +239,7 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_dow_anova_events",
     "text_spearman_len_tokens",
     "emb_label_separation_embeddings",
+    "asof_events_snapshots_tol",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -21,7 +21,7 @@ from ..operators import (
     asof, bm25, boilerplate, chunking, concentration, crossmodal,
     decontam, dedup, diff, divergence,
     dq, dq2, embnorm, embpca, embstats, embstats2, histogram,
-    incremental, ivf, keywords,
+    incremental, interval, ivf, keywords,
     linkage, microstructure, multimodal,
     outliers, packing, pipeline, profile, quality, quantize, rfm,
     robustfit, rollup, sampling, strsim,
@@ -201,7 +201,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- new in r05, registered past the window: gated in r06. ---
     analytics4, technical5, robustfit, rfm, embpca, dq2, sequences,
-    forecast, sketch3, analytics5, embstats2,
+    forecast, sketch3, analytics5, embstats2, interval,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -240,6 +240,7 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "text_spearman_len_tokens",
     "emb_label_separation_embeddings",
     "asof_events_snapshots_tol",
+    "q_interval_overlap_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

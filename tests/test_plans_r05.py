@@ -71,3 +71,12 @@ def test_pca_linear_scans_no_cartesian(spark, sf_dir):
 def test_null_profile_single_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dq_null_profile_orders")
     assert plan.count("FileScan") == 1, plan
+
+
+def test_interval_join_no_nested_loop(spark, sf_dir):
+    # The bucketized interval join must plan as an equi-join on the
+    # grain bucket — never BroadcastNestedLoop/CartesianProduct (the
+    # naive two-sided range join's fate).
+    plan = plan_of(spark, sf_dir, "q_interval_overlap_events")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1082,3 +1082,33 @@ GROUP BY h.source
 QUEUED_QUERIES: dict = {
     "dedup_rate_by_source_documents": (_q_dup_rate, _ORACLE_DUP_RATE),
 }
+
+
+def _q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of exact-duplicate cluster sizes: (dup_count,
+    n_clusters, n_docs) — the one-line answer to "how duplicated is
+    this corpus" (size 1 = unique docs; the tail is the boilerplate).
+    Composes the exact-dedup groups; two map-side-combinable aggs."""
+    groups = exact_dedup_groups(load(spark, sf_dir, "documents"))
+    return (
+        groups.groupBy("dup_count")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_docs",
+                    (F.col("dup_count") * F.col("n_clusters"))
+                    .cast("bigint"))
+    )
+
+
+_ORACLE_CLUSTER_SIZES = f"""
+WITH groups AS (
+  SELECT md5({_NORM_DUCK.format(t='text')}) AS h, count(*) AS dup_count
+  FROM documents GROUP BY 1
+)
+SELECT dup_count, count(*) AS n_clusters,
+       CAST(dup_count * count(*) AS BIGINT) AS n_docs
+FROM groups GROUP BY 1
+"""
+
+
+QUERIES["dedup_cluster_sizes_documents"] = (_q_cluster_sizes,
+                                            _ORACLE_CLUSTER_SIZES)

@@ -388,3 +388,35 @@ QUERIES: dict = {
     "q_dow_anova_events": (_q_dow_anova, _ORACLE_DOW_ANOVA),
     "text_spearman_len_tokens": (_q_spearman, _ORACLE_SPEARMAN),
 }
+
+
+def _q_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per priority WITH ties kept (rank(), not
+    row_number) — the tie-preserving top-k semantics the dense
+    TakeOrderedAndProject path cannot express."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc())
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey",
+                round_portable(F.col("o_totalprice"))
+                .alias("o_totalprice"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_ORACLE_TOPK_TIES = f"""
+SELECT o_orderpriority, o_orderkey,
+       {round_portable_duck("o_totalprice")} AS o_totalprice,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, rank() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+QUERIES["q_topk_with_ties_orders"] = (_q_topk_ties, _ORACLE_TOPK_TIES)

@@ -241,6 +241,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "emb_label_separation_embeddings",
     "asof_events_snapshots_tol",
     "q_interval_overlap_events",
+    "q_topk_with_ties_orders",
+    "dedup_cluster_sizes_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -108,3 +108,35 @@ def test_sf001_replay_estimates_match_batch(spark, tmp_path):
         sketch2.cms_build(ev, "user_id"), probes, "user_id")
     assert (sorted(tuple(r) for r in got.collect())
             == sorted(tuple(r) for r in batch.collect()))
+
+
+def test_checkpoint_restart_preserves_cells(spark, tmp_path):
+    """A restarted CMS stream resumes from its state store: cells after
+    restart equal the batch sketch over ALL data, with no double count
+    of the pre-restart batches."""
+    src = str(tmp_path / "cms_ckpt_src")
+    ckpt = str(tmp_path / "cms_ckpt")
+    out_name = "cms_ckpt_sink"
+    rows1 = [(i % 11, "view") for i in range(150)]
+    _write(spark, src, rows1)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        cells = heavyhitters.cms_cell_stream(stream, "user_id")
+        return (
+            cells.writeStream.format("memory").queryName(out_name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+
+    q = run()
+    q.awaitTermination(120)
+    rows2 = [(7, "view")] * 40 + [(555, "view")] * 3
+    _write(spark, src, rows2)
+    q2 = run()  # restart from checkpoint
+    q2.awaitTermination(120)
+
+    got = _cells(spark.table(out_name))
+    batch = _cells(sketch2.cms_build(
+        spark.createDataFrame(rows1 + rows2, SCHEMA), "user_id"))
+    assert got == batch

@@ -212,6 +212,35 @@ def cosine_topk_ivf(
 
 
 # --------------------------------------------------------------------------
+# Persisted index: cells partitioned by cell_id -> partition-pruned probes
+# --------------------------------------------------------------------------
+
+
+def save_index(index: tuple[DataFrame, DataFrame], path: str) -> None:
+    """Materialize an ``ivf_index`` result: centroids as plain parquet,
+    cells PARTITIONED BY cell_id — the layout that turns every probe
+    into a partition-pruned scan (only the ``nprobe`` probed cells'
+    files are read; plan-asserted in ``test_ivf_persist``). This is
+    the production shape at 100 TB: build once, write once, then each
+    query batch touches nprobe/K of the corpus bytes."""
+    cents, cells = index
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cells.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/cells")
+
+
+def load_index(spark: SparkSession, path: str
+               ) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted index for ``cosine_topk_ivf(..., index=...)``.
+    Probes filter the cells relation on ``cell_id``, which the parquet
+    source satisfies from partition directories alone."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/cells"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry query + oracle
 # --------------------------------------------------------------------------
 

@@ -172,3 +172,87 @@ QUERIES: dict = {
     "dq_null_profile_orders": (_q_null_profile, _ORACLE_NULL_PROFILE),
     "dq_psi_drift_events": (_q_psi, _ORACLE_PSI),
 }
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance (exact integer arithmetic)
+# --------------------------------------------------------------------------
+
+
+def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
+                  group_a: str, group_b: str,
+                  tiebreak: str) -> DataFrame:
+    """(n_a, n_b, ks_d): the exact two-sample KS statistic
+    D = max |F_a(x) − F_b(x)| between two groups' value
+    distributions. Tie-correct (RANGE frames include all equal
+    values) and INTEGER-exact: the maximized quantity is
+    |cum_a·n_b − cum_b·n_a| over integer counts — the only float op
+    is the final division."""
+    from pyspark.sql import Window
+
+    tagged = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(value_col).alias("__v"),
+        F.col(tiebreak).alias("__tb"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__a"),
+    )
+    wr = (Window.orderBy("__v")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy()
+    staged = (
+        tagged
+        .withColumn("__ca", F.sum("__a").over(wr))
+        .withColumn("__cb", F.sum(F.expr("1 - __a")).over(wr))
+        .withColumn("__na", F.sum("__a").over(wt))
+        .withColumn("__nb", F.sum(F.expr("1 - __a")).over(wt))
+        .withColumn("__d", F.abs(
+            F.col("__ca") * F.col("__nb") - F.col("__cb") * F.col("__na")
+        ))
+    )
+    return staged.agg(
+        F.max("__na").cast("bigint").alias("n_a"),
+        F.max("__nb").cast("bigint").alias("n_b"),
+        round_portable(F.expr(
+            "CAST(max(__d) AS DOUBLE) "
+            "/ (CAST(max(__na) AS DOUBLE) * CAST(max(__nb) AS DOUBLE))"
+        )).alias("ks_d"),
+    )
+
+
+def _q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do 'view' and 'purchase' events draw values from the same
+    distribution? The classic segment-drift question, answered with
+    the exact KS distance."""
+    return ks_two_sample(load(spark, sf_dir, "events"), "value",
+                         "event_type", "view", "purchase", "event_id")
+
+
+_ORACLE_KS = f"""
+WITH tagged AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a
+  FROM events WHERE event_type IN ('view', 'purchase')
+), staged AS (
+  SELECT
+    CAST(sum(a) OVER (ORDER BY v
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS ca,
+    CAST(sum(1 - a) OVER (ORDER BY v
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cb,
+    CAST(sum(a) OVER () AS BIGINT) AS na,
+    CAST(sum(1 - a) OVER () AS BIGINT) AS nb
+  FROM tagged
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+  {round_portable_duck(
+      "CAST(max(abs(ca * nb - cb * na)) AS DOUBLE) "
+      "/ (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))")}
+    AS ks_d
+FROM staged
+"""
+
+
+QUERIES["dq_ks_two_sample_events"] = (_q_ks, _ORACLE_KS)

@@ -243,6 +243,7 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_interval_overlap_events",
     "q_topk_with_ties_orders",
     "dedup_cluster_sizes_documents",
+    "dq_ks_two_sample_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

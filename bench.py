@@ -223,7 +223,10 @@ def main() -> None:
         DIM, cosine_topk, cosine_topk_lsh, lsh_buckets,
     )
 
-    ANN_N, ANN_NQ, ANN_SEED_MOD = 100_000, 16, 2048
+    # SPARK_GRAFT_ANN_N lets a smoke run shrink (or skip via small N)
+    # the audit without touching the headline suite.
+    ANN_N = int(os.environ.get("SPARK_GRAFT_ANN_N", "100000"))
+    ANN_NQ, ANN_SEED_MOD = 16, 2048
     t0 = time.perf_counter()
     vecs = spark.range(ANN_N).repartition(2 * int(cpus)).selectExpr(
         "id AS vec_id",
@@ -240,14 +243,20 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
-    timings["ann100k_bruteforce"] = run_df(cosine_topk(vecs, qs))
-    timings["ann100k_lsh"] = run_df(
+    # ANN timings live in their OWN dict: the 100K-vector audit is
+    # deliberate multi-minute work (a cartesian recall baseline plus an
+    # index build) and was 125s of r05's 167s "headline" — folding it
+    # into headline_suite_seconds made round-over-round comparison read
+    # as a 4x regression that wasn't one (VERDICT r05 item 3).
+    ann_timings: dict[str, float] = {}
+    ann_timings["ann100k_bruteforce"] = run_df(cosine_topk(vecs, qs))
+    ann_timings["ann100k_lsh"] = run_df(
         cosine_topk_lsh(vecs, qs, use_arrow=True))
     t0 = time.perf_counter()
     index = ivf_index(vecs, seed_mod=ANN_SEED_MOD)
     index = (index[0], index[1].localCheckpoint())
-    timings["ann100k_ivf_build"] = round(time.perf_counter() - t0, 3)
-    timings["ann100k_ivf_query"] = run_df(
+    ann_timings["ann100k_ivf_build"] = round(time.perf_counter() - t0, 3)
+    ann_timings["ann100k_ivf_query"] = run_df(
         cosine_topk_ivf(vecs, qs, seed_mod=ANN_SEED_MOD, index=index))
     # Candidates per query: the measured pruning claim. Brute force
     # scores the whole corpus; LSH scores its bucket; IVF scores its
@@ -268,17 +277,21 @@ def main() -> None:
     ).selectExpr("vec_id AS q_id", "cell_id")
     ivf_cand = index[1].join(
         SF.broadcast(probes), "cell_id").count()
+    # Every query row shares a bucket with itself, so subtract the NQ
+    # self-matches before dividing — the brute-force row already uses
+    # ANN_N - 1 (self excluded); without this the LSH pruning figure is
+    # slightly flattered relative to the other tiers (ADVICE r05).
     ann["candidates_per_query"] = {
         "bruteforce": ANN_N - 1,
-        "lsh": int(lsh_cand // ANN_NQ),
-        "ivf": int(ivf_cand // ANN_NQ),
+        "lsh": int((lsh_cand - ANN_NQ) // ANN_NQ),
+        "ivf": int((ivf_cand - ANN_NQ) // ANN_NQ),
     }
-    for key in ("ann100k_bruteforce", "ann100k_lsh",
-                "ann100k_ivf_build", "ann100k_ivf_query"):
-        spreads[key] = 1.0
-        rows_per_sec[key] = int(ANN_N / timings[key]) if timings[key] else 0
+    ann["timings"] = ann_timings
+    for key, sec in ann_timings.items():
+        rows_per_sec[key] = int(ANN_N / sec) if sec else 0
 
     total = round(sum(timings.values()), 3)
+    ann_total = round(sum(ann_timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     detail = {
         "metric": "headline_suite_seconds",
@@ -290,31 +303,44 @@ def main() -> None:
         "rows_per_sec": rows_per_sec,
         "spread": spreads,
         "ann_scale": ann,
+        "ann_scale_seconds": ann_total,
         "cpus": int(cpus),
     }
-    # Full detail (rows, rows/s) goes to a file; BENCH_r02.json showed the
-    # driver's tail capture truncates long stdout lines ("parsed": null),
-    # so the line we PRINT is the compact contract payload only and is
-    # printed LAST (VERDICT r02 "what's wrong" 2).
+    # Full detail (rows, rows/s, full spread map, ANN audit) goes to a
+    # file; BENCH_r02.json showed the driver's tail capture truncates
+    # long stdout lines ("parsed": null), and BENCH_r05 proved the
+    # spread>1.5 filter is NOT a bound (a loaded host pushed 35 queries
+    # over it and the line blew past 2000 bytes). The printed line is
+    # now PROVABLY bounded: suite totals + counts + the 10 slowest
+    # queries only, asserted < 1800 bytes before printing.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_detail.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     compact = {
         "metric": "headline_suite_seconds",
-        "value": total,
+        "value": total,                 # non-ANN headline suite, seconds
         "unit": "sec",
-        "queries": timings,
+        "queries": slowest,             # 10 slowest only; full map in
+                                        # bench_detail.json
         "sf": sf,
-        # Per-query max/min run-time ratio, printed only where it
-        # exceeds 1.5x so the compact line stays under the driver's
-        # stdout-tail capture. Any query absent here timed tight
-        # (spread <= 1.5); the full spread map is in
-        # bench_detail.json. A large spread marks a host transient —
-        # the recorded (best/median) time, not the spread, is the
-        # steady-state estimate.
-        "spread": {k: v for k, v in spreads.items() if v > 1.5},
+        "n_queries": len(timings),
+        "ann_scale_seconds": ann_total,  # 100K-vector ANN audit, timed
+                                         # separately from the headline
+        # max/min run ratio over the 10 printed queries only — >1.5
+        # marks a host transient; recorded time is best/median.
+        "spread": {k: round(spreads[k], 1) for k in slowest
+                   if spreads.get(k, 1.0) > 1.5},
     }
-    print(json.dumps(compact, separators=(",", ":")))
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1800:  # hard cap: drop spread, then truncate queries
+        compact.pop("spread", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) >= 1800 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1800, f"compact bench line {len(line)}B >= 1800B"
+    print(line)
     spark.stop()
 
 

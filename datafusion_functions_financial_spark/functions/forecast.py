@@ -71,31 +71,45 @@ def holt_kernel(values: np.ndarray, alpha: float = ALPHA,
 
 
 def holt_fold2d(M: np.ndarray, alpha: float = ALPHA,
-                beta: float = BETA):
+                beta: float = BETA, lengths: np.ndarray | None = None):
     """Row-parallel ``holt_kernel`` over a NaN-padded (G, L) matrix:
     one vectorized step per time index instead of a Python loop per
     series. Per-element op sequence is identical to the scalar kernel
-    — bit-identical results (tested)."""
+    — bit-identical results (tested), INCLUDING null semantics: an
+    in-series NaN propagates to every later level/trend exactly like
+    the scalar kernel and the recursive-CTE oracle (ADVICE r05 —
+    earlier versions held state across NaNs because pad slots and
+    data NaNs were indistinguishable). ``lengths`` (per-row series
+    length) separates the two: positions ``>= lengths[g]`` are pad
+    (state frozen, output NaN); positions inside the series do plain
+    arithmetic, so a data NaN poisons the fold from there on. With
+    ``lengths=None`` every column is treated as data."""
     G, L = M.shape
     lvl_out = np.full((G, L), np.nan)
     trd_out = np.full((G, L), np.nan)
-    if L == 0:
+    if L == 0 or G == 0:
         return lvl_out, trd_out
+    if lengths is None:
+        lengths = np.full(G, L, dtype=np.int64)
     one_minus_a = 1.0 - alpha
     one_minus_b = 1.0 - beta
+    # Position 0 mirrors the scalar kernel exactly: level echoes the
+    # first value (NaN included), trend is 0.0 — a NaN first value
+    # poisons the fold from position 1 via plain arithmetic.
+    nonempty = lengths > 0
     lvl = M[:, 0].copy()
-    trd = np.zeros(G)
-    lvl_out[:, 0] = lvl
-    trd_out[:, 0] = np.where(np.isnan(lvl), np.nan, 0.0)
+    trd = np.where(nonempty, 0.0, np.nan)
+    lvl_out[:, 0] = np.where(nonempty, lvl, np.nan)
+    trd_out[:, 0] = np.where(nonempty, 0.0, np.nan)
     for i in range(1, L):
         x = M[:, i]
+        is_data = i < lengths
         lvl_new = alpha * x + one_minus_a * (lvl + trd)
         trd_new = beta * (lvl_new - lvl) + one_minus_b * trd
-        valid = ~np.isnan(x)
-        lvl = np.where(valid, lvl_new, lvl)
-        trd = np.where(valid, trd_new, trd)
-        lvl_out[:, i] = np.where(valid, lvl_new, np.nan)
-        trd_out[:, i] = np.where(valid, trd_new, np.nan)
+        lvl = np.where(is_data, lvl_new, lvl)
+        trd = np.where(is_data, trd_new, trd)
+        lvl_out[:, i] = np.where(is_data, lvl_new, np.nan)
+        trd_out[:, i] = np.where(is_data, trd_new, np.nan)
     return lvl_out, trd_out
 
 
@@ -142,7 +156,7 @@ def holt_smooth(df: DataFrame, value_col: str, keys: Sequence[str],
         M = np.full((len(segs), maxlen), np.nan)
         for g, s in enumerate(segs):
             M[g, : s.shape[0]] = s
-        L2, T2 = holt_fold2d(M, alpha, beta)
+        L2, T2 = holt_fold2d(M, alpha, beta, lengths=lens)
         lvl = np.full(len(pdf), np.nan)
         trd = np.full(len(pdf), np.nan)
         for g, (st, en) in enumerate(zip(starts, ends)):

@@ -90,26 +90,37 @@ def asof_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Carry ONE struct per right row rather than per-column lasts: a
+    # per-column ``last(v, ignorenulls=True)`` would skip a NULL value
+    # on the matched right row and silently pull that column from an
+    # OLDER right row, mixing columns across rows (ADVICE r05, medium).
+    # The struct is built only on right rows (NULL on left rows), so a
+    # single ignorenulls-last lands on the matched right row wholesale
+    # and its NULL value columns stay NULL.
+    right_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__rt").alias("__rt"),
+            *[F.col(v).alias(v) for v in right_values],
+        ),
+    )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(v, ignorenulls=True).over(w).alias(f"__m_{v}")
-            for v in right_values
-        ],
-        F.last("__rt", ignorenulls=True).over(w).alias("__m_rt"),
+        "*", F.last(right_struct, ignorenulls=True).over(w).alias("__m"),
     )
     out = carried.filter(F.col("__side") == 1)
 
-    matched = F.col("__m_rt").isNotNull()
+    m_rt = F.col("__m").getField("__rt")
+    matched = F.col("__m").isNotNull()
     if tolerance is not None:
-        delta = (F.col(left_on) - F.col("__m_rt")) * sign
+        delta = (F.col(left_on) - m_rt) * sign
         matched = matched & (delta <= F.lit(tolerance))
     sel = [F.col(c) for c in left.columns]
     sel += [
-        F.when(matched, F.col(f"__m_{v}")).alias(v) for v in right_values
+        F.when(matched, F.col("__m").getField(v)).alias(v)
+        for v in right_values
     ]
     if matched_on_col is not None:
-        sel.append(F.when(matched, F.col("__m_rt")).alias(matched_on_col))
+        sel.append(F.when(matched, m_rt).alias(matched_on_col))
     sel.append(matched.alias("__matched"))
     out = out.select(*sel)
     if how == "inner":

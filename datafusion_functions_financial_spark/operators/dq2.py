@@ -180,12 +180,12 @@ QUERIES: dict = {
 
 
 def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
-                  group_a: str, group_b: str,
-                  tiebreak: str) -> DataFrame:
+                  group_a: str, group_b: str) -> DataFrame:
     """(n_a, n_b, ks_d): the exact two-sample KS statistic
     D = max |F_a(x) − F_b(x)| between two groups' value
     distributions. Tie-correct (RANGE frames include all equal
-    values) and INTEGER-exact: the maximized quantity is
+    values, so no tiebreak column is needed — the cumulative counts
+    at x are order-free) and INTEGER-exact: the maximized quantity is
     |cum_a·n_b − cum_b·n_a| over integer counts — the only float op
     is the final division."""
     from pyspark.sql import Window
@@ -194,7 +194,6 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
         F.col(group_col).isin([group_a, group_b])
     ).select(
         F.col(value_col).alias("__v"),
-        F.col(tiebreak).alias("__tb"),
         F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__a"),
     )
     wr = (Window.orderBy("__v")
@@ -225,7 +224,7 @@ def _q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution? The classic segment-drift question, answered with
     the exact KS distance."""
     return ks_two_sample(load(spark, sf_dir, "events"), "value",
-                         "event_type", "view", "purchase", "event_id")
+                         "event_type", "view", "purchase")
 
 
 _ORACLE_KS = f"""

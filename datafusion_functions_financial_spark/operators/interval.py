@@ -41,7 +41,14 @@ def interval_join(
     """(keys..., a_id, b_id, overlap_len): pairs of intervals with
     ``a.start <= b.end AND b.start <= a.end`` (closed-interval
     overlap, integer time units), plus the overlap length. Equal to
-    the naive range join, computed via grain buckets."""
+    the naive range join, computed via grain buckets.
+
+    Precondition: ``(keys, id)`` must be unique within each input
+    (same contract as ``asof_join``'s ``right_on``). A pair spanning
+    G shared grain buckets surfaces G times from the bucket join, so
+    the result is collapsed with ``.distinct()`` — with duplicate
+    input ids that collapse would also swallow the legitimate
+    duplicate pairs the naive join emits (ADVICE r05)."""
     keys = list(keys)
 
     def bucketed(df, idc, s, e, side):

@@ -31,6 +31,7 @@ from ..sources.tables import load
 from .series import ROUND_DP, round_portable, round_portable_duck
 
 __all__ = ["degree_distribution", "copurchase_pairs",
+           "copurchase_dropped_baskets",
            "longest_monthly_streak", "value_bands"]
 
 
@@ -48,12 +49,31 @@ def degree_distribution(entities: DataFrame, entity_key: str,
 
 
 def copurchase_pairs(lines: DataFrame, basket_key: str, item_key: str,
-                     min_count: int = 2) -> DataFrame:
+                     min_count: int = 2,
+                     max_items_per_basket: int | None = 10_000) -> DataFrame:
     """(item_a, item_b, n_baskets): item pairs co-occurring in at
     least ``min_count`` baskets. Distinct items per basket first, so
-    a repeated item never pairs with itself."""
+    a repeated item never pairs with itself.
+
+    A basket of k items emits k*(k-1)/2 pairs, so ONE pathological
+    million-item basket (a crawler session, a default account id)
+    would dominate the whole join — the same skew failure the LSH
+    hot-bucket cap guards. ``max_items_per_basket`` drops over-cap
+    baskets before the self-join (fused window count on the same
+    basket-key exchange the join needs — no extra shuffle, same
+    pattern as dedup's ``_cap_hot_buckets_fused``). TPC-H orders
+    hold ≤7 items, so the default cap is a no-op at every tested SF
+    while staying finite at scale. ``None`` opts out; audit what a
+    cap drops with ``copurchase_dropped_baskets``."""
     b = lines.select(F.col(basket_key).alias("__b"),
                      F.col(item_key).alias("__i")).distinct()
+    if max_items_per_basket is not None:
+        wc = Window.partitionBy("__b")
+        b = (
+            b.withColumn("__n", F.count(F.lit(1)).over(wc))
+            .filter(F.col("__n") <= max_items_per_basket)
+            .drop("__n")
+        )
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(
         r,
@@ -67,6 +87,21 @@ def copurchase_pairs(lines: DataFrame, basket_key: str, item_key: str,
         pairs.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_count)
+    )
+
+
+def copurchase_dropped_baskets(lines: DataFrame, basket_key: str,
+                               item_key: str,
+                               max_items_per_basket: int) -> DataFrame:
+    """(basket, n_items): the baskets a ``copurchase_pairs`` cap
+    excludes, with their sizes — the recorded drop count for an audit
+    job (kept out of the operator itself so the hot path stays one
+    lazy plan with no side-effect action)."""
+    return (
+        lines.select(F.col(basket_key).alias("basket"),
+                     F.col(item_key).alias("__i")).distinct()
+        .groupBy("basket").agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") > max_items_per_basket)
     )
 
 

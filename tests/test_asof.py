@@ -75,6 +75,39 @@ def test_asof_exact_tie_is_matched(spark):
     assert row.v == 7.0
 
 
+def test_asof_null_value_on_matched_row_stays_null(spark):
+    """ADVICE r05 (medium): when the matched (most recent) right row
+    carries a NULL value column, the output must be NULL for that
+    column — not a stale value pulled from an older right row — and
+    multi-column outputs must all come from the ONE matched row."""
+    left = spark.createDataFrame([("a", 20)], "k string, t long")
+    right = spark.createDataFrame(
+        [("a", 5, 1.0, 100.0), ("a", 15, None, 200.0)],
+        "k string, t long, v double, w double",
+    )
+    [row] = asof_join(
+        left, right, ["k"], "t", "t", ["v", "w"], matched_on_col="mt"
+    ).collect()
+    assert row.mt == 15
+    assert row.v is None          # NOT 1.0 from the rt=5 row
+    assert row.w == 200.0         # both columns from the rt=15 row
+
+
+def test_asof_all_null_match_still_counts_for_inner(spark):
+    """A matched right row whose value columns are ALL NULL is still a
+    match: inner mode keeps the left row (match is on row presence,
+    not value non-nullness)."""
+    left = spark.createDataFrame([("a", 20)], "k string, t long")
+    right = spark.createDataFrame(
+        [("a", 15, None)], "k string, t long, v double",
+    )
+    rows = asof_join(
+        left, right, ["k"], "t", "t", ["v"], how="inner",
+        matched_on_col="mt",
+    ).collect()
+    assert len(rows) == 1 and rows[0].v is None and rows[0].mt == 15
+
+
 def test_asof_plan_no_join_one_shuffle(tables):
     import re
 

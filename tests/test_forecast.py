@@ -65,20 +65,42 @@ def test_operator_matches_kernel_per_series(spark):
 
 
 @settings(max_examples=30, deadline=None)
-@given(st.lists(st.lists(st.floats(-1e6, 1e6, allow_nan=False),
+@given(st.lists(st.lists(st.one_of(st.floats(-1e6, 1e6),
+                                   st.just(float("nan"))),
                          min_size=1, max_size=40),
                 min_size=1, max_size=8))
 def test_fold2d_matches_scalar_kernel_bitwise(series_list):
+    # allow_nan=True: an IN-SERIES NaN must poison the fold exactly
+    # like the scalar kernel (ADVICE r05 — pad slots used to be
+    # indistinguishable from data NaNs, so fold2d held state through
+    # them while the scalar kernel and the recursive-CTE oracle
+    # propagated NaN).
     from datafusion_functions_financial_spark.functions.forecast import (
         holt_fold2d,
     )
-    lens = [len(s) for s in series_list]
-    maxlen = max(lens)
+    lens = np.array([len(s) for s in series_list], dtype=np.int64)
+    maxlen = int(lens.max())
     M = np.full((len(series_list), maxlen), np.nan)
     for g, s in enumerate(series_list):
         M[g, :len(s)] = s
-    L2, T2 = holt_fold2d(M)
+    L2, T2 = holt_fold2d(M, lengths=lens)
     for g, s in enumerate(series_list):
         lvl, trd = holt_kernel(np.asarray(s, dtype=np.float64))
-        assert np.array_equal(L2[g, :len(s)], lvl)
-        assert np.array_equal(T2[g, :len(s)], trd)
+        assert np.array_equal(L2[g, :len(s)], lvl, equal_nan=True)
+        assert np.array_equal(T2[g, :len(s)], trd, equal_nan=True)
+
+
+def test_fold2d_in_series_nan_poisons_like_scalar():
+    """The concrete ADVICE repro: [1, NaN, 3] must give NaN at every
+    position >= 1 (not 1.4 at position 3)."""
+    from datafusion_functions_financial_spark.functions.forecast import (
+        holt_fold2d,
+    )
+    M = np.array([[1.0, np.nan, 3.0]])
+    L2, T2 = holt_fold2d(M, lengths=np.array([3]))
+    assert L2[0, 0] == 1.0 and T2[0, 0] == 0.0
+    assert np.isnan(L2[0, 1]) and np.isnan(L2[0, 2])
+    assert np.isnan(T2[0, 1]) and np.isnan(T2[0, 2])
+    lvl, trd = holt_kernel(np.array([1.0, np.nan, 3.0]))
+    assert np.array_equal(L2[0], lvl, equal_nan=True)
+    assert np.array_equal(T2[0], trd, equal_nan=True)

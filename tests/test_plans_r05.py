@@ -80,3 +80,54 @@ def test_interval_join_no_nested_loop(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_interval_overlap_events")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_copurchase_hot_basket_cap(spark):
+    """VERDICT r05 item 5: a pathological giant basket is dropped
+    before the self-join; normal baskets are unaffected; the audit
+    helper records exactly what was dropped."""
+    from datafusion_functions_financial_spark.plans.analytics4 import (
+        copurchase_dropped_baskets, copurchase_pairs,
+    )
+
+    rows = [(1, f"i{j}") for j in range(50)]        # hot basket: 50 items
+    rows += [(2, "a"), (2, "b"), (3, "a"), (3, "b")]  # normal baskets
+    lines = spark.createDataFrame(rows, "basket long, item string")
+
+    capped = copurchase_pairs(lines, "basket", "item", min_count=2,
+                              max_items_per_basket=10)
+    got = {(r.item_a, r.item_b): r.n_baskets for r in capped.collect()}
+    # Only the normal-basket pair survives; none of the 1225 hot pairs.
+    assert got == {("a", "b"): 2}
+
+    dropped = copurchase_dropped_baskets(lines, "basket", "item", 10)
+    assert [(r.basket, r.n_items) for r in dropped.collect()] == [(1, 50)]
+
+    # Opt-out keeps the hot basket's pairs.
+    uncapped = copurchase_pairs(lines, "basket", "item", min_count=1,
+                                max_items_per_basket=None)
+    assert uncapped.count() == 50 * 49 // 2 + 1
+
+
+def test_copurchase_cap_is_fused_no_extra_shuffle(spark):
+    """The cap's window count must reuse the basket-key exchange the
+    self-join already needs — same exchange count with and without
+    the cap."""
+    from datafusion_functions_financial_spark.plans.analytics4 import (
+        copurchase_pairs,
+    )
+
+    lines = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")],
+        "basket long, item string",
+    )
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange hashpartitioning", plan))
+
+    with_cap = copurchase_pairs(lines, "basket", "item",
+                                max_items_per_basket=10)
+    without = copurchase_pairs(lines, "basket", "item",
+                               max_items_per_basket=None)
+    assert n_exchanges(with_cap) <= n_exchanges(without) + 1

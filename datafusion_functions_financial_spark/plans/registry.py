@@ -9,7 +9,8 @@ is pre-validated locally.
 from __future__ import annotations
 
 from . import (
-    analytics, analytics2, analytics3, analytics4, analytics5, enrich,
+    analytics, analytics2, analytics3, analytics4, analytics5, analytics6,
+    enrich,
     funnel, indicator_queries,
     portfolio, sequences, signals, validate,
 )
@@ -18,14 +19,14 @@ from ..functions import (
     technical, technical2, technical3, technical4, technical5,
 )
 from ..operators import (
-    asof, bm25, boilerplate, chunking, concentration, crossmodal,
+    anomaly2, asof, bm25, boilerplate, chunking, concentration, crossmodal,
     decontam, dedup, diff, divergence,
     dq, dq2, embnorm, embpca, embstats, embstats2, histogram,
     incremental, interval, ivf, keywords,
     linkage, microstructure, multimodal,
-    outliers, packing, pipeline, profile, quality, quantize, rfm,
-    robustfit, rollup, sampling, strsim,
-    similarity, sketch, sketch2, sketch3, skew, text, text2, tfidf,
+    micro2, outliers, packing, pipeline, profile, quality, quantize, rfm,
+    robustfit, rollup, sampling, sampling2, strsim,
+    similarity, sketch, sketch2, sketch3, skew, text, text2, text3, tfidf,
     vocab,
     wquantile,
 )
@@ -202,6 +203,7 @@ _MODULES = [
     # --- new in r05, registered past the window: gated in r06. ---
     analytics4, technical5, robustfit, rfm, embpca, dq2, sequences,
     forecast, sketch3, analytics5, embstats2, interval,
+    analytics6, sampling2, text3, anomaly2, micro2,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT

@@ -56,8 +56,9 @@ def asof_join(
     time difference exceeds it. ``matched_on_col`` optionally exposes
     the matched right timestamp.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'")
     if how not in ("left", "inner"):
         raise ValueError("how must be 'left' or 'inner'")
     keys = list(keys)
@@ -67,6 +68,10 @@ def asof_join(
         raise ValueError(
             f"right_values collide with left columns: {sorted(collisions)}"
         )
+    if direction == "nearest":
+        return _asof_nearest(left, right, keys, left_on, right_on,
+                             right_values, tolerance, how,
+                             matched_on_col)
 
     # Forward = backward on the negated time axis.
     sign = F.lit(1) if direction == "backward" else F.lit(-1)
@@ -126,6 +131,70 @@ def asof_join(
     if how == "inner":
         # Filter on the match marker, not a value column — a matched
         # right row may legitimately carry NULL values.
+        out = out.filter(F.col("__matched"))
+    return out.drop("__matched")
+
+
+def _asof_nearest(left, right, keys, left_on, right_on, right_values,
+                  tolerance, how, matched_on_col):
+    """Nearest-direction as-of: the closer of the most recent
+    at-or-before and the earliest at-or-after right row (ties break
+    backward, pandas ``merge_asof`` convention). STILL one exchange
+    and one sort: the same (keys)-partitioned (time, side) window
+    carries the backward struct with a preceding frame and the
+    forward struct with a following frame."""
+    l = left.select(
+        "*", F.col(left_on).cast("long").alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__rt"),
+    )
+    r = right.select(
+        *keys, F.col(right_on).cast("long").alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(right_on).cast("long").alias("__rt"), *right_values,
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    right_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__rt").alias("__rt"),
+            *[F.col(v).alias(v) for v in right_values],
+        ),
+    )
+    base = Window.partitionBy(*keys).orderBy("__t", "__side")
+    wb = base.rowsBetween(Window.unboundedPreceding, 0)
+    wf = base.rowsBetween(0, Window.unboundedFollowing)
+    # An equal-time right row sorts before the left row, so it lands
+    # in the BACKWARD frame with delta 0 — which nearest's min-delta
+    # tie-break selects anyway.
+    carried = unioned.select(
+        "*",
+        F.last(right_struct, ignorenulls=True).over(wb).alias("__mb"),
+        F.first(right_struct, ignorenulls=True).over(wf).alias("__mf"),
+    ).filter(F.col("__side") == 1)
+
+    db = F.col(left_on).cast("long") - F.col("__mb").getField("__rt")
+    df_ = F.col("__mf").getField("__rt") - F.col(left_on).cast("long")
+    use_b = F.col("__mb").isNotNull() & (
+        F.col("__mf").isNull() | (db <= df_))
+    chosen = F.when(use_b, F.col("__mb")).otherwise(F.col("__mf"))
+    delta = F.when(use_b, db).otherwise(df_)
+
+    carried = carried.withColumn("__m", chosen).withColumn("__d", delta)
+    matched = F.col("__m").isNotNull()
+    if tolerance is not None:
+        matched = matched & (F.col("__d") <= F.lit(tolerance))
+    sel = [F.col(c) for c in left.columns]
+    sel += [
+        F.when(matched, F.col("__m").getField(v)).alias(v)
+        for v in right_values
+    ]
+    if matched_on_col is not None:
+        sel.append(F.when(matched, F.col("__m").getField("__rt"))
+                   .alias(matched_on_col))
+    sel.append(matched.alias("__matched"))
+    out = carried.select(*sel)
+    if how == "inner":
         out = out.filter(F.col("__matched"))
     return out.drop("__matched")
 
@@ -295,3 +364,66 @@ FROM ev e ASOF LEFT JOIN snaps s
 
 QUERIES["asof_events_snapshots_tol"] = (_q_asof_tolerance,
                                         _ORACLE_ASOF_TOLERANCE)
+
+
+def _q_asof_nearest(spark, sf_dir):
+    """Nearest as-of: each event carries whichever snapshot (last
+    before OR next after) is closer in time, ties backward —
+    exercises ``direction='nearest'``."""
+    from ..plans.series import ROUND_DP
+    from ..sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("us"), "value"
+    )
+    snaps = (
+        ev.withColumn("day", F.expr(f"us DIV {US_DAY}"))
+        .groupBy("user_id", "day")
+        .agg(F.min("value").alias("day_low"))
+        .filter(F.col("day") % 3 == 0)
+        .select(
+            "user_id",
+            (F.col("day") * US_DAY).alias("snap_us"),
+            "day_low",
+        )
+    )
+    out = asof_join(
+        ev, snaps, ["user_id"], "us", "snap_us", ["day_low"],
+        direction="nearest", how="left", matched_on_col="snap_us",
+    )
+    return out.select(
+        "user_id", "event_id", "us",
+        F.round("day_low", ROUND_DP).alias("day_low"), "snap_us",
+    )
+
+
+_ORACLE_ASOF_NEAREST = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+), snaps AS (
+  SELECT user_id, day * {US_DAY} AS snap_us, day_low
+  FROM (
+    SELECT user_id, us // {US_DAY} AS day, min(value) AS day_low
+    FROM ev GROUP BY 1, 2
+  ) WHERE day % 3 = 0
+), b AS (
+  SELECT e.user_id, e.event_id, e.us, s.day_low AS bl, s.snap_us AS bt
+  FROM ev e ASOF LEFT JOIN snaps s
+    ON e.user_id = s.user_id AND e.us >= s.snap_us
+), f AS (
+  SELECT e.user_id, e.event_id, s.day_low AS fl, s.snap_us AS ft
+  FROM ev e ASOF LEFT JOIN snaps s
+    ON e.user_id = s.user_id AND e.us <= s.snap_us
+)
+SELECT b.user_id, b.event_id, b.us,
+  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR (b.us - bt) <= (ft - b.us))
+       THEN round(bl, 4) ELSE round(fl, 4) END AS day_low,
+  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR (b.us - bt) <= (ft - b.us))
+       THEN bt ELSE ft END AS snap_us
+FROM b JOIN f
+  ON b.user_id = f.user_id AND b.event_id = f.event_id
+"""
+
+
+QUERIES["asof_events_snapshots_nearest"] = (_q_asof_nearest,
+                                            _ORACLE_ASOF_NEAREST)

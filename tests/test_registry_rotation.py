@@ -85,3 +85,19 @@ def test_gate_window_is_full():
     names = registry.gate_window_names()
     assert len(names) == min(registry.GATE_WINDOW,
                              len(registry.all_queries()))
+
+
+def test_queries_md_census_in_sync():
+    """VERDICT r05 item 6: the committed QUERIES.md header count must
+    match the live registry — regenerate with
+    ``python tools/gen_queries_md.py`` whenever a query is added."""
+    import pathlib
+    import re
+
+    md = pathlib.Path(__file__).parent.parent / "QUERIES.md"
+    header = md.read_text().splitlines()[0]
+    m = re.search(r"the (\d+) gate queries", header)
+    assert m, header
+    assert int(m.group(1)) == len(registry.all_queries()), (
+        f"QUERIES.md census {m.group(1)} != registry "
+        f"{len(registry.all_queries())}; run tools/gen_queries_md.py")

@@ -1,0 +1,148 @@
+"""Streaming drift monitor: per-event-time-window value-distribution
+bin counts maintained as Structured Streaming state, scored against a
+frozen baseline with the SAME PSI term formula as the batch
+``operators/dq2.psi_drift`` gate.
+
+Split of work (the CMS/HLL pattern from ``heavyhitters.py`` /
+``cardinality.py``):
+
+1. **In the stream**: assign each row a bin from FIXED baseline edges
+   (pure expression — no quantiles on the stream), then a watermarked
+   windowed count per (window, bin). State is bounded: (#windows in
+   watermark horizon) x (#bins + 1) rows; append-mode capable, so
+   closed windows flow to any sink.
+2. **On the sink contents** (or any batch relation of the same
+   shape): ``psi_from_counts`` joins the observed bin shares of each
+   window against the baseline shares and folds the PSI terms — the
+   scoring is a tiny broadcast join, re-runnable and engine-portable
+   (quantized BIGINT term sums, the SCALING.md rule).
+
+Batch twin ``binned_window_batch`` uses the identical bin + window
+expressions, so stream state after a replay equals the batch relation
+bit-for-bit (asserted on sf0.01 in
+``tests/test_streaming_drift.py``).
+
+Scale: the streaming aggregation shuffles once on (window, bin) —
+bins are a constant, so skew is impossible by construction; the
+baseline is a broadcast list of edges.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.series import round_portable
+
+__all__ = ["bin_expr", "baseline_edges", "baseline_shares",
+           "binned_window_stream", "binned_window_batch",
+           "psi_from_counts"]
+
+PSI_Q = 10 ** 8
+
+
+def bin_expr(value_col: str, edges: Sequence[float]) -> str:
+    """SQL CASE assigning a bin index from fixed ascending ``edges``:
+    bin i covers [edges[i-1], edges[i]); bin 0 is the left tail and
+    bin len(edges) the right tail. Identical text on any engine."""
+    parts = ["CASE"]
+    for i, e in enumerate(edges):
+        parts.append(f"WHEN {value_col} < {float(e)!r} THEN {i}")
+    parts.append(f"ELSE {len(edges)} END")
+    return " ".join(parts)
+
+
+def baseline_edges(df: DataFrame, value_col: str,
+                   n_bins: int = 10) -> list[float]:
+    """Approximate-quantile bin edges from a baseline batch — the ONE
+    inexact step, taken once offline and then FROZEN (the stream and
+    every rescore use the same floats, so determinism holds from here
+    on)."""
+    probs = [i / n_bins for i in range(1, n_bins)]
+    return df.approxQuantile(value_col, probs, 1e-4)
+
+
+def baseline_shares(df: DataFrame, value_col: str,
+                    edges: Sequence[float]) -> DataFrame:
+    """(bin, ref_n) reference bin counts of the baseline batch."""
+    return (
+        df.selectExpr(f"{bin_expr(value_col, edges)} AS bin")
+        .groupBy("bin").agg(F.count(F.lit(1)).alias("ref_n"))
+    )
+
+
+def binned_window_stream(stream_df: DataFrame, ts_col: str,
+                         value_col: str, edges: Sequence[float],
+                         window: str = "1 hour",
+                         watermark: str = "1 hour") -> DataFrame:
+    """(window, bin, n): watermarked per-event-time-window bin counts
+    — the streaming state IS the batch relation."""
+    if not stream_df.isStreaming:
+        raise ValueError(
+            "binned_window_stream expects a streaming DataFrame; "
+            "use binned_window_batch for batch")
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.window(ts_col, window).alias("window"),
+            F.expr(f"{bin_expr(value_col, edges)} AS bin"),
+        )
+        .groupBy("window", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def binned_window_batch(df: DataFrame, ts_col: str, value_col: str,
+                        edges: Sequence[float],
+                        window: str = "1 hour") -> DataFrame:
+    """Identical-expression batch twin of ``binned_window_stream``."""
+    return (
+        df.select(
+            F.window(ts_col, window).alias("window"),
+            F.expr(f"{bin_expr(value_col, edges)} AS bin"),
+        )
+        .groupBy("window", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi_from_counts(counts: DataFrame, ref: DataFrame) -> DataFrame:
+    """(window_start, window_end, n, psi): PSI of each window's bin
+    distribution vs the baseline. Same term as ``dq2.psi_drift``
+    (``(p_obs - p_ref) * ln(p_obs / p_ref)``, bins missing on either
+    side skipped), terms quantized to BIGINT before the fold; > 0.2
+    is the conventional investigate threshold."""
+    from pyspark.sql import Window
+
+    tot_ref = ref.agg(F.sum("ref_n").alias("__tr"))
+    po = "CAST(n AS DOUBLE) / CAST(__tw AS DOUBLE)"
+    pr = "CAST(ref_n AS DOUBLE) / CAST(__tr AS DOUBLE)"
+    term = (
+        f"CASE WHEN n > 0 AND ref_n > 0 THEN "
+        f"CAST(round((({po}) - ({pr})) * ln(({po}) / ({pr})) "
+        f"* {PSI_Q}) AS BIGINT) ELSE 0 END"
+    )
+    joined = (
+        counts.join(F.broadcast(ref), "bin", "left")
+        .crossJoin(F.broadcast(tot_ref))
+        # Per-window total as a window sum over the same partitioning
+        # the final groupBy needs (a self-join here would conflict on
+        # the struct attribute and cost an extra exchange).
+        .withColumn("__tw", F.sum("n").over(Window.partitionBy("window")))
+        .withColumn("__t", F.expr(term))
+    )
+    return (
+        joined.groupBy("window")
+        .agg(F.sum("n").cast("bigint").alias("n"),
+             F.sum("__t").alias("__psi_q"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            round_portable(F.expr(
+                f"CAST(__psi_q AS DOUBLE) / {float(PSI_Q)!r}"), 6
+            ).alias("psi"),
+        )
+    )

@@ -118,6 +118,13 @@ def main() -> None:
         "graph_copurchase_parts",          # basket-key pair explosion
         "text_zipf_documents",             # token-rank OLS
         "q_joinsize_cms_orders",           # sketch inner-product planner
+        # --- r06 additions ---
+        "q_skyline_orders",                # per-day max + frontier scan
+        "graph_pagerank_nations",          # 3 unrolled broadcast iterations
+        "ind_kama_events",                 # adaptive fold2d kernel
+        "ind_hull_ma_events",              # integer-exact chained WMA
+        "micro_kyle_lambda_events",        # tick-rule sign + keyed OLS
+        "sample_token_budget_documents",   # hashed-order budget cumsum
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings",
@@ -169,6 +176,7 @@ def main() -> None:
         "q_markov": table_rows["events"],
         "graph_": table_rows["lineitem"],
         "q_joinsize": table_rows["orders"],
+        "q_skyline": table_rows["orders"],
     }
 
     def run(name: str) -> float:

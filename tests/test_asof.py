@@ -132,6 +132,6 @@ def test_asof_rejects_colliding_names(tables):
 def test_asof_bad_args(tables):
     left, right = tables
     with pytest.raises(ValueError, match="direction"):
-        asof_join(left, right, ["k"], "t", "t", ["v"], direction="nearest")
+        asof_join(left, right, ["k"], "t", "t", ["v"], direction="sideways")
     with pytest.raises(ValueError, match="how"):
         asof_join(left, right, ["k"], "t", "t", ["v"], how="outer")

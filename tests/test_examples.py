@@ -5,6 +5,10 @@ import sys
 
 import pytest
 
+# Example scripts are full Spark-session e2e runs (15-30s each);
+# they are the canonical docs smoke, not unit coverage.
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("script", [
     "examples/basic_usage.py",

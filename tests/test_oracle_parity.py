@@ -52,7 +52,27 @@ def values_equal(a, b):
     return a == b
 
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+# The corpus-scale dedup/pipeline pairs dominate suite wall time
+# (2-30s each, ~2 min total); they carry the ``slow`` marker so the
+# default selection stays under the round budget. They still run via
+# ``-m slow`` AND in every driver-contract sweep
+# (tools/verify_driver_contract.py), which covers the full registry.
+_SLOW_PARITY = {
+    "dedup_representatives_documents", "dedup_clusters_documents",
+    "pipeline_clean_corpus_documents",
+    "dedup_incremental_neardup_documents", "dedup_minhash_lsh_documents",
+    "dedup_ngram_jaccard_documents", "dedup_containment_documents",
+    "semantic_neardup_verified", "dedup_minhash_signatures_documents",
+    "embedding_neardup_pairs", "dedup_simhash_pairs_documents",
+    "dedup_incremental_exact_documents",
+}
+
+
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY
+    else n
+    for n in sorted(_QUERIES)
+])
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     sdf = _QUERIES[name](spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]

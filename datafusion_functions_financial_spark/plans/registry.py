@@ -25,7 +25,7 @@ from ..operators import (
     incremental, interval, ivf, keywords,
     linkage, microstructure, multimodal,
     micro2, outliers, packing, pipeline, profile, quality, quantize, rfm,
-    robustfit, rollup, sampling, sampling2, strsim,
+    robustfit, rollup, sampling, sampling2, stats2, strsim,
     similarity, sketch, sketch2, sketch3, skew, text, text2, text3, tfidf,
     vocab,
     wquantile,
@@ -211,14 +211,19 @@ _MODULES = [
     incremental, tfidf, quantize, boilerplate, bm25,
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
+    # --- NEW after the r06 window froze: gate in r07 (NEXT_ROUND_QUEUE). ---
+    stats2,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
 # round's gate. The full r05 backlog (34 entries) plus the 16 new r06
-# queries fit the r06 window exactly (50), so nothing is queued; new
-# queries added later in r06 must either take a window slot or land
-# here for r07.
-NEXT_ROUND_QUEUE: frozenset = frozenset()
+# queries fit the r06 window exactly (50), so queries added after the
+# r06 window froze land here and gate in r07.
+NEXT_ROUND_QUEUE: frozenset = frozenset({
+    # stats2: classical hypothesis tests
+    "q_chi2_dow_events", "q_welch_ttest_orders", "q_mannwhitney_events",
+    "q_kruskal_events", "q_jarque_bera_events", "q_runs_test_events",
+})
 
 # Backwards-compatible aliases (earlier rounds referred to the queue
 # by round number; R07 is the round any queued queries would gate in).

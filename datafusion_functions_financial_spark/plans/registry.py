@@ -25,7 +25,7 @@ from ..operators import (
     incremental, interval, ivf, keywords,
     linkage, microstructure, multimodal,
     micro2, outliers, packing, pipeline, profile, quality, quantize, rfm,
-    robustfit, rollup, sampling, sampling2, stats2, strsim,
+    robustfit, rollup, sampling, sampling2, spectral, stats2, strsim,
     similarity, sketch, sketch2, sketch3, skew, text, text2, text3, tfidf,
     vocab,
     wquantile,
@@ -212,7 +212,7 @@ _MODULES = [
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r06 window froze: gate in r07 (NEXT_ROUND_QUEUE). ---
-    stats2,
+    stats2, spectral,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -223,6 +223,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # stats2: classical hypothesis tests
     "q_chi2_dow_events", "q_welch_ttest_orders", "q_mannwhitney_events",
     "q_kruskal_events", "q_jarque_bera_events", "q_runs_test_events",
+    # spectral: frequency/long-memory diagnostics
+    "q_periodogram_events", "q_perm_entropy_events", "q_hurst_events",
+    "q_pacf_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -24,7 +24,8 @@ from ..operators import (
     dq, dq2, embnorm, embpca, embstats, embstats2, histogram,
     incremental, interval, ivf, keywords,
     linkage, microstructure, multimodal,
-    micro2, outliers, packing, pipeline, profile, quality, quantize, rfm,
+    micro2, micro3, outliers, packing, pipeline, profile, quality, quantize,
+    rfm,
     robustfit, rollup, sampling, sampling2, spectral, stats2, strsim,
     similarity, sketch, sketch2, sketch3, skew, text, text2, text3, tfidf,
     vocab,
@@ -212,7 +213,7 @@ _MODULES = [
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r06 window froze: gate in r07 (NEXT_ROUND_QUEUE). ---
-    stats2, spectral,
+    stats2, spectral, micro3,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -226,6 +227,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # spectral: frequency/long-memory diagnostics
     "q_periodogram_events", "q_perm_entropy_events", "q_hurst_events",
     "q_pacf_events",
+    # micro3: bucket/bar-level microstructure estimators
+    "micro_vpin_events", "micro_rv_bipower_events",
+    "micro_corwin_schultz_events", "micro_yang_zhang_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -21,7 +21,7 @@ from ..functions import (
 from ..operators import (
     anomaly2, asof, bm25, boilerplate, chunking, concentration, crossmodal,
     decontam, dedup, diff, divergence,
-    dq, dq2, embnorm, embpca, embstats, embstats2, histogram,
+    dq, dq2, embnorm, embpca, embstats, embstats2, graph2, histogram,
     incremental, interval, ivf, keywords,
     linkage, microstructure, multimodal,
     micro2, micro3, outliers, packing, pipeline, profile, quality, quantize,
@@ -213,7 +213,7 @@ _MODULES = [
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r06 window froze: gate in r07 (NEXT_ROUND_QUEUE). ---
-    stats2, spectral, micro3,
+    stats2, spectral, micro3, graph2,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -230,6 +230,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # micro3: bucket/bar-level microstructure estimators
     "micro_vpin_events", "micro_rv_bipower_events",
     "micro_corwin_schultz_events", "micro_yang_zhang_events",
+    # graph2: triangles + link prediction
+    "graph_triangles_lineitem", "graph_jaccard_customers_lineitem",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

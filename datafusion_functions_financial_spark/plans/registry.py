@@ -24,8 +24,8 @@ from ..operators import (
     dq, dq2, embnorm, embpca, embstats, embstats2, graph2, histogram,
     incremental, interval, ivf, keywords,
     linkage, microstructure, multimodal,
-    micro2, micro3, outliers, packing, pipeline, profile, quality, quantize,
-    rfm,
+    micro2, micro3, outliers, packing, pipeline, profile, quality,
+    quantile2, quantize, rfm,
     robustfit, rollup, sampling, sampling2, spectral, stats2, strsim,
     similarity, sketch, sketch2, sketch3, skew, text, text2, text3, tfidf,
     vocab,
@@ -213,7 +213,7 @@ _MODULES = [
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r06 window froze: gate in r07 (NEXT_ROUND_QUEUE). ---
-    stats2, spectral, micro3, graph2,
+    stats2, spectral, micro3, graph2, quantile2,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -232,6 +232,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "micro_corwin_schultz_events", "micro_yang_zhang_events",
     # graph2: triangles + link prediction
     "graph_triangles_lineitem", "graph_jaccard_customers_lineitem",
+    # quantile2: exact quantiles without a global sort
+    "roll_median_events", "q_trimmed_mean_orders",
+    "q_distributed_median_lineitem",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

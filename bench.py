@@ -125,6 +125,13 @@ def main() -> None:
         "ind_hull_ma_events",              # integer-exact chained WMA
         "micro_kyle_lambda_events",        # tick-rule sign + keyed OLS
         "sample_token_budget_documents",   # hashed-order budget cumsum
+        # --- late-r06 additions ---
+        "q_kruskal_events",                # distinct-value rank relation
+        "q_hurst_events",                  # R/S blocks + quantized OLS
+        "micro_vpin_events",               # integer volume-bucket cuts
+        "graph_triangles_lineitem",        # degree-oriented wedge join
+        "graph_jaccard_customers_lineitem",  # shared-item equi-join topk
+        "q_distributed_median_lineitem",   # 2-pass histogram median
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings",

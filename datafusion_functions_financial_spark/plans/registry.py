@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from . import (
     analytics, analytics2, analytics3, analytics4, analytics5, analytics6,
+    analytics7,
     enrich,
     funnel, indicator_queries,
     portfolio, sequences, signals, validate,
@@ -213,7 +214,7 @@ _MODULES = [
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r06 window froze: gate in r07 (NEXT_ROUND_QUEUE). ---
-    stats2, spectral, micro3, graph2, quantile2,
+    stats2, spectral, micro3, graph2, quantile2, analytics7,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -235,6 +236,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # quantile2: exact quantiles without a global sort
     "roll_median_events", "q_trimmed_mean_orders",
     "q_distributed_median_lineitem",
+    # analytics7: cross-series + corpus planning
+    "q_ccf_events", "q_top_trigrams_events", "vocab_coverage_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

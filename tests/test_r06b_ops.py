@@ -436,6 +436,73 @@ def test_distributed_median_matches_sorted(spark, n):
 
 
 # --------------------------------------------------------------------------
+# analytics7
+# --------------------------------------------------------------------------
+
+
+def test_ccf_recovers_planted_lag(spark):
+    from datafusion_functions_financial_spark.plans.analytics7 import (
+        cross_correlation_hourly,
+    )
+    # series B = series A shifted 2 hours later -> ccf peaks at lag +2
+    rng = np.random.RandomState(9)
+    base = rng.rand(200) * 100
+    rows = []
+    eid = 0
+    for h in range(200):
+        rows.append((eid, h * 3_600_000_000 + 1, "A", float(base[h])))
+        eid += 1
+        if h >= 2:
+            rows.append((eid, h * 3_600_000_000 + 2, "B",
+                         float(base[h - 2])))
+            eid += 1
+    df = spark.createDataFrame(rows, "id long, us long, g string, v double")
+    out = {r["lag"]: r["ccf"] for r in cross_correlation_hourly(
+        df, "us", "v", "g", "A", "B").collect()}
+    # full-sample standardization over the truncated paired range
+    # keeps the peak slightly under 1
+    assert out[2] > 0.95
+    assert all(abs(v) < 0.3 for lg, v in out.items() if lg != 2)
+
+
+def test_top_trigrams_matches_naive(spark):
+    from collections import Counter
+
+    from datafusion_functions_financial_spark.plans.analytics7 import (
+        top_trigrams,
+    )
+    seq = list("abcabcabd") * 3
+    rows = [("u", i, s) for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "u string, t long, s string")
+    got = [(r["t0"], r["t1"], r["t2"], r["n"]) for r in top_trigrams(
+        df, "s", ["u"], ["t"], k=5).collect()]
+    naive = Counter(tuple(seq[i: i + 3]) for i in range(len(seq) - 2))
+    want = sorted(naive.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == [(a, b, c, n) for (a, b, c), n in want]
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    from collections import Counter
+
+    from datafusion_functions_financial_spark.plans.analytics7 import (
+        vocab_coverage,
+    )
+    docs = [("w1 w1 w1 w2 w2 w3",), ("w1 w2 w4 w5",), ("w1 w6",)]
+    df = spark.createDataFrame(docs, "text string")
+    out = {r["vocab_size"]: r for r in vocab_coverage(
+        df, "text", sizes=(1, 3, 100)).collect()}
+    counts = Counter(
+        tok for d, in docs for tok in d.split())
+    total = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert out[1]["covered_tokens"] == top[0][1]
+    assert out[3]["covered_tokens"] == sum(n for _, n in top[:3])
+    assert out[100]["covered_tokens"] == total
+    assert (out[1]["share"] <= out[3]["share"] <= out[100]["share"]
+            == 1.0)
+
+
+# --------------------------------------------------------------------------
 # plan shapes
 # --------------------------------------------------------------------------
 
@@ -448,6 +515,7 @@ def test_distributed_median_matches_sorted(spark, n):
     "micro_corwin_schultz_events", "micro_yang_zhang_events",
     "graph_triangles_lineitem", "graph_jaccard_customers_lineitem",
     "roll_median_events", "q_trimmed_mean_orders",
+    "q_ccf_events", "q_top_trigrams_events", "vocab_coverage_documents",
 ])
 def test_new_query_no_cartesian(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)

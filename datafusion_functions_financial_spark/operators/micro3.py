@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
 
-__all__ = ["vpin", "rv_bipower", "corwin_schultz", "yang_zhang"]
+__all__ = ["vpin", "vpin_buckets", "rv_bipower", "corwin_schultz",
+           "yang_zhang"]
 
 Q = 10 ** 8
 QV = 10 ** 6          # volume quantization
@@ -48,15 +49,13 @@ def _keyed(keys: list[str], order: list[str]) -> tuple[str, str]:
 # --------------------------------------------------------------------------
 
 
-def vpin(df: DataFrame, value_col: str, keys: list[str],
-         order: list[str],
-         bucket_vol: float = VPIN_BUCKET_VOL) -> DataFrame:
-    """(keys..., n_buckets, vpin): Easley–López de Prado–O'Hara VPIN.
-    Ticks get a tick-rule side (carried last non-zero sign of the
-    price change); |value| is the volume proxy; the tape is cut into
-    equal-volume buckets on the EXACT quantized cumulative volume,
-    the trailing partial bucket is dropped, and
-    ``VPIN = mean(|buyV - sellV| / bucketV)``."""
+def vpin_buckets(df: DataFrame, value_col: str, keys: list[str],
+                 order: list[str],
+                 bucket_vol: float = VPIN_BUCKET_VOL) -> DataFrame:
+    """(keys..., __bkt, __buy, __sell, __last): the equal-volume
+    bucket table behind ``vpin`` — exposed so the streaming VPIN
+    (``streaming/vpin.py``) can assert stream==batch equality on the
+    bucket rows themselves."""
     okeys, oorder = _keyed(keys, order)
     w = Window.partitionBy(*keys).orderBy(*order)
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -74,13 +73,25 @@ def vpin(df: DataFrame, value_col: str, keys: list[str],
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
         .withColumn("__bkt", F.expr(f"(__cum - 1) DIV {bq}"))
     )
-    buckets = prepared.groupBy(*keys, "__bkt").agg(
+    return prepared.groupBy(*keys, "__bkt").agg(
         F.sum(F.expr(
             "CASE WHEN __sgn = 1 THEN __vq ELSE 0 END")).alias("__buy"),
         F.sum(F.expr(
             "CASE WHEN __sgn = -1 THEN __vq ELSE 0 END")).alias("__sell"),
     ).withColumn("__last", F.expr(
         f"max(__bkt) OVER (PARTITION BY {okeys})"))
+
+
+def vpin(df: DataFrame, value_col: str, keys: list[str],
+         order: list[str],
+         bucket_vol: float = VPIN_BUCKET_VOL) -> DataFrame:
+    """(keys..., n_buckets, vpin): Easley–López de Prado–O'Hara VPIN.
+    Ticks get a tick-rule side (carried last non-zero sign of the
+    price change); |value| is the volume proxy; the tape is cut into
+    equal-volume buckets on the EXACT quantized cumulative volume,
+    the trailing partial bucket is dropped, and
+    ``VPIN = mean(|buyV - sellV| / bucketV)``."""
+    buckets = vpin_buckets(df, value_col, keys, order, bucket_vol)
     term = (
         f"CAST(round(CAST(abs(__buy - __sell) AS DOUBLE) "
         f"/ CAST(__buy + __sell AS DOUBLE) * {Q}) AS BIGINT)"

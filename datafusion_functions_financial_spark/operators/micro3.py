@@ -521,8 +521,87 @@ FROM red WHERE n_days >= 2
 """
 
 
+def _q_sign_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-flow persistence: PACF of the tick-rule trade-sign
+    series — the classic 'order flow is long-memory' diagnostic.
+    Reuses the spectral PACF on the carried-sign column."""
+    from .spectral import pacf
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    signed = (
+        ev.withColumn("__dp", F.col("value") - F.lag("value").over(w))
+        .withColumn("__sgn", F.last(
+            F.expr("nullif(CAST(sign(__dp) AS BIGINT), 0)"),
+            ignorenulls=True).over(wc))
+        .filter(F.col("__sgn").isNotNull())
+        .withColumn("__sv", F.expr("CAST(__sgn AS DOUBLE)"))
+    )
+    return pacf(signed, "__sv", ["event_type"], ["ts", "event_id"])
+
+
+def _sign_pacf_oracle() -> str:
+    from .spectral import _DP22, _DP33, _DR1, _DR2, _DR3
+    from .spectral import Q as SQ
+    from .spectral import Q2 as SQ2
+    return f"""
+WITH diffed AS (
+  SELECT event_type, ts, event_id,
+         value - lag(value) OVER w AS dp
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), signed AS (
+  SELECT event_type, ts, event_id,
+         CAST(last_value(nullif(CAST(sign(dp) AS BIGINT), 0)
+                         IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS sv
+  FROM diffed
+), flt AS (
+  SELECT * FROM signed WHERE sv IS NOT NULL
+), means AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(sv * {SQ}) AS BIGINT)) AS s
+  FROM flt GROUP BY 1
+), dev AS (
+  SELECT f.event_type, m.n,
+    f.sv - (CAST(m.s AS DOUBLE)
+            / (CAST(m.n AS DOUBLE) * {float(SQ)!r})) AS d,
+    f.ts, f.event_id
+  FROM flt f JOIN means m ON f.event_type = m.event_type
+), lagged AS (
+  SELECT event_type, n, d,
+         lag(d, 1) OVER w AS dl1,
+         lag(d, 2) OVER w AS dl2,
+         lag(d, 3) OVER w AS dl3
+  FROM dev
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), red AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+    CAST(sum(CAST(round(d * d * {SQ2}) AS BIGINT)) AS BIGINT) AS den,
+    CAST(sum(CASE WHEN dl1 IS NOT NULL THEN
+      CAST(round(d * dl1 * {SQ2}) AS BIGINT) END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN dl2 IS NOT NULL THEN
+      CAST(round(d * dl2 * {SQ2}) AS BIGINT) END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN dl3 IS NOT NULL THEN
+      CAST(round(d * dl3 * {SQ2}) AS BIGINT) END) AS BIGINT) AS n3
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, n,
+  {round_portable_duck(_DR1, 6)} AS acf_1,
+  {round_portable_duck(_DR2, 6)} AS acf_2,
+  {round_portable_duck(_DR3, 6)} AS acf_3,
+  {round_portable_duck(_DR1, 6)} AS pacf_1,
+  {round_portable_duck(_DP22, 6)} AS pacf_2,
+  {round_portable_duck(_DP33, 6)} AS pacf_3
+FROM red
+"""
+
+
 QUERIES: dict = {
     "micro_vpin_events": (_q_vpin, _ORACLE_VPIN),
+    "micro_sign_pacf_events": (_q_sign_pacf, _sign_pacf_oracle()),
     "micro_rv_bipower_events": (_q_rv_bipower, _ORACLE_RV_BIPOWER),
     "micro_corwin_schultz_events": (_q_corwin_schultz, _ORACLE_CS),
     "micro_yang_zhang_events": (_q_yang_zhang, _ORACLE_YZ),

@@ -36,6 +36,7 @@ from ..sources.tables import load
 
 __all__ = [
     "periodogram_hourly", "permutation_entropy", "hurst_rs", "pacf",
+    "newey_west_se",
 ]
 
 Q = 10 ** 8
@@ -280,14 +281,12 @@ _P33 = (
 )
 
 
-def pacf(df: DataFrame, value_col: str, keys: list[str],
-         order: list[str]) -> DataFrame:
-    """(keys..., n, acf_1..3, pacf_1..3) per key: autocorrelations at
-    lags 1-3 (deviations from the exact quantized per-key mean;
-    products quantized before the sum) and the Durbin–Levinson
-    partial autocorrelations: phi_11 = r1,
-    phi_22 = (r2 - r1^2)/(1 - r1^2),
-    phi_33 = (r3 - phi_21 r2 - phi_22 r1)/(1 - phi_21 r1 - phi_22 r2)."""
+def _lag_products(df: DataFrame, value_col: str, keys: list[str],
+                  order: list[str]) -> DataFrame:
+    """(keys..., n, __s, __den, __n1..3): quantized deviation
+    auto-products at lags 0-3 — the shared aggregate behind ``pacf``
+    and ``newey_west_se``. One broadcast moment join + one window
+    pass + one keyed aggregate."""
     means = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.expr(
@@ -304,8 +303,9 @@ def pacf(df: DataFrame, value_col: str, keys: list[str],
         .withColumn("__d3", F.lag("__d", 3).over(w))
     )
     qp = f"* {Q2}) AS BIGINT)"
-    red = dev.groupBy(*keys).agg(
+    return dev.groupBy(*keys).agg(
         F.max("__n").cast("bigint").alias("n"),
+        F.max("__s").alias("__s"),
         F.sum(F.expr(
             f"CAST(round(__d * __d {qp}")).alias("__den"),
         F.sum(F.expr(
@@ -318,6 +318,17 @@ def pacf(df: DataFrame, value_col: str, keys: list[str],
             f"CASE WHEN __d3 IS NOT NULL THEN "
             f"CAST(round(__d * __d3 {qp} END")).alias("__n3"),
     )
+
+
+def pacf(df: DataFrame, value_col: str, keys: list[str],
+         order: list[str]) -> DataFrame:
+    """(keys..., n, acf_1..3, pacf_1..3) per key: autocorrelations at
+    lags 1-3 (deviations from the exact quantized per-key mean;
+    products quantized before the sum) and the Durbin–Levinson
+    partial autocorrelations: phi_11 = r1,
+    phi_22 = (r2 - r1^2)/(1 - r1^2),
+    phi_33 = (r3 - phi_21 r2 - phi_22 r1)/(1 - phi_21 r1 - phi_22 r2)."""
+    red = _lag_products(df, value_col, keys, order)
     return red.select(
         *keys, "n",
         round_portable(F.expr(_R1), 6).alias("acf_1"),
@@ -326,6 +337,40 @@ def pacf(df: DataFrame, value_col: str, keys: list[str],
         round_portable(F.expr(_R1), 6).alias("pacf_1"),
         round_portable(F.expr(_P22), 6).alias("pacf_2"),
         round_portable(F.expr(_P33), 6).alias("pacf_3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Newey–West (HAC) standard error of the mean, Bartlett lags 1-3
+# --------------------------------------------------------------------------
+
+_NW_NN = "CAST(n AS DOUBLE)"
+# (1/n)(g0 + 2*sum w_k g_k) with w = 3/4, 1/2, 1/4 and
+# g_k = numk / (n * Q2)  ==>  (4 den + 6 n1 + 4 n2 + 2 n3)/(4 n^2 Q2)
+_NW_VAR = ("(CAST(4 * __den + 6 * __n1 + 4 * __n2 + 2 * __n3 "
+           f"AS DOUBLE) / (4 * {_NW_NN} * {_NW_NN} * {float(Q2)!r}))")
+_NW_SE = f"sqrt(greatest({_NW_VAR}, CAST(0 AS DOUBLE)))"
+_NW_SE_IID = (f"sqrt(CAST(__den AS DOUBLE) "
+              f"/ ({float(Q2)!r} * ({_NW_NN} - 1) * {_NW_NN}))")
+_NW_MEAN = f"CAST(__s AS DOUBLE) / ({_NW_NN} * {float(Q)!r})"
+
+
+def newey_west_se(df: DataFrame, value_col: str, keys: list[str],
+                  order: list[str]) -> DataFrame:
+    """(keys..., n, mean, se_iid, nw_se, se_ratio) per key: the
+    autocorrelation-robust (HAC) standard error of the series mean —
+    Bartlett kernel, lags 1-3. ``se_ratio = nw_se / se_iid`` > 1
+    means the iid error bar understates the uncertainty (positively
+    autocorrelated data); the honest sample size is
+    ``n / se_ratio^2``."""
+    red = _lag_products(df, value_col, keys, order)
+    return red.select(
+        *keys, "n",
+        round_portable(F.expr(_NW_MEAN), 6).alias("mean"),
+        round_portable(F.expr(_NW_SE_IID), 6).alias("se_iid"),
+        round_portable(F.expr(_NW_SE), 6).alias("nw_se"),
+        round_portable(F.expr(
+            f"({_NW_SE}) / ({_NW_SE_IID})"), 6).alias("se_ratio"),
     )
 
 
@@ -558,9 +603,63 @@ FROM red
 """
 
 
+def _q_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return newey_west_se(load(spark, sf_dir, "events"), "value",
+                         ["event_type"], ["ts", "event_id"])
+
+
+_DNW_NN = "CAST(n AS DOUBLE)"
+_DNW_VAR = ("(CAST(4 * den + 6 * n1 + 4 * n2 + 2 * n3 "
+            f"AS DOUBLE) / (4 * {_DNW_NN} * {_DNW_NN} * {float(Q2)!r}))")
+_DNW_SE = f"sqrt(greatest({_DNW_VAR}, CAST(0 AS DOUBLE)))"
+_DNW_SE_IID = (f"sqrt(CAST(den AS DOUBLE) "
+               f"/ ({float(Q2)!r} * ({_DNW_NN} - 1) * {_DNW_NN}))")
+
+_ORACLE_NEWEY_WEST = f"""
+WITH means AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * {Q}) AS BIGINT)) AS s
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, m.n, m.s,
+    e.value - (CAST(m.s AS DOUBLE)
+               / (CAST(m.n AS DOUBLE) * {float(Q)!r})) AS d,
+    e.ts, e.event_id
+  FROM events e JOIN means m ON e.event_type = m.event_type
+), lagged AS (
+  SELECT event_type, n, s, d,
+         lag(d, 1) OVER w AS dl1,
+         lag(d, 2) OVER w AS dl2,
+         lag(d, 3) OVER w AS dl3
+  FROM dev
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), red AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+    CAST(max(s) AS BIGINT) AS s,
+    CAST(sum(CAST(round(d * d * {Q2}) AS BIGINT)) AS BIGINT) AS den,
+    CAST(sum(CASE WHEN dl1 IS NOT NULL THEN
+      CAST(round(d * dl1 * {Q2}) AS BIGINT) END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN dl2 IS NOT NULL THEN
+      CAST(round(d * dl2 * {Q2}) AS BIGINT) END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN dl3 IS NOT NULL THEN
+      CAST(round(d * dl3 * {Q2}) AS BIGINT) END) AS BIGINT) AS n3
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, n,
+  {round_portable_duck(
+      f"CAST(s AS DOUBLE) / ({_DNW_NN} * {float(Q)!r})", 6)} AS mean,
+  {round_portable_duck(_DNW_SE_IID, 6)} AS se_iid,
+  {round_portable_duck(_DNW_SE, 6)} AS nw_se,
+  {round_portable_duck(f"({_DNW_SE}) / ({_DNW_SE_IID})", 6)}
+    AS se_ratio
+FROM red
+"""
+
+
 QUERIES: dict = {
     "q_periodogram_events": (_q_periodogram, _ORACLE_PERIODOGRAM),
     "q_perm_entropy_events": (_q_perm_entropy, _ORACLE_PERM_ENTROPY),
     "q_hurst_events": (_q_hurst, _ORACLE_HURST),
     "q_pacf_events": (_q_pacf, _ORACLE_PACF),
+    "q_newey_west_events": (_q_newey_west, _ORACLE_NEWEY_WEST),
 }

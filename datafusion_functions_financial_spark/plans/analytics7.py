@@ -30,7 +30,7 @@ from ..sources.tables import load
 from .series import round_portable, round_portable_duck
 
 __all__ = ["cross_correlation_hourly", "top_trigrams",
-           "vocab_coverage"]
+           "vocab_coverage", "seasonal_residual_anomalies"]
 
 Q = 10 ** 8
 Q2 = 10 ** 6
@@ -167,6 +167,77 @@ def vocab_coverage(df: DataFrame, text_col: str = "text",
     )
 
 
+TREND_HALF = 12          # same centered 25h trend as analytics6
+ANOM_TOP = 20
+
+
+def seasonal_residual_anomalies(df: DataFrame, us_col: str,
+                                value_col: str,
+                                k: int = ANOM_TOP) -> DataFrame:
+    """(hour, hour_of_day, residual, z): the ``k`` hours whose value
+    deviates most from trend + hourly seasonality — the anomaly
+    consumer of the classical decomposition in
+    ``plans/analytics6.py::seasonal_decompose`` (same 25h centered
+    trend, same exact-integer detrending; the residual subtracts the
+    hour-of-day mean in exact integers before one float division).
+
+    Plan: hourly hash aggregate collapses the corpus, everything
+    after runs on the <=hours relation; top-k is orderBy+limit
+    (TakeOrderedAndProject)."""
+    win = 2 * TREND_HALF + 1
+    hourly = (
+        df.select(
+            F.expr(f"{us_col} DIV {US_PER_HOUR}").alias("__h"),
+            F.expr(f"CAST(round({value_col} * {Q}) AS BIGINT)")
+            .alias("__q"),
+        )
+        .groupBy("__h")
+        .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__c"))
+        .withColumn("__yq", F.expr(
+            "CAST(round(CAST(__s AS DOUBLE) / CAST(__c AS DOUBLE))"
+            " AS BIGINT)"))
+    )
+    w = Window.orderBy("__h").rowsBetween(-TREND_HALF, TREND_HALF)
+    whod = Window.partitionBy(F.col("__h") % 24)
+    scale = float(win * Q)
+    trended = (
+        hourly.withColumn("__tsum", F.sum("__yq").over(w))
+        .withColumn("__tn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__tn") == win)
+        .withColumn("__det", F.col("__yq") * win - F.col("__tsum"))
+        .withColumn("__nh", F.count(F.lit(1)).over(whod))
+        .withColumn("__sd", F.sum("__det").over(whod))
+        .withColumn("__r", F.expr(
+            f"CAST(__det * __nh - __sd AS DOUBLE) "
+            f"/ (CAST(__nh AS DOUBLE) * {scale!r})"))
+    )
+    moms = trended.agg(
+        F.count(F.lit(1)).alias("__nb"),
+        F.sum(F.expr(
+            f"CAST(round(__r * {Q}) AS BIGINT)")).alias("__rs"),
+        F.sum(F.expr(
+            f"CAST(round(__r * __r * {Q2}) AS BIGINT)")).alias("__rss"),
+    )
+    rbar = f"CAST(__rs AS DOUBLE) / (CAST(__nb AS DOUBLE) * {float(Q)!r})"
+    rsd = (
+        f"sqrt(greatest(CAST(__rss AS DOUBLE) "
+        f"/ (CAST(__nb AS DOUBLE) * {float(Q2)!r}) "
+        f"- ({rbar}) * ({rbar}), CAST(0 AS DOUBLE)))"
+    )
+    return (
+        trended.crossJoin(F.broadcast(moms))
+        .withColumn("__z", F.expr(f"(__r - ({rbar})) / ({rsd})"))
+        .orderBy(F.abs(F.col("__z")).desc(), F.col("__h").asc())
+        .limit(k)
+        .select(
+            F.col("__h").cast("bigint").alias("hour"),
+            (F.col("__h") % 24).cast("bigint").alias("hour_of_day"),
+            round_portable(F.col("__r"), 6).alias("residual"),
+            round_portable(F.col("__z"), 6).alias("z"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate queries
 # --------------------------------------------------------------------------
@@ -284,8 +355,73 @@ GROUP BY 1
 """
 
 
+def _q_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "__us", F.expr("ts DIV 1000"))
+    return seasonal_residual_anomalies(ev, "__us", "value")
+
+
+_RA_WIN = 2 * TREND_HALF + 1
+_RA_SCALE = float(_RA_WIN * Q)
+_RA_RBAR = f"CAST(rs AS DOUBLE) / (CAST(nb AS DOUBLE) * {float(Q)!r})"
+_RA_RSD = (
+    f"sqrt(greatest(CAST(rss AS DOUBLE) "
+    f"/ (CAST(nb AS DOUBLE) * {float(Q2)!r}) "
+    f"- ({_RA_RBAR}) * ({_RA_RBAR}), CAST(0 AS DOUBLE)))"
+)
+
+_ORACLE_RESIDUAL_ANOMALIES = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // {US_PER_HOUR} AS h,
+         CAST(sum(CAST(round(value * {Q}) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS c
+  FROM events GROUP BY 1
+), yq AS (
+  SELECT h,
+         CAST(round(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) AS BIGINT)
+           AS yq
+  FROM hourly
+), tr AS (
+  SELECT h, yq,
+         CAST(sum(yq) OVER w AS BIGINT) AS tsum,
+         count(*) OVER w AS tn
+  FROM yq
+  WINDOW w AS (ORDER BY h ROWS BETWEEN {TREND_HALF} PRECEDING
+               AND {TREND_HALF} FOLLOWING)
+), det AS (
+  SELECT h, yq * {_RA_WIN} - tsum AS det
+  FROM tr WHERE tn = {_RA_WIN}
+), hod AS (
+  SELECT h, det,
+         CAST(count(*) OVER (PARTITION BY h % 24) AS BIGINT) AS nh,
+         CAST(sum(det) OVER (PARTITION BY h % 24) AS BIGINT) AS sd
+  FROM det
+), resid AS (
+  SELECT h,
+         CAST(det * nh - sd AS DOUBLE)
+           / (CAST(nh AS DOUBLE) * {_RA_SCALE!r}) AS r
+  FROM hod
+), moms AS (
+  SELECT CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(CAST(round(r * {Q}) AS BIGINT)) AS BIGINT) AS rs,
+         CAST(sum(CAST(round(r * r * {Q2}) AS BIGINT)) AS BIGINT)
+           AS rss
+  FROM resid
+), scored AS (
+  SELECT h, r, (r - ({_RA_RBAR})) / ({_RA_RSD}) AS z
+  FROM resid CROSS JOIN moms
+)
+SELECT CAST(h AS BIGINT) AS hour, CAST(h % 24 AS BIGINT) AS hour_of_day,
+  {round_portable_duck("r", 6)} AS residual,
+  {round_portable_duck("z", 6)} AS z
+FROM scored ORDER BY abs(z) DESC, h LIMIT {ANOM_TOP}
+"""
+
+
 QUERIES: dict = {
     "q_ccf_events": (_q_ccf, _ORACLE_CCF),
     "q_top_trigrams_events": (_q_trigrams, _ORACLE_TRIGRAMS),
     "vocab_coverage_documents": (_q_coverage, _ORACLE_COVERAGE),
+    "q_seasonal_residual_anomalies_events": (
+        _q_residual_anomalies, _ORACLE_RESIDUAL_ANOMALIES),
 }

@@ -238,6 +238,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_distributed_median_lineitem",
     # analytics7: cross-series + corpus planning
     "q_ccf_events", "q_top_trigrams_events", "vocab_coverage_documents",
+    "q_seasonal_residual_anomalies_events",
+    # spectral/micro3 late additions
+    "q_newey_west_events", "micro_sign_pacf_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

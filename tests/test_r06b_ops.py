@@ -435,6 +435,44 @@ def test_distributed_median_matches_sorted(spark, n):
     assert out["const"]["median"] == 42.0 and out["const"]["n"] == 5
 
 
+def test_newey_west_matches_naive_and_flags_autocorr(spark):
+    from datafusion_functions_financial_spark.operators.spectral import (
+        newey_west_se,
+    )
+    rng = np.random.RandomState(13)
+    x = np.zeros(2000)
+    for i in range(1, len(x)):
+        x[i] = 0.7 * x[i - 1] + rng.randn()
+    rows = [("g", i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    got = newey_west_se(df, "v", ["g"], ["t"]).collect()[0]
+    d = x - x.mean()
+    n = len(x)
+    g0 = (d * d).sum()
+    gk = [(d[k:] * d[:-k]).sum() for k in (1, 2, 3)]
+    var = (g0 + 2 * (0.75 * gk[0] + 0.5 * gk[1] + 0.25 * gk[2])) / n ** 2
+    _approx(got["nw_se"], math.sqrt(var), tol=1e-4)
+    _approx(got["se_iid"], d.std(ddof=1) / math.sqrt(n), tol=1e-4)
+    assert got["se_ratio"] > 1.5  # AR(0.7): iid bar badly understates
+
+
+def test_seasonal_residual_anomalies_finds_planted_hour(spark):
+    from datafusion_functions_financial_spark.plans.analytics7 import (
+        seasonal_residual_anomalies,
+    )
+    rows = []
+    eid = 0
+    for h in range(24 * 10):
+        base = 50.0 + 10.0 * math.cos(2 * math.pi * (h % 24) / 24)
+        v = base + (300.0 if h == 130 else 0.0)
+        for _ in range(4):
+            rows.append((eid, h * 3_600_000_000, float(v)))
+            eid += 1
+    df = spark.createDataFrame(rows, "id long, us long, v double")
+    got = seasonal_residual_anomalies(df, "us", "v", k=5).collect()
+    assert got[0]["hour"] == 130 and abs(got[0]["z"]) > 5
+
+
 # --------------------------------------------------------------------------
 # analytics7
 # --------------------------------------------------------------------------
@@ -516,6 +554,8 @@ def test_vocab_coverage_monotone_and_exact(spark):
     "graph_triangles_lineitem", "graph_jaccard_customers_lineitem",
     "roll_median_events", "q_trimmed_mean_orders",
     "q_ccf_events", "q_top_trigrams_events", "vocab_coverage_documents",
+    "q_newey_west_events", "micro_sign_pacf_events",
+    "q_seasonal_residual_anomalies_events",
 ])
 def test_new_query_no_cartesian(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)

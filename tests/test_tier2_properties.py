@@ -32,6 +32,7 @@ def _spark():
     )
 
 
+@pytest.mark.slow
 @settings(max_examples=25, deadline=None)
 @given(values, pos_weights)
 def test_weighted_quantile_matches_numpy(_spark, xs, ws):
@@ -87,6 +88,7 @@ def test_rolling_moments_match_numpy(_spark, xs):
             assert r["roll_kurt"] == pytest.approx(kurt, abs=2e-4)
 
 
+@pytest.mark.slow
 @settings(max_examples=15, deadline=None)
 @given(values)
 def test_resample_interp_is_bounded_by_neighbors(_spark, xs):
@@ -109,6 +111,7 @@ def test_resample_interp_is_bounded_by_neighbors(_spark, xs):
     assert len(obs) == len(xs)
 
 
+@pytest.mark.slow
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 30), st.text("ab", min_size=1,
                                                       max_size=3)),

@@ -122,8 +122,94 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# --------------------------------------------------------------------------
+# Key-skew profiler: the diagnostic that tells you WHEN to reach for
+# salted_agg / AQE skew join. Exact order-statistic percentiles of the
+# per-key row counts (integer rank selection, no interpolation).
+# --------------------------------------------------------------------------
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """One row (n_rows, n_keys, top_key, top_share,
+    p50_rows_per_key, p99_rows_per_key, skew_p99_p50): distribution
+    of rows per key — the pre-flight check before shuffling on
+    ``key_col`` at scale. Percentiles are exact lower order
+    statistics of the per-key counts (rank ``ceil(q * n_keys)``,
+    ties broken by key), so both engines select the same element.
+
+    Plan: one map-side-combined groupBy(key), then windows over the
+    per-key count relation (n_keys rows, not data rows)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(F.col("__c").asc(), F.col("__k").asc())
+    ranked = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__nk", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn("__nr", F.sum("__c").over(Window.partitionBy()))
+    )
+    pick = ("CASE WHEN __rn = CAST(ceil({q} * __nk / 100) AS BIGINT) "
+            "THEN __c END")
+    return ranked.agg(
+        F.max("__nr").cast("bigint").alias("n_rows"),
+        F.max("__nk").cast("bigint").alias("n_keys"),
+        F.max(F.expr(
+            "CASE WHEN __rn = __nk THEN __k END")).alias("top_key"),
+        F.expr(
+            "round(CAST(max(CASE WHEN __rn = __nk THEN __c END) "
+            "AS DOUBLE) / CAST(max(__nr) AS DOUBLE) * 1000000.0) "
+            "/ 1000000.0 + 0.0").alias("top_share"),
+        F.max(F.expr(pick.format(q=50))).cast("bigint")
+        .alias("p50_rows_per_key"),
+        F.max(F.expr(pick.format(q=99))).cast("bigint")
+        .alias("p99_rows_per_key"),
+        F.expr(
+            f"round(CAST(max({pick.format(q=99)}) AS DOUBLE) "
+            f"/ CAST(max({pick.format(q=50)}) AS DOUBLE) "
+            "* 1000000.0) / 1000000.0 + 0.0").alias("skew_p99_p50"),
+    )
+
+
+def _q_key_skew(spark: SparkSession, sf_dir: str):
+    from ..sources.tables import load
+
+    return key_skew_profile(load(spark, sf_dir, "lineitem"),
+                            "l_suppkey")
+
+
+_ORACLE_KEY_SKEW = """
+WITH counts AS (
+  SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT k, c,
+         row_number() OVER (ORDER BY c, k) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS nk,
+         CAST(sum(c) OVER () AS BIGINT) AS nr
+  FROM counts
+)
+SELECT CAST(max(nr) AS BIGINT) AS n_rows,
+  CAST(max(nk) AS BIGINT) AS n_keys,
+  max(CASE WHEN rn = nk THEN k END) AS top_key,
+  round(CAST(max(CASE WHEN rn = nk THEN c END) AS DOUBLE)
+        / CAST(max(nr) AS DOUBLE) * 1000000.0) / 1000000.0 + 0.0
+    AS top_share,
+  CAST(max(CASE WHEN rn = CAST(ceil(50 * nk / 100) AS BIGINT)
+           THEN c END) AS BIGINT) AS p50_rows_per_key,
+  CAST(max(CASE WHEN rn = CAST(ceil(99 * nk / 100) AS BIGINT)
+           THEN c END) AS BIGINT) AS p99_rows_per_key,
+  round(CAST(max(CASE WHEN rn = CAST(ceil(99 * nk / 100) AS BIGINT)
+              THEN c END) AS DOUBLE)
+        / CAST(max(CASE WHEN rn = CAST(ceil(50 * nk / 100) AS BIGINT)
+               THEN c END) AS DOUBLE) * 1000000.0) / 1000000.0 + 0.0
+    AS skew_p99_p50
+FROM ranked
+"""
+
+
 QUERIES: dict = {
     "skew_salted_overview_lineitem": (_q_salted_overview, _ORACLE_SALTED),
+    "dq_key_skew_lineitem": (_q_key_skew, _ORACLE_KEY_SKEW),
 }
 
 

@@ -241,6 +241,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_seasonal_residual_anomalies_events",
     # spectral/micro3 late additions
     "q_newey_west_events", "micro_sign_pacf_events",
+    # skew diagnostics
+    "dq_key_skew_lineitem",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -71,7 +71,11 @@ def vpin_buckets(df: DataFrame, value_col: str, keys: list[str],
         .withColumn("__cum", F.expr(
             f"sum(__vq) OVER (PARTITION BY {okeys} ORDER BY {oorder} "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
-        .withColumn("__bkt", F.expr(f"(__cum - 1) DIV {bq}"))
+        # greatest(.., 0) clamps the cum=0 corner (leading ticks whose
+        # |value| quantizes to vq=0) so trunc-DIV here and floor-// in
+        # the DuckDB oracle see the same non-negative numerator.
+        .withColumn("__bkt", F.expr(
+            f"greatest(__cum - 1, CAST(0 AS BIGINT)) DIV {bq}"))
     )
     return prepared.groupBy(*keys, "__bkt").agg(
         F.sum(F.expr(
@@ -123,8 +127,9 @@ def rv_bipower(df: DataFrame, value_col: str, us_col: str,
     """(keys..., day, n_returns, rv, bv, jump_share) per (key, day):
     realized variance ``sum r^2`` of intraday log returns, bipower
     variation ``(pi/2) * sum |r_t||r_t-1|`` (jump-robust), and the
-    Barndorff-Nielsen–Shephard jump share ``max(0, 1 - BV/RV)``.
-    Non-positive prices are excluded before the return diff."""
+    Barndorff-Nielsen–Shephard jump share ``max(0, 1 - BV/RV)``
+    (NULL on a flat day where RV = 0). Non-positive prices are
+    excluded before the return diff."""
     okeys, oorder = _keyed(keys, order)
     pos = df.filter(F.col(value_col) > 0).withColumn(
         "__day", F.expr(f"({us_col}) DIV {US_PER_DAY}"))
@@ -155,10 +160,12 @@ def rv_bipower(df: DataFrame, value_col: str, us_col: str,
             round_portable(F.expr(
                 f"pi() / 2 * CAST(__bv AS DOUBLE) / {float(Q)!r}"), 6
             ).alias("bv"),
+            # __rv = 0 (flat intraday prices: every log return 0)
+            # would make the share 0/0; a flat day has no jump.
             round_portable(F.expr(
-                f"greatest(CAST(0 AS DOUBLE), "
+                f"CASE WHEN __rv > 0 THEN greatest(CAST(0 AS DOUBLE), "
                 f"1 - (pi() / 2 * CAST(__bv AS DOUBLE)) "
-                f"/ CAST(__rv AS DOUBLE))"), 6).alias("jump_share"),
+                f"/ CAST(__rv AS DOUBLE)) END"), 6).alias("jump_share"),
         )
     )
 
@@ -343,9 +350,10 @@ WITH diffed AS (
   FROM signed WHERE sgn IS NOT NULL
 ), cut AS (
   SELECT event_type, sgn, vq,
-         (sum(vq) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         greatest(sum(vq) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
-                        ROW) - 1) // {_VPIN_BQ} AS bkt
+                        ROW) - 1, 0) // {_VPIN_BQ} AS bkt
   FROM vols
 ), buckets AS (
   SELECT event_type, bkt,
@@ -404,9 +412,9 @@ SELECT event_type, CAST(day AS BIGINT) AS day, n_returns,
   {round_portable_duck(
       f"pi() / 2 * CAST(bvq AS DOUBLE) / {float(Q)!r}", 6)} AS bv,
   {round_portable_duck(
-      f"greatest(CAST(0 AS DOUBLE), "
+      f"CASE WHEN rvq > 0 THEN greatest(CAST(0 AS DOUBLE), "
       f"1 - (pi() / 2 * CAST(bvq AS DOUBLE)) "
-      f"/ CAST(rvq AS DOUBLE))", 6)} AS jump_share
+      f"/ CAST(rvq AS DOUBLE)) END", 6)} AS jump_share
 FROM red
 """
 

@@ -133,27 +133,20 @@ def welch_ttest(df: DataFrame, value_col: str, group_expr: str,
     flt = df.selectExpr(f"{group_expr} AS __g",
                         f"{value_col} AS __v").filter(
         F.col("__g").isin([group_a, group_b]))
-    qs = f"CAST(round(__v * {q_lin}) AS BIGINT)"
-    qss = f"CAST(round(__v * __v * {q_sq}) AS BIGINT)"
+    qs = F.expr(f"CAST(round(__v * {q_lin}) AS BIGINT)")
+    qss = F.expr(f"CAST(round(__v * __v * {q_sq}) AS BIGINT)")
+    # Typed F.when comparisons, not f-string SQL literals: a group
+    # value containing a quote must not break the expression.
+    is_a = F.col("__g") == F.lit(group_a)
+    is_b = F.col("__g") == F.lit(group_b)
+    zero = F.lit(0).cast("bigint")
     agg = flt.agg(
-        F.sum(F.expr(
-            f"CASE WHEN __g = '{group_a}' THEN 1 ELSE 0 END"
-        )).alias("__na"),
-        F.sum(F.expr(
-            f"CASE WHEN __g = '{group_a}' THEN {qs} ELSE 0 END"
-        )).alias("__sa"),
-        F.sum(F.expr(
-            f"CASE WHEN __g = '{group_a}' THEN {qss} ELSE 0 END"
-        )).alias("__ssa"),
-        F.sum(F.expr(
-            f"CASE WHEN __g = '{group_b}' THEN 1 ELSE 0 END"
-        )).alias("__nb"),
-        F.sum(F.expr(
-            f"CASE WHEN __g = '{group_b}' THEN {qs} ELSE 0 END"
-        )).alias("__sb"),
-        F.sum(F.expr(
-            f"CASE WHEN __g = '{group_b}' THEN {qss} ELSE 0 END"
-        )).alias("__ssb"),
+        F.sum(F.when(is_a, F.lit(1)).otherwise(0)).alias("__na"),
+        F.sum(F.when(is_a, qs).otherwise(zero)).alias("__sa"),
+        F.sum(F.when(is_a, qss).otherwise(zero)).alias("__ssa"),
+        F.sum(F.when(is_b, F.lit(1)).otherwise(0)).alias("__nb"),
+        F.sum(F.when(is_b, qs).otherwise(zero)).alias("__sb"),
+        F.sum(F.when(is_b, qss).otherwise(zero)).alias("__ssb"),
     )
 
     def stats(n: str, s: str, ss: str) -> tuple[str, str]:

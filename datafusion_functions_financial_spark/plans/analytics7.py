@@ -50,7 +50,7 @@ def cross_correlation_hourly(df: DataFrame, us_col: str,
     (means/SS over the full paired sample, per the standard CCF)."""
     def hourly(side: str):
         return (
-            df.filter(F.expr(f"{series_expr} = '{side}'"))
+            df.filter(F.expr(series_expr) == F.lit(side))
             .selectExpr(f"({us_col}) DIV {US_PER_HOUR} AS __h",
                         f"{value_col} AS __v")
             .groupBy("__h")

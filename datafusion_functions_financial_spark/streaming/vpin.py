@@ -6,8 +6,9 @@ per-bucket (buy, sell) emission the moment a bucket completes.
 Replay-exact contract (the repo's streaming north star): the fold
 kernel below is ONE sequential walk shared conceptually with the
 batch plan — same carried last-non-zero sign, same quantized
-cumulative-volume bucket id (including Spark's truncate-toward-zero
-``(cum-1) DIV bq`` corner at cum=0) — so the union of bucket rows
+cumulative-volume bucket id (``greatest(cum-1, 0) DIV bq``, the
+clamp defining the cum=0 corner engine-portably) — so the union of
+bucket rows
 emitted across any micro-batch replay equals the batch
 ``vpin_buckets`` table minus each key's trailing (incomplete)
 bucket, bit for bit. ``tests/test_streaming_vpin.py`` asserts this
@@ -59,8 +60,9 @@ def vpin_fold(prices: np.ndarray, state: tuple, bq: int):
     new_state) where finished_buckets is a list of
     (bucket_id, buy_q, sell_q). Mirrors the batch plan exactly:
     tick-rule sign carried through flat ticks, rows before the first
-    price move excluded, bucket id ``(cum - 1) DIV bq`` with Spark's
-    truncate-toward-zero semantics at the cum=0 corner."""
+    price move excluded, bucket id ``greatest(cum - 1, 0) DIV bq`` —
+    the clamp defines the cum=0 corner identically on Spark (trunc
+    DIV) and the DuckDB oracle (floor //)."""
     n, last_p, last_sign, cum, cur, buy, sell = state
     out = []
     for p in prices:
@@ -72,8 +74,8 @@ def vpin_fold(prices: np.ndarray, state: tuple, bq: int):
             s = last_sign
             if s != 0:
                 vq = int(round(abs(p) * QV))
-                num = cum + vq - 1
-                b = (num // bq) if num >= 0 else 0  # trunc at -1
+                num = max(cum + vq - 1, 0)  # clamp == batch greatest()
+                b = num // bq
                 if cur == -1:
                     cur = b
                 elif b != cur:

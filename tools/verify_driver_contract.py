@@ -9,10 +9,12 @@ Usage:
     python tools/verify_driver_contract.py [--sf DIR] [name ...]
 
 With no names, verifies every query in the registry (slow at sf0.1).
-Mirrors the recipe in .claude/skills/verify/SKILL.md; the one known
-divergence from the real driver is dtype strictness — the driver's
-hash tolerates int32-vs-int64 (rank columns), this script reports
-value equality only.
+Recipe: load the sf parquet tables as DuckDB views, run each Spark
+query and its oracle SQL side-by-side, sort columns by name and rows
+by value, then compare element-wise. The one known divergence from
+the real driver is dtype strictness — the driver's hash tolerates
+int32-vs-int64 (rank columns), this script reports value equality
+only.
 """
 
 from __future__ import annotations

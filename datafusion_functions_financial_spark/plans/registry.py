@@ -20,15 +20,20 @@ from ..functions import (
     technical, technical2, technical3, technical4, technical5, technical6,
 )
 from ..operators import (
-    anomaly2, asof, bm25, boilerplate, chunking, concentration, crossmodal,
+    anomaly2, asof, bm25, boilerplate, cc, chunking, concentration,
+    crossmodal,
     decontam, dedup, diff, divergence,
-    dq, dq2, embnorm, embpca, embstats, embstats2, graph2, histogram,
+    dq, dq2, dq3, embgeo, embnorm, embpca, embstats, embstats2, graph2,
+    histogram,
     incremental, interval, ivf, keywords,
-    linkage, microstructure, multimodal,
-    micro2, micro3, outliers, packing, pipeline, profile, quality,
+    linkage, microstructure, micro4, multimodal,
+    micro2, micro3, outliers, packing, pipeline, profile, qsketch,
+    quality,
     quantile2, quantize, rfm,
-    robustfit, rollup, sampling, sampling2, spectral, stats2, strsim,
-    similarity, sketch, sketch2, sketch3, skew, text, text2, text3, tfidf,
+    robustfit, rollup, sampling, sampling2, sampling3, spectral, stats2,
+    stats3, strsim,
+    similarity, sketch, sketch2, sketch3, skew, text, text2, text3,
+    text4, tfidf,
     vocab,
     wquantile,
 )
@@ -182,23 +187,55 @@ PRIOR_GATED = frozenset({
     "q_gini_orders", "q_lorenz_deciles_orders", "q_hhi_nation_orders",
     "q_anomaly_mad_events", "q_changepoint_cusum_events",
     "q_arrival_burstiness_events", "str_editdist_suppliers",
+    # --- green in CORRECTNESS_r06 (50/50) ---
+    "asof_events_snapshots_nearest", "asof_events_snapshots_tol",
+    "dedup_cluster_sizes_documents", "dq_ks_two_sample_events",
+    "dq_null_profile_orders", "dq_psi_drift_events",
+    "emb_label_separation_embeddings", "emb_pca_power_embeddings",
+    "graph_copurchase_parts", "graph_degree_customers",
+    "graph_pagerank_nations", "hist_equidepth_lineitem",
+    "ind_chandelier_events", "ind_elder_ray_events",
+    "ind_fractals_events", "ind_hull_ma_events", "ind_kama_events",
+    "ind_vortex_events", "micro_kyle_lambda_events",
+    "micro_variance_ratio_events", "q_acf_events",
+    "q_attribution_events", "q_basket_lift_parts", "q_dow_anova_events",
+    "q_ewma_control_events", "q_gap_survival_events", "q_grubbs_events",
+    "q_holt_forecast_events", "q_interval_overlap_events",
+    "q_joinsize_cms_orders", "q_markov_transitions_events",
+    "q_monthly_streak_orders", "q_mutual_info_events",
+    "q_ols_trend_events", "q_overlap_hll_events",
+    "q_seasonal_hourly_events", "q_skyline_orders", "q_theil_sen_events",
+    "q_topk_with_ties_orders", "q_transition_entropy_events",
+    "q_transition_time_events", "q_twr_events", "q_value_bands_events",
+    "rfm_segment_orders", "sample_temperature_documents",
+    "sample_token_budget_documents", "text_diversity_documents",
+    "text_spearman_len_tokens", "text_zipf_documents",
+    "vol_parkinson_gk_events",
 })
 
+_PickSkewR07 = _pick(skew, "dq_key_skew_lineitem")
+_RestSkewR07 = _rest(skew, "dq_key_skew_lineitem")
+
 _MODULES = [
-    # --- r06 must-gate block: the 34-entry R06_QUEUE (r05 additions,
-    # all already oracle-verified locally and judge-sampled) plus the
-    # 16 NEW r06 queries — exactly 50 entries, so the whole window is
-    # ungated work and no green rider burns a slot. ---
+    # --- r07 must-gate block: the 26-entry r06 queue (stats2,
+    # spectral, micro3, graph2, quantile2, analytics7, key-skew) —
+    # every entry builder-verified at sf0.001+0.01+0.1 on landing and
+    # judge-sampled 6/6 in the r06 VERDICT. ---
+    stats2, spectral, micro3, graph2, quantile2, analytics7,
+    _PickSkewR07,
+    # --- NEW in r07 (fills the window to 50): connected components +
+    # k-core, mergeable histogram quantile sketch, AR(1)/ADF/Kalman/
+    # EWMA-cov time-series stats, realized moments + pairs distance,
+    # winnowing fingerprints + n-gram novelty, FD violations +
+    # cardinality profile, systematic + Neyman sampling, centroid/
+    # medoid embedding geometry, chi-square drift. ---
+    cc, qsketch, stats3, micro4, text4, dq3, sampling3, embgeo,
+    # --- past the window: all driver-green in r01-r06. ---
     analytics4, technical5, robustfit, rfm, embpca, dq2, sequences,
     forecast, sketch3, analytics5, embstats2, interval,
     _PickAsofR06, _PickDedupCS,
-    # --- NEW in r06 (15 more entries; asof nearest rides in the pick
-    # shim above): frontier/histogram/seasonal/pagerank analytics,
-    # budget+temperature sampling, lexical diversity, Grubbs/EWMA/MI
-    # screens, Kyle lambda + variance ratio, KAMA/HMA/Parkinson-GK. ---
     analytics6, sampling2, text3, anomaly2, micro2, technical6,
-    # --- past the window: all driver-green in r01-r05. ---
-    _RestAsofR06, _RestDedupCS,
+    _RestAsofR06, _RestDedupCS, _RestSkewR07,
     wquantile, diff, _QueuedAnalytics2, risk,
     technical3, technical4, sketch2, barvol, dq, analytics3,
     keywords, portfolio, linkage, crossmodal, _QueuedCandles,
@@ -209,41 +246,17 @@ _MODULES = [
     technical2, rollstats2, analytics2, text2, candles, resample,
     indicator_queries, analytics, signals, validate, ivf, pipeline,
     similarity,
-    sampling, skew, multimodal, rollup, decontam,
+    sampling, multimodal, rollup, decontam,
     incremental, tfidf, quantize, boilerplate, bm25,
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
-    # --- NEW after the r06 window froze: gate in r07 (NEXT_ROUND_QUEUE). ---
-    stats2, spectral, micro3, graph2, quantile2, analytics7,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
-# round's gate. The full r05 backlog (34 entries) plus the 16 new r06
-# queries fit the r06 window exactly (50), so queries added after the
-# r06 window froze land here and gate in r07.
-NEXT_ROUND_QUEUE: frozenset = frozenset({
-    # stats2: classical hypothesis tests
-    "q_chi2_dow_events", "q_welch_ttest_orders", "q_mannwhitney_events",
-    "q_kruskal_events", "q_jarque_bera_events", "q_runs_test_events",
-    # spectral: frequency/long-memory diagnostics
-    "q_periodogram_events", "q_perm_entropy_events", "q_hurst_events",
-    "q_pacf_events",
-    # micro3: bucket/bar-level microstructure estimators
-    "micro_vpin_events", "micro_rv_bipower_events",
-    "micro_corwin_schultz_events", "micro_yang_zhang_events",
-    # graph2: triangles + link prediction
-    "graph_triangles_lineitem", "graph_jaccard_customers_lineitem",
-    # quantile2: exact quantiles without a global sort
-    "roll_median_events", "q_trimmed_mean_orders",
-    "q_distributed_median_lineitem",
-    # analytics7: cross-series + corpus planning
-    "q_ccf_events", "q_top_trigrams_events", "vocab_coverage_documents",
-    "q_seasonal_residual_anomalies_events",
-    # spectral/micro3 late additions
-    "q_newey_west_events", "micro_sign_pacf_events",
-    # skew diagnostics
-    "dq_key_skew_lineitem",
-})
+# round's gate. Empty at the r07 window freeze: the full 26-entry r06
+# queue plus the 24 new r07 queries fill the window exactly; queries
+# added after the freeze land here and gate in r08.
+NEXT_ROUND_QUEUE: frozenset = frozenset()
 
 # Backwards-compatible aliases (earlier rounds referred to the queue
 # by round number; R07 is the round any queued queries would gate in).

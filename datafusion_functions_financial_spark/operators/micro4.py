@@ -35,13 +35,20 @@ US_PER_DAY = 86_400_000_000
 
 
 def realized_moments(df: DataFrame, value_col: str, us_col: str,
-                     keys: list[str], order: list[str]) -> DataFrame:
+                     keys: list[str], order: list[str],
+                     q: int = Q) -> DataFrame:
     """(keys..., day, n_returns, rv, rskew, rkurt) per (key, day):
     realized variance ``sum r^2``, realized skewness
     ``sqrt(n) * sum r^3 / rv^1.5`` and realized kurtosis
     ``n * sum r^4 / rv^2`` of intraday log returns (NULL on flat
     days where rv = 0). Cites micro3.rv_bipower's staging: positive
-    prices only, per-(key, day) window lag."""
+    prices only, per-(key, day) window lag.
+
+    ``q`` sizes the quantized BIGINT power sums (welch_ttest
+    convention): pick it so ``max|r|^4 * q * n_day`` stays inside
+    BIGINT range — the 1e8 default fits the events gate series
+    (|r| <= ~11) to SF 1000; for realistic small returns
+    (|r| <= 0.25) raise q to ~1e12 for full 4th-power granularity."""
     okeys = ", ".join(keys)
     oorder = ", ".join(order)
     pos = df.filter(F.col(value_col) > 0).withColumn(
@@ -55,15 +62,15 @@ def realized_moments(df: DataFrame, value_col: str, us_col: str,
     agg = staged.groupBy(*keys, "__day").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_returns"),
         F.sum(F.expr(
-            f"CAST(round(__r * __r * {Q}) AS BIGINT)")).alias("__s2"),
+            f"CAST(round(__r * __r * {q}) AS BIGINT)")).alias("__s2"),
         F.sum(F.expr(
-            f"CAST(round(__r * __r * __r * {Q}) AS BIGINT)"
+            f"CAST(round(__r * __r * __r * {q}) AS BIGINT)"
         )).alias("__s3"),
         F.sum(F.expr(
-            f"CAST(round(__r * __r * __r * __r * {Q}) AS BIGINT)"
+            f"CAST(round(__r * __r * __r * __r * {q}) AS BIGINT)"
         )).alias("__s4"),
     )
-    rv = f"(CAST(__s2 AS DOUBLE) / {float(Q)!r})"
+    rv = f"(CAST(__s2 AS DOUBLE) / {float(q)!r})"
     n = "CAST(n_returns AS DOUBLE)"
     return agg.select(
         *keys,
@@ -72,11 +79,11 @@ def realized_moments(df: DataFrame, value_col: str, us_col: str,
         round_portable(F.expr(rv), 6).alias("rv"),
         round_portable(F.expr(
             f"CASE WHEN __s2 > 0 THEN sqrt({n}) "
-            f"* (CAST(__s3 AS DOUBLE) / {float(Q)!r}) "
+            f"* (CAST(__s3 AS DOUBLE) / {float(q)!r}) "
             f"/ ({rv} * sqrt({rv})) END"), 6).alias("rskew"),
         round_portable(F.expr(
             f"CASE WHEN __s2 > 0 THEN {n} "
-            f"* (CAST(__s4 AS DOUBLE) / {float(Q)!r}) "
+            f"* (CAST(__s4 AS DOUBLE) / {float(q)!r}) "
             f"/ ({rv} * {rv}) END"), 6).alias("rkurt"),
     )
 

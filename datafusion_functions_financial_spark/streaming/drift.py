@@ -38,7 +38,7 @@ from ..plans.series import round_portable
 
 __all__ = ["bin_expr", "baseline_edges", "baseline_shares",
            "binned_window_stream", "binned_window_batch",
-           "psi_from_counts"]
+           "psi_from_counts", "chi2_from_counts"]
 
 PSI_Q = 10 ** 8
 
@@ -144,5 +144,63 @@ def psi_from_counts(counts: DataFrame, ref: DataFrame) -> DataFrame:
             round_portable(F.expr(
                 f"CAST(__psi_q AS DOUBLE) / {float(PSI_Q)!r}"), 6
             ).alias("psi"),
+        )
+    )
+
+
+def chi2_from_counts(counts: DataFrame, ref: DataFrame) -> DataFrame:
+    """(window_start, window_end, n, dof, chi2): Pearson
+    goodness-of-fit of each window's bin counts against the baseline
+    distribution — the classical-significance companion to the PSI
+    score, over the SAME (window, bin, n) state relation (so the
+    stream==batch equality proven for the counts carries over).
+
+    Expected counts are ``p_ref * n_window`` over ALL baseline bins:
+    a baseline bin a window never observed still contributes its
+    ``O = 0`` term — without materializing a (window x bin) grid,
+    because ``(0 - e)^2 / e = e`` and the expectations sum to
+    ``n_window``, so ``chi2 = n_w + sum_present((o - e)^2/e - e)``.
+    That keeps the plan identical to PSI's (one broadcast join on
+    bin, one window sum, one reduction) and sidesteps the
+    conflicting-window-attribute self-join. Bins absent from the
+    BASELINE are skipped (their expectation is undefined);
+    ``dof = (#baseline bins) - 1``. Per-row terms quantize to BIGINT
+    before the fold (the stats2.chi2_independence determinism
+    scheme). Conventional alarm: chi2 above the chi2_{dof} critical
+    value."""
+    from pyspark.sql import Window
+
+    tot_ref = ref.agg(
+        F.sum("ref_n").alias("__tr"),
+        F.count(F.lit(1)).cast("bigint").alias("__nbins"),
+    )
+    e = ("(CAST(ref_n AS DOUBLE) / CAST(__tr AS DOUBLE)) "
+         "* CAST(__tw AS DOUBLE)")
+    term = (
+        f"CASE WHEN ref_n > 0 THEN "
+        f"CAST(round(((CAST(n AS DOUBLE) - ({e})) "
+        f"* (CAST(n AS DOUBLE) - ({e})) / ({e}) - ({e})) * {PSI_Q}) "
+        f"AS BIGINT) ELSE 0 END"
+    )
+    joined = (
+        counts.join(F.broadcast(ref), "bin", "left")
+        .crossJoin(F.broadcast(tot_ref))
+        .withColumn("__tw", F.sum("n").over(Window.partitionBy("window")))
+        .withColumn("__t", F.expr(term))
+    )
+    return (
+        joined.groupBy("window")
+        .agg(F.sum("n").cast("bigint").alias("n"),
+             F.max("__nbins").alias("__nb"),
+             F.sum("__t").alias("__chi_q"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            (F.col("__nb") - 1).cast("bigint").alias("dof"),
+            round_portable(F.expr(
+                f"CAST(n AS DOUBLE) "
+                f"+ CAST(__chi_q AS DOUBLE) / {float(PSI_Q)!r}"), 6
+            ).alias("chi2"),
         )
     )

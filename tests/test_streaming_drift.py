@@ -98,7 +98,45 @@ def test_drift_stream_replay_sf001_equals_batch(spark, tmp_path):
     p_batch = drift.psi_from_counts(want, ref).toPandas().sort_values(
         "window_start").reset_index(drop=True)
     pd.testing.assert_frame_equal(p_stream, p_batch)
+
+    # chi-square scored from the stream's sink contents == batch.
+    c_stream = drift.chi2_from_counts(got, ref).toPandas().sort_values(
+        "window_start").reset_index(drop=True)
+    c_batch = drift.chi2_from_counts(want, ref).toPandas().sort_values(
+        "window_start").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c_stream, c_batch)
     # Sanity: every full window scored, PSI finite and >= 0 is not
     # guaranteed (PSI terms can be negative only if... they can't:
     # (a-b)*ln(a/b) >= 0), so assert non-negative.
     assert (p_batch["psi"] >= 0).all()
+
+
+def test_chi2_zero_on_identical_distribution(spark):
+    df = _ticks(spark)
+    edges = drift.baseline_edges(df, "value", n_bins=8)
+    ref = drift.baseline_shares(df, "value", edges)
+    whole = ref.select(
+        F.expr("named_struct('start', timestamp'2000-01-01', "
+               "'end', timestamp'2000-01-02')").alias("window"),
+        F.col("bin"), F.col("ref_n").alias("n"))
+    [row] = drift.chi2_from_counts(whole, ref).collect()
+    assert row.chi2 == 0.0 and row.n == df.count()
+    assert row.dof == ref.count() - 1
+
+
+def test_chi2_matches_naive_formula(spark):
+    # Hand-built counts: one window observing [5, 15, 0] against a
+    # baseline of [10, 10, 10] (bin 2 unobserved still contributes).
+    ref = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10)], "bin int, ref_n long")
+    counts = spark.createDataFrame(
+        [(0, 5), (1, 15)], "bin int, n long").select(
+        F.expr("named_struct('start', timestamp'2000-01-01', "
+               "'end', timestamp'2000-01-02')").alias("window"),
+        "bin", "n")
+    [row] = drift.chi2_from_counts(counts, ref).collect()
+    n_w = 20
+    exp = n_w / 3
+    want = sum((o - exp) ** 2 / exp for o in (5, 15, 0))
+    assert row.n == n_w and row.dof == 2
+    assert abs(row.chi2 - want) < 1e-6

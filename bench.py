@@ -131,7 +131,16 @@ def main() -> None:
         "micro_vpin_events",               # integer volume-bucket cuts
         "graph_triangles_lineitem",        # degree-oriented wedge join
         "graph_jaccard_customers_lineitem",  # shared-item equi-join topk
-        "q_distributed_median_lineitem",   # 2-pass histogram median
+        "q_distributed_median_lineitem",   # narrowing histogram median
+        # --- r07 additions ---
+        "graph_cc_parts",                  # large-star/small-star CC
+        "dedup_cc_documents",              # CC over the LSH dup graph
+        "qs_merge_by_month_orders",        # sketch build+merge+extract
+        "q_kalman_level_events",           # adaptive-gain Arrow kernel
+        "q_adf_events",                    # lag-pair sufficient stats
+        "text_winnow_pairs_documents",     # fingerprint-index overlap
+        "sample_neyman_orders",            # allocation + hash-rank draw
+        "emb_anisotropy_embeddings",       # unit-sum identity, no pairs
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings",
@@ -258,21 +267,56 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    def run_ck(df):
+        # Time-and-keep: localCheckpoint materializes every partition
+        # (comparable to the noop write) and the result is reused for
+        # the recall audit below, so the brute-force pass is not paid
+        # twice. Timing method recorded in the detail JSON.
+        t0 = time.perf_counter()
+        out = df.localCheckpoint()
+        return round(time.perf_counter() - t0, 3), out
+
     # ANN timings live in their OWN dict: the 100K-vector audit is
     # deliberate multi-minute work (a cartesian recall baseline plus an
     # index build) and was 125s of r05's 167s "headline" — folding it
     # into headline_suite_seconds made round-over-round comparison read
     # as a 4x regression that wasn't one (VERDICT r05 item 3).
     ann_timings: dict[str, float] = {}
-    ann_timings["ann100k_bruteforce"] = run_df(cosine_topk(vecs, qs))
-    ann_timings["ann100k_lsh"] = run_df(
+    ann_timings["ann100k_bruteforce"], bf_res = run_ck(
+        cosine_topk(vecs, qs))
+    ann_timings["ann100k_lsh"], lsh_res = run_ck(
         cosine_topk_lsh(vecs, qs, use_arrow=True))
     t0 = time.perf_counter()
     index = ivf_index(vecs, seed_mod=ANN_SEED_MOD)
     index = (index[0], index[1].localCheckpoint())
     ann_timings["ann100k_ivf_build"] = round(time.perf_counter() - t0, 3)
-    ann_timings["ann100k_ivf_query"] = run_df(
+    ann_timings["ann100k_ivf_query"], ivf_res = run_ck(
         cosine_topk_ivf(vecs, qs, seed_mod=ANN_SEED_MOD, index=index))
+
+    # Recall@5 vs the exact brute-force top-5 (VERDICT r06 item 4):
+    # candidates-per-query measures pruning; this measures whether the
+    # pruned answer is still the RIGHT answer. On this synthetic
+    # UNIFORM corpus LSH recall is structurally low (no cluster
+    # geometry for the bucket hash to exploit — documented, and the
+    # clustered-corpus pytest holds it to a real floor); IVF probes
+    # nprobe cells and should stay high.
+    def _top5(df) -> dict:
+        sets: dict = {}
+        for r in (df.filter("rank <= 5")
+                  .select("q_id", "n_id").collect()):
+            sets.setdefault(r["q_id"], set()).add(r["n_id"])
+        return sets
+
+    bf5 = _top5(bf_res)
+    def _recall(tier: dict) -> float:
+        hits = sum(len(tier.get(q, set()) & bf5[q]) for q in bf5)
+        return round(hits / (5.0 * len(bf5)), 4) if bf5 else 0.0
+    ann["recall_at_5"] = {
+        "baseline": "bruteforce_top5",
+        "lsh": _recall(_top5(lsh_res)),
+        "ivf": _recall(_top5(ivf_res)),
+    }
+    ann["timing_method"] = "localCheckpoint"  # was noop write (<=r06)
     # Candidates per query: the measured pruning claim. Brute force
     # scores the whole corpus; LSH scores its bucket; IVF scores its
     # nprobe probed cells.

@@ -20,10 +20,12 @@ from ..functions import (
     technical, technical2, technical3, technical4, technical5, technical6,
 )
 from ..operators import (
-    anomaly2, asof, bm25, boilerplate, cc, chunking, concentration,
+    anomaly2, anomaly3, asof, bm25, boilerplate, cc, chunking,
+    concentration,
     crossmodal,
     decontam, dedup, diff, divergence,
-    dq, dq2, dq3, embgeo, embnorm, embpca, embstats, embstats2, graph2,
+    dq, dq2, dq3, embgeo, embnorm, embpca, embproj, embstats, embstats2,
+    graph2,
     histogram,
     incremental, interval, ivf, keywords,
     linkage, microstructure, micro4, multimodal,
@@ -31,7 +33,7 @@ from ..operators import (
     quality,
     quantile2, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, spectral, stats2,
-    stats3, strsim,
+    stats3, stats4, strsim,
     similarity, sketch, sketch2, sketch3, skew, text, text2, text3,
     text4, tfidf,
     vocab,
@@ -250,13 +252,24 @@ _MODULES = [
     incremental, tfidf, quantize, boilerplate, bm25,
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
+    # --- NEW after the r07 window froze: gate in r08. ---
+    stats4, embproj, anomaly3,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
-# round's gate. Empty at the r07 window freeze: the full 26-entry r06
-# queue plus the 24 new r07 queries fill the window exactly; queries
-# added after the freeze land here and gate in r08.
-NEXT_ROUND_QUEUE: frozenset = frozenset()
+# round's gate. The r07 window is exactly the 26-entry r06 queue plus
+# the 24 new r07 queries; late-r07 additions land here and gate in
+# r08.
+NEXT_ROUND_QUEUE: frozenset = frozenset({
+    # stats4: pairs/tail econometrics
+    "q_engle_granger_events", "q_granger_lag1_events",
+    "q_hill_tail_events", "q_gumbel_maxima_events",
+    "q_minvar_pair_events",
+    # embproj: JL projection distortion audit
+    "emb_jl_distortion_embeddings",
+    # anomaly3: Hampel rolling-median filter
+    "q_hampel_outliers_events",
+})
 
 # Backwards-compatible aliases (earlier rounds referred to the queue
 # by round number; R07 is the round any queued queries would gate in).

@@ -2,12 +2,14 @@
 defaults: error must be bounded and the approx plans must drop the
 memory-heavy shapes (per-group value buffering / Expand)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from datafusion_functions_financial_spark.operators import profile, quality
 from datafusion_functions_financial_spark.sources.tables import load
 
 
+@pytest.mark.slow
 def test_percentile_filter_approx_close_to_exact(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     exact = {

@@ -65,6 +65,16 @@ _SLOW_PARITY = {
     "semantic_neardup_verified", "dedup_minhash_signatures_documents",
     "embedding_neardup_pairs", "dedup_simhash_pairs_documents",
     "dedup_incremental_exact_documents",
+    # r07 rebalance: the recursive-closure CC oracle re-evaluates the
+    # LSH CTE in DuckDB (~30s alone), and the dq/dedup-profile family
+    # scans wide tables 3-6s a pair — all are driver-contract-swept at
+    # three SFs every time they change, so the default selection keeps
+    # the fast parity net and -m slow keeps the full one.
+    "dedup_cc_documents", "dedup_simhash_documents",
+    "dedup_rate_by_source_documents", "dq_ks_two_sample_events",
+    "dq_key_skew_lineitem", "dq_cardinality_profile_orders",
+    "dq_fd_violations_lineitem", "dq_null_profile_orders",
+    "dq_psi_drift_events", "dq_benford_orders",
 }
 
 

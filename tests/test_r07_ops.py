@@ -614,3 +614,192 @@ def test_winnow_pairs_topk_is_take_ordered(spark, sf_dir):
     from tests.test_plans import plan_of
     plan = plan_of(spark, sf_dir, "text_winnow_pairs_documents")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# stats4 — cointegration, Granger, Hill, Gumbel, min-variance
+# --------------------------------------------------------------------------
+
+
+def _series_df(spark, xs, ys):
+    us_h = 3_600_000_000
+    rows = []
+    for h, (x, y) in enumerate(zip(xs, ys)):
+        rows.append(((h * us_h + 5) * 1000, "A", float(x), h * 2))
+        rows.append(((h * us_h + 6) * 1000, "B", float(y), h * 2 + 1))
+    return spark.createDataFrame(
+        rows, "ts long, k string, v double, event_id long"
+    ).selectExpr("CAST(ts DIV 1000 AS LONG) AS __us", "k", "v",
+                 "event_id")
+
+
+def test_engle_granger_separates_cointegrated_pair(spark):
+    from datafusion_functions_financial_spark.operators.stats4 import (
+        engle_granger,
+    )
+    rng = np.random.RandomState(3)
+    x = np.cumsum(rng.randn(500)) + 100
+    y_coint = 2.0 * x + 5 + rng.randn(500)          # shared trend
+    y_indep = np.cumsum(rng.randn(500)) + 100       # own walk
+    got_c = engle_granger(_series_df(spark, x, y_coint), "__us", "v",
+                          "k", "A", "B").collect()[0]
+    got_i = engle_granger(_series_df(spark, x, y_indep), "__us", "v",
+                          "k", "A", "B").collect()[0]
+    assert abs(got_c["beta"] - 2.0) < 0.05
+    assert got_c["adf_t"] < -8          # stationary residual
+    assert got_i["adf_t"] > -3.3        # cannot reject no-coint
+
+
+def test_granger_lag1_detects_direction(spark):
+    from datafusion_functions_financial_spark.operators.stats4 import (
+        granger_lag1,
+    )
+    rng = np.random.RandomState(4)
+    x = rng.randn(600)
+    y = np.zeros(600)
+    for t in range(1, 600):
+        y[t] = 0.3 * y[t - 1] + 0.8 * x[t - 1] + 0.1 * rng.randn()
+    causal = granger_lag1(_series_df(spark, x, y), "__us", "v",
+                          "k", "A", "B").collect()[0]
+    # reverse direction on the SAME frame: does y Granger-cause x?
+    reverse = granger_lag1(_series_df(spark, x, y), "__us", "v",
+                           "k", "B", "A").collect()[0]
+    assert causal["f_stat"] > 100
+    assert abs(causal["psi"] - 0.8) < 0.05
+    assert reverse["f_stat"] < 10
+
+
+def test_hill_recovers_pareto_alpha(spark):
+    from datafusion_functions_financial_spark.operators.stats4 import (
+        hill_tail,
+    )
+    rng = np.random.RandomState(5)
+    alpha = 2.0
+    vals = (1.0 / rng.rand(20000)) ** (1.0 / alpha)  # Pareto(2)
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(vals)],
+        "k string, event_id long, value double")
+    got = hill_tail(df, "value", "k", "event_id", k=500).collect()[0]
+    assert abs(got["hill_alpha"] - alpha) < 0.25
+
+
+def test_gumbel_moments_match_numpy(spark):
+    from datafusion_functions_financial_spark.operators.stats4 import (
+        EULER_GAMMA, gumbel_block_maxima,
+    )
+    rng = np.random.RandomState(6)
+    us_day = 86_400_000_000
+    rows, maxima = [], []
+    for d in range(40):
+        day_vals = rng.rand(50) * 100
+        maxima.append(day_vals.max())
+        for i, v in enumerate(day_vals):
+            rows.append((d * us_day + i, "k", float(v)))
+    df = spark.createDataFrame(rows, "__us long, k string, v double")
+    got = gumbel_block_maxima(df, "v", "__us", "k").collect()[0]
+    m = np.array(maxima)
+    beta = m.std(ddof=1) * np.sqrt(6) / np.pi
+    _approx(got["beta"], beta, tol=1e-4)
+    _approx(got["mu"], m.mean() - EULER_GAMMA * beta, tol=1e-4)
+
+
+def test_minvar_weights_match_numpy(spark):
+    from datafusion_functions_financial_spark.operators.stats4 import (
+        min_variance_pair,
+    )
+    rng = np.random.RandomState(7)
+    x = 10 + rng.randn(300) * 0.5        # low variance
+    y = 10 + rng.randn(300) * 3.0        # high variance
+    got = min_variance_pair(_series_df(spark, x, y), "__us", "v",
+                            "k", "A", "B").collect()[0]
+    c = np.cov(x, y, ddof=1)
+    wa = (c[1, 1] - c[0, 1]) / (c[0, 0] + c[1, 1] - 2 * c[0, 1])
+    _approx(got["w_a"], wa, tol=1e-3)
+    assert got["w_a"] > 0.9              # weight flees the noisy leg
+
+
+# --------------------------------------------------------------------------
+# embproj — JL distortion
+# --------------------------------------------------------------------------
+
+
+def test_jl_mean_ratio_near_one(spark, sf_dir):
+    from datafusion_functions_financial_spark.operators.embproj import (
+        jl_distortion_audit,
+    )
+    from datafusion_functions_financial_spark.sources.tables import load
+    got = jl_distortion_audit(
+        load(spark, sf_dir, "embeddings"), "embedding",
+        "vec_id").collect()[0]
+    assert got["n_pairs"] >= 200
+    assert 0.8 <= got["mean_ratio"] <= 1.2
+    assert got["max_abs_distortion"] < 1.0
+
+
+def test_jl_projection_is_linear_in_input(spark):
+    # project(2x) == 2*project(x): catches any hidden normalization
+    from datafusion_functions_financial_spark.operators.embproj import (
+        jl_project,
+    )
+    base = [[float(i) / 7 for i in range(64)]]
+    df = spark.createDataFrame(
+        [(1, base[0]), (2, [2 * v for v in base[0]])],
+        "vec_id long, embedding array<float>")
+    got = {}
+    for r in jl_project(df, "embedding", "vec_id").collect():
+        got.setdefault(r["__id"], {})[r["__j"]] = r["__p"]
+    for j in got[1]:
+        _approx(got[2][j], 2 * got[1][j], tol=1e-9)
+
+
+# --------------------------------------------------------------------------
+# anomaly3 — Hampel filter
+# --------------------------------------------------------------------------
+
+
+def test_hampel_flags_planted_spike_only(spark):
+    from datafusion_functions_financial_spark.operators.anomaly3 import (
+        hampel_scores,
+    )
+    rng = np.random.RandomState(8)
+    vals = list(10 + rng.randn(200) * 0.5)
+    vals[120] = 50.0                      # the spike
+    df = spark.createDataFrame(
+        [("k", i, i, float(v)) for i, v in enumerate(vals)],
+        "k string, ts long, event_id long, value double")
+    got = hampel_scores(df, "value", ["k"], ["ts", "event_id"])
+    rows = got.filter("is_outlier").collect()
+    flagged = [r["ts"] for r in rows]
+    assert 120 in flagged
+    # trailing-window median/MAD is a noisy scale estimate, so a few
+    # noise rows may graze the 3-sigma line — but the spike dominates.
+    assert len(flagged) <= 10
+    top = max(rows, key=lambda r: r["hampel_score"])
+    assert top["ts"] == 120
+
+
+def test_hampel_constant_series_never_flags(spark):
+    from datafusion_functions_financial_spark.operators.anomaly3 import (
+        hampel_summary,
+    )
+    df = spark.createDataFrame(
+        [("k", i, i, 5.0) for i in range(50)],
+        "k string, ts long, event_id long, value double")
+    got = hampel_summary(df, "value", ["k"],
+                         ["ts", "event_id"]).collect()[0]
+    assert got["n_flagged"] == 0 and got["max_score"] is None
+
+
+R07_LATE = [
+    "q_engle_granger_events", "q_granger_lag1_events",
+    "q_hill_tail_events", "q_gumbel_maxima_events",
+    "q_minvar_pair_events", "emb_jl_distortion_embeddings",
+    "q_hampel_outliers_events",
+]
+
+
+@pytest.mark.parametrize("name", R07_LATE)
+def test_r07_late_query_no_cartesian(spark, sf_dir, name):
+    from tests.test_plans import plan_of
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, plan

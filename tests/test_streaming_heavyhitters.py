@@ -110,6 +110,7 @@ def test_sf001_replay_estimates_match_batch(spark, tmp_path):
             == sorted(tuple(r) for r in batch.collect()))
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_preserves_cells(spark, tmp_path):
     """A restarted CMS stream resumes from its state store: cells after
     restart equal the batch sketch over ALL data, with no double count

@@ -62,6 +62,7 @@ def test_streaming_equals_batch_and_updates(spark, stream_dir):
         q.stop()
 
 
+@pytest.mark.slow
 def test_state_is_bounded_by_register_count(spark, stream_dir):
     # 5000 distinct users -> register table still <= M rows per group.
     _write_batch(spark, stream_dir, [(i, "view") for i in range(5000)])

@@ -73,6 +73,7 @@ def test_stream_equals_batch_single_batch(spark, tmp_path):
     assert got == _batch_completed(spark, rows) and len(got) > 0
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_across_microbatches(spark, tmp_path):
     rows = _tape("a", 150)
     # split mid-bucket: state must carry partial accumulations

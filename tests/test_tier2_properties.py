@@ -61,6 +61,7 @@ def test_weighted_quantile_matches_numpy(_spark, xs, ws):
 
 @settings(max_examples=15, deadline=None)
 @given(values)
+@pytest.mark.slow
 def test_rolling_moments_match_numpy(_spark, xs):
     from datafusion_functions_financial_spark.functions.rollstats2 import (
         rolling_moments,

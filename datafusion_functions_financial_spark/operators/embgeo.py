@@ -81,6 +81,10 @@ def label_centroid_geometry(df: DataFrame, vec_col: str,
                    f"* {QF!r})").alias("__c"),
         )
     )
+    # Materialize the labels x dims table once: three consumers below
+    # (member distances, both sides of the inter-centroid self-join)
+    # would otherwise each re-scan the full corpus to rebuild it.
+    cent = cent.localCheckpoint()
     # member -> centroid distances: broadcast the tiny centroid table
     dist = (
         ex.join(F.broadcast(cent.select(label_col, "__pos", "__c")),
@@ -103,7 +107,7 @@ def label_centroid_geometry(df: DataFrame, vec_col: str,
     cb = cent.select(F.col(label_col).alias("__lb"), "__pos",
                      F.col("__c").alias("__cb"))
     between = (
-        ca.join(cb, "__pos")
+        ca.join(F.broadcast(cb), "__pos")
         .filter(F.col("__la") != F.col("__lb"))
         .withColumn("__t", F.expr(
             f"CAST(round((__ca - __cb) * (__ca - __cb) * {Q}) "

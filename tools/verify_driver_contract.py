@@ -33,6 +33,9 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", default="16")
+    ap.add_argument("--driver-memory", default="10g",
+                    help="JVM heap for the full-registry sf0.1 sweep "
+                         "(the r06 sweep died at the default heap)")
     args = ap.parse_args()
 
     import duckdb
@@ -44,6 +47,7 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .appName("verify-driver-contract")
+        .config("spark.driver.memory", args.driver_memory)
         .config("spark.sql.shuffle.partitions", args.cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -20,7 +20,7 @@ from ..functions import (
     technical, technical2, technical3, technical4, technical5, technical6,
 )
 from ..operators import (
-    anomaly2, anomaly3, asof, bm25, boilerplate, cc, chunking,
+    anomaly2, anomaly3, asof, bm25, boilerplate, bootstrap, cc, chunking,
     concentration,
     crossmodal,
     decontam, dedup, diff, divergence,
@@ -34,7 +34,8 @@ from ..operators import (
     quantile2, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, spectral, stats2,
     stats3, stats4, strsim,
-    similarity, sketch, sketch2, sketch3, skew, text, text2, text3,
+    similarity, sketch, sketch2, sketch3, skew, survival, text, text2,
+    text3,
     text4, tfidf,
     vocab,
     wquantile,
@@ -253,7 +254,7 @@ _MODULES = [
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r07 window froze: gate in r08. ---
-    stats4, embproj, anomaly3,
+    stats4, embproj, anomaly3, survival, bootstrap,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -269,6 +270,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "emb_jl_distortion_embeddings",
     # anomaly3: Hampel rolling-median filter
     "q_hampel_outliers_events",
+    # survival + bootstrap
+    "q_kaplan_meier_events", "q_bootstrap_ci_orders",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -7,6 +7,7 @@ derived group/value dtypes, and the high-cardinality guard.
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 
 def _approx(a, b, tol=1e-6):
@@ -794,7 +795,8 @@ R07_LATE = [
     "q_engle_granger_events", "q_granger_lag1_events",
     "q_hill_tail_events", "q_gumbel_maxima_events",
     "q_minvar_pair_events", "emb_jl_distortion_embeddings",
-    "q_hampel_outliers_events",
+    "q_hampel_outliers_events", "q_kaplan_meier_events",
+    "q_bootstrap_ci_orders",
 ]
 
 
@@ -803,3 +805,72 @@ def test_r07_late_query_no_cartesian(spark, sf_dir, name):
     from tests.test_plans import plan_of
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# survival — Kaplan-Meier
+# --------------------------------------------------------------------------
+
+
+def test_kaplan_meier_matches_manual_product_limit(spark):
+    from datafusion_functions_financial_spark.operators.survival import (
+        kaplan_meier,
+    )
+    us_min = 60_000_000
+    # user A: events at 0, 10, 30 min; user B: 0, 10; corpus ends 30.
+    # durations (min): A: 10 obs, 20 obs, 0 censored;
+    #                  B: 10 obs, 20 censored.
+    rows = [("A", 0), ("A", 10), ("A", 30), ("B", 0), ("B", 10)]
+    df = spark.createDataFrame(
+        [(u, t * us_min, i) for i, (u, t) in enumerate(rows)],
+        "user string, __us long, event_id long")
+    got = {r["t_min"]: r for r in kaplan_meier(
+        df, "__us", "user", ["__us", "event_id"]).collect()}
+    # t=0: 1 censored (A's last), n_risk=5, no drop
+    assert (got[0]["d"], got[0]["c"], got[0]["n_risk"]) == (0, 1, 5)
+    _approx(got[0]["survival"], 1.0)
+    # t=10: 2 observed, n_risk=4 -> S = 1 * (1 - 2/4) = 0.5
+    assert (got[10]["d"], got[10]["c"], got[10]["n_risk"]) == (2, 0, 4)
+    _approx(got[10]["survival"], 0.5, tol=1e-6)
+    # t=20: 1 observed + 1 censored, n_risk=2 -> S = 0.5 * (1 - 1/2)
+    assert (got[20]["d"], got[20]["c"], got[20]["n_risk"]) == (1, 1, 2)
+    _approx(got[20]["survival"], 0.25, tol=1e-6)
+
+
+def test_kaplan_meier_curve_is_monotone(spark, sf_dir):
+    from datafusion_functions_financial_spark.operators.survival import (
+        kaplan_meier,
+    )
+    from datafusion_functions_financial_spark.sources.tables import load
+    ev = load(spark, sf_dir, "events").withColumn(
+        "__us", F.expr("ts DIV 1000"))
+    curve = sorted(
+        (r["t_min"], r["survival"]) for r in kaplan_meier(
+            ev, "__us", "user_id", ["ts", "event_id"]).collect())
+    vals = [s for _, s in curve]
+    assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
+    assert vals[0] <= 1.0 and vals[-1] >= 0.0
+
+
+# --------------------------------------------------------------------------
+# bootstrap — Poisson replicates
+# --------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_mean_and_scales(spark):
+    from datafusion_functions_financial_spark.operators.bootstrap import (
+        poisson_bootstrap_ci,
+    )
+    rng = np.random.RandomState(12)
+    vals = rng.randn(4000) * 10 + 100
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)],
+        "id long, v double")
+    got = poisson_bootstrap_ci(df, "v", "id", q_lin=10**6).collect()[0]
+    assert got["ci_lo"] < got["mean"] < got["ci_hi"]
+    half = (got["ci_hi"] - got["ci_lo"]) / 2
+    se = 10 / np.sqrt(4000)
+    assert 0.5 * 1.96 * se < half < 2.0 * 1.96 * se
+    again = poisson_bootstrap_ci(df, "v", "id",
+                                 q_lin=10**6).collect()[0]
+    assert again == got  # fully deterministic

@@ -36,7 +36,7 @@ from ..operators import (
     stats3, stats4, strsim,
     similarity, sketch, sketch2, sketch3, skew, survival, text, text2,
     text3,
-    text4, tfidf,
+    text4, text5, tfidf,
     vocab,
     wquantile,
 )
@@ -254,7 +254,7 @@ _MODULES = [
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r07 window froze: gate in r08. ---
-    stats4, embproj, anomaly3, survival, bootstrap,
+    stats4, embproj, anomaly3, survival, bootstrap, text5,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -272,6 +272,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_hampel_outliers_events",
     # survival + bootstrap
     "q_kaplan_meier_events", "q_bootstrap_ci_orders",
+    # text5: TextRank keywords
+    "text_textrank_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -796,7 +796,7 @@ R07_LATE = [
     "q_hill_tail_events", "q_gumbel_maxima_events",
     "q_minvar_pair_events", "emb_jl_distortion_embeddings",
     "q_hampel_outliers_events", "q_kaplan_meier_events",
-    "q_bootstrap_ci_orders",
+    "q_bootstrap_ci_orders", "text_textrank_documents",
 ]
 
 
@@ -874,3 +874,65 @@ def test_bootstrap_ci_brackets_mean_and_scales(spark):
     again = poisson_bootstrap_ci(df, "v", "id",
                                  q_lin=10**6).collect()[0]
     assert again == got  # fully deterministic
+
+
+# --------------------------------------------------------------------------
+# text5 — TextRank
+# --------------------------------------------------------------------------
+
+
+def test_textrank_ranks_connected_hub_over_satellites(spark):
+    from datafusion_functions_financial_spark.operators.text5 import (
+        textrank_keywords,
+    )
+    # "spark" co-occurs with every other content word; satellites only
+    # ever co-occur with spark. The hub must rank first.
+    docs = [
+        "spark shuffle spark join spark window spark batch",
+        "spark stream spark cache spark plan",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)],
+        "doc_id long, text string")
+    out = textrank_keywords(df, top_n=10).collect()
+    assert out[0]["token"] == "spark"
+    assert out[0]["textrank"] > out[1]["textrank"] * 2
+
+
+def test_textrank_matches_naive_power_iteration(spark):
+    from datafusion_functions_financial_spark.operators.text5 import (
+        TR_ITERS, TR_WINDOW, textrank_keywords,
+    )
+    docs = ["alpha beta gamma alpha delta beta",
+            "gamma delta alpha beta gamma"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)],
+        "doc_id long, text string")
+    got = {r["token"]: r["textrank"] for r in
+           textrank_keywords(df, top_n=10).collect()}
+
+    # naive reference: same window, same damping, flat 0.15 base
+    from collections import defaultdict
+    w = defaultdict(int)
+    for d in docs:
+        toks = d.split()
+        for i, a in enumerate(toks):
+            for j in range(i + 1, min(i + TR_WINDOW + 1, len(toks))):
+                b = toks[j]
+                if a != b:
+                    u, v = min(a, b), max(a, b)
+                    w[(u, v)] += 1
+    nodes = sorted({t for p in w for t in p})
+    out_w = defaultdict(int)
+    for (u, v), c in w.items():
+        out_w[u] += c
+        out_w[v] += c
+    pr = {n: 1.0 for n in nodes}
+    for _ in range(TR_ITERS):
+        inc = defaultdict(float)
+        for (u, v), c in w.items():
+            inc[v] += pr[u] * c / out_w[u]
+            inc[u] += pr[v] * c / out_w[v]
+        pr = {n: 0.15 + 0.85 * inc[n] for n in nodes}
+    for n in nodes:
+        _approx(got[n], pr[n], tol=1e-5)

@@ -20,7 +20,8 @@ from ..functions import (
     technical, technical2, technical3, technical4, technical5, technical6,
 )
 from ..operators import (
-    anomaly2, anomaly3, asof, bm25, boilerplate, bootstrap, cc, chunking,
+    anomaly2, anomaly3, asof, blocking, bm25, boilerplate, bootstrap, cc,
+    chunking,
     concentration,
     crossmodal,
     decontam, dedup, diff, divergence,
@@ -254,7 +255,7 @@ _MODULES = [
     packing, divergence,
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r07 window froze: gate in r08. ---
-    stats4, embproj, anomaly3, survival, bootstrap, text5,
+    stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -274,6 +275,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_kaplan_meier_events", "q_bootstrap_ci_orders",
     # text5: TextRank keywords
     "text_textrank_documents",
+    # blocking: detector-agreement audit
+    "dedup_detector_agreement_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

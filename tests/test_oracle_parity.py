@@ -71,6 +71,7 @@ _SLOW_PARITY = {
     # three SFs every time they change, so the default selection keeps
     # the fast parity net and -m slow keeps the full one.
     "dedup_cc_documents", "dedup_simhash_documents",
+    "dedup_detector_agreement_documents",
     "dedup_rate_by_source_documents", "dq_ks_two_sample_events",
     "dq_key_skew_lineitem", "dq_cardinality_profile_orders",
     "dq_fd_violations_lineitem", "dq_null_profile_orders",

@@ -797,6 +797,7 @@ R07_LATE = [
     "q_minvar_pair_events", "emb_jl_distortion_embeddings",
     "q_hampel_outliers_events", "q_kaplan_meier_events",
     "q_bootstrap_ci_orders", "text_textrank_documents",
+    "dedup_detector_agreement_documents",
 ]
 
 
@@ -936,3 +937,17 @@ def test_textrank_matches_naive_power_iteration(spark):
         pr = {n: 0.15 + 0.85 * inc[n] for n in nodes}
     for n in nodes:
         _approx(got[n], pr[n], tol=1e-5)
+
+
+def test_detector_agreement_invariants(spark, sf_dir):
+    from datafusion_functions_financial_spark.operators.blocking import (
+        detector_agreement,
+    )
+    from datafusion_functions_financial_spark.sources.tables import load
+    got = detector_agreement(
+        load(spark, sf_dir, "documents")).collect()[0]
+    assert got["n_both"] <= min(got["n_lsh"], got["n_simhash"])
+    assert 0.0 <= got["rr_lsh"] <= 1.0
+    assert 0.0 <= got["rr_simhash"] <= 1.0
+    if got["n_both"] > 0:
+        assert 0.0 < got["pair_jaccard"] <= 1.0

@@ -220,9 +220,9 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_expr: str,
         F.col("__g").isin([group_a, group_b]))
     vals = flt.groupBy("__v").agg(
         F.count(F.lit(1)).alias("__cnt"),
-        F.sum(F.expr(
-            f"CASE WHEN __g = '{group_a}' THEN 1 ELSE 0 END"
-        )).alias("__ca"),
+        F.sum(
+            F.when(F.col("__g") == F.lit(group_a), 1).otherwise(0)
+        ).alias("__ca"),
     )
     ranked = _midrank2(vals)
     red = ranked.agg(

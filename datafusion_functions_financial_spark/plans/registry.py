@@ -16,7 +16,8 @@ from . import (
     portfolio, sequences, signals, validate,
 )
 from ..functions import (
-    barvol, candles, forecast, resample, risk, rollstats, rollstats2,
+    barvol, candles, forecast, resample, risk, risk2, rollstats,
+    rollstats2,
     technical, technical2, technical3, technical4, technical5, technical6,
 )
 from ..operators import (
@@ -256,6 +257,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
+    risk2,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -272,11 +274,14 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # anomaly3: Hampel rolling-median filter
     "q_hampel_outliers_events",
     # survival + bootstrap
-    "q_kaplan_meier_events", "q_bootstrap_ci_orders",
+    "q_kaplan_meier_events", "q_nelson_aalen_events",
+    "q_bootstrap_ci_orders",
     # text5: TextRank keywords
     "text_textrank_documents",
     # blocking: detector-agreement audit
     "dedup_detector_agreement_documents",
+    # risk2: performance ratios
+    "risk_calmar_events", "risk_omega_events", "risk_info_ratio_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

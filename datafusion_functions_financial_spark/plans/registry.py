@@ -31,7 +31,7 @@ from ..operators import (
     histogram,
     incremental, interval, ivf, keywords,
     linkage, microstructure, micro4, multimodal,
-    micro2, micro3, outliers, packing, pipeline, profile, qsketch,
+    micro2, micro3, micro5, outliers, packing, pipeline, profile, qsketch,
     quality,
     quantile2, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, spectral, stats2,
@@ -257,7 +257,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
-    risk2,
+    risk2, micro5,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -282,6 +282,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "dedup_detector_agreement_documents",
     # risk2: performance ratios
     "risk_calmar_events", "risk_omega_events", "risk_info_ratio_events",
+    # micro5: quote-based classification
+    "micro_lee_ready_events", "micro_eff_spread_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -157,12 +157,88 @@ def test_information_ratio_matches_numpy(spark):
 
 
 # --------------------------------------------------------------------------
+# micro5 — Lee-Ready classification + effective spread
+# --------------------------------------------------------------------------
+
+
+def _tape(spark):
+    """One symbol, one quote (bid 10 / ask 12, mid 11), five trades:
+    above-mid buy, below-mid sell, two at-mid falling back to the
+    tick rule, and a leading at-mid trade that stays unclassified."""
+    trades = spark.createDataFrame(
+        [("s", 100, 1, 11.0),   # at mid, no prior tick -> NULL
+         ("s", 200, 2, 11.5),   # > mid -> buy
+         ("s", 300, 3, 10.5),   # < mid -> sell (tick now -1)
+         ("s", 400, 4, 11.0),   # at mid -> carry tick: +1? no: last
+                                 # nonzero change 10.5<11.0 -> +1
+         ("s", 500, 5, 11.0)],  # at mid, price unchanged -> carry +1
+        "sym string, us long, id long, price double")
+    quotes = spark.createDataFrame(
+        [("s", 0, 10.0, 12.0)],
+        "sym string, q_us long, bid double, ask double")
+    return trades, quotes
+
+
+def test_lee_ready_manual_tape(spark):
+    from datafusion_functions_financial_spark.operators.micro5 import (
+        lee_ready_classify, lee_ready_summary,
+    )
+    trades, quotes = _tape(spark)
+    cls = {r["id"]: r["__side"] for r in lee_ready_classify(
+        trades, quotes, ["sym"], "us", ["us", "id"], "price",
+        "q_us", "bid", "ask").collect()}
+    assert cls == {1: None, 2: 1, 3: -1, 4: 1, 5: 1}
+    s = lee_ready_summary(
+        trades, quotes, ["sym"], "us", ["us", "id"], "price",
+        "q_us", "bid", "ask").collect()[0]
+    assert (s["n_trades"], s["n_buy"], s["n_sell"],
+            s["n_unclassified"]) == (5, 3, 1, 1)
+    _approx(s["buy_share"], 3 / 4)
+
+
+def test_effective_spread_manual(spark):
+    """|p - mid| terms: 0, .5, .5, 0, 0 on mid 11 -> mean of
+    2*|d|/mid * 1e4 bps."""
+    from datafusion_functions_financial_spark.operators.micro5 import (
+        effective_spread,
+    )
+    trades, quotes = _tape(spark)
+    out = effective_spread(
+        trades, quotes, ["sym"], "us", "price", "q_us",
+        "bid", "ask").collect()[0]
+    terms = [0.0, 2 * 0.5 / 11, 2 * 0.5 / 11, 0.0, 0.0]
+    _approx(out["eff_spread_bps"],
+            sum(t * 1e4 for t in terms) / 5, 1e-4)
+    assert out["n_quoted"] == 5
+
+
+def test_lee_ready_trade_before_first_quote_unmatched(spark):
+    """A trade earlier than every quote has NULL mid and falls back
+    to the tick rule (NULL here — it is the first row)."""
+    from datafusion_functions_financial_spark.operators.micro5 import (
+        lee_ready_classify,
+    )
+    trades = spark.createDataFrame(
+        [("s", 100, 1, 11.0), ("s", 900, 2, 12.0)],
+        "sym string, us long, id long, price double")
+    quotes = spark.createDataFrame(
+        [("s", 500, 10.0, 12.0)],
+        "sym string, q_us long, bid double, ask double")
+    cls = {r["id"]: r["__side"] for r in lee_ready_classify(
+        trades, quotes, ["sym"], "us", ["us", "id"], "price",
+        "q_us", "bid", "ask").collect()}
+    assert cls[1] is None      # no quote, no prior tick
+    assert cls[2] == 1         # 12 > mid 11
+
+
+# --------------------------------------------------------------------------
 # plan guards for the new-in-session queries
 # --------------------------------------------------------------------------
 
 R08_NEW = [
     "q_nelson_aalen_events",
     "risk_calmar_events", "risk_omega_events", "risk_info_ratio_events",
+    "micro_lee_ready_events", "micro_eff_spread_events",
 ]
 
 

@@ -27,7 +27,7 @@ from ..operators import (
     crossmodal,
     decontam, dedup, diff, divergence,
     dq, dq2, dq3, embgeo, embnorm, embpca, embproj, embstats, embstats2,
-    graph2,
+    graph2, graph3,
     histogram,
     incremental, interval, ivf, keywords,
     linkage, microstructure, micro4, multimodal,
@@ -257,7 +257,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
-    risk2, micro5,
+    risk2, micro5, graph3,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -284,6 +284,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "risk_calmar_events", "risk_omega_events", "risk_info_ratio_events",
     # micro5: quote-based classification
     "micro_lee_ready_events", "micro_eff_spread_events",
+    # graph3: assortativity + k-core
+    "graph_assortativity_lineitem", "graph_kcore_parts",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -232,6 +232,119 @@ def test_lee_ready_trade_before_first_quote_unmatched(spark):
 
 
 # --------------------------------------------------------------------------
+# graph3 — assortativity + k-core
+# --------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "a long, b long")
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from datafusion_functions_financial_spark.operators.graph3 import (
+        degree_assortativity,
+    )
+    out = degree_assortativity(
+        _edges(spark, [(0, 1), (0, 2), (0, 3)]), "a", "b").collect()[0]
+    assert out["n_nodes"] == 4 and out["n_edges"] == 3
+    _approx(out["assortativity"], -1.0)
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    """A cycle is degree-regular: zero variance -> NULL."""
+    from datafusion_functions_financial_spark.operators.graph3 import (
+        degree_assortativity,
+    )
+    out = degree_assortativity(
+        _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]),
+        "a", "b").collect()[0]
+    assert out["assortativity"] is None
+
+
+def test_assortativity_matches_numpy(spark):
+    """Random graph: r equals numpy's corrcoef over the 2m directed
+    endpoint-degree pairs."""
+    from datafusion_functions_financial_spark.operators.graph3 import (
+        degree_assortativity,
+    )
+    rng = np.random.RandomState(3)
+    pairs = set()
+    while len(pairs) < 40:
+        a, b = rng.randint(0, 15, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in pairs:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    expect = float(np.corrcoef(xs, ys)[0, 1])
+    out = degree_assortativity(
+        _edges(spark, sorted(pairs)), "a", "b").collect()[0]
+    _approx(out["assortativity"], expect, 1e-5)
+
+
+def test_kcore_peels_to_triangle(spark):
+    """Triangle + a pendant chain: the 2-core is exactly the
+    triangle (the chain peels over two rounds)."""
+    from datafusion_functions_financial_spark.operators.graph3 import (
+        k_core, k_core_summary,
+    )
+    g = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    core = sorted((r["__x"], r["__y"]) for r in k_core(
+        _edges(spark, g), "a", "b", 2).collect())
+    assert core == [(0, 1), (0, 2), (1, 2)]
+    s = k_core_summary(_edges(spark, g), "a", "b", 2).collect()[0]
+    assert (s["n_core_nodes"], s["n_core_edges"],
+            s["min_core_degree"]) == (3, 3, 2)
+
+
+def test_kcore_empty_core(spark):
+    """A tree has no 2-core: zero nodes/edges, NULL min degree."""
+    from datafusion_functions_financial_spark.operators.graph3 import (
+        k_core_summary,
+    )
+    s = k_core_summary(
+        _edges(spark, [(0, 1), (1, 2), (1, 3)]), "a", "b",
+        2).collect()[0]
+    assert (s["n_core_nodes"], s["n_core_edges"]) == (0, 0)
+    assert s["min_core_degree"] is None
+
+
+def test_kcore_early_exit_equals_fixed_rounds(spark):
+    from datafusion_functions_financial_spark.operators.graph3 import (
+        k_core,
+    )
+    g = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (4, 6)]
+    fast = sorted((r["__x"], r["__y"]) for r in k_core(
+        _edges(spark, g), "a", "b", 2, early_exit=True).collect())
+    slow = sorted((r["__x"], r["__y"]) for r in k_core(
+        _edges(spark, g), "a", "b", 2, early_exit=False).collect())
+    assert fast == slow
+
+
+def test_kcore_gate_config_converges(spark, sf_dir):
+    """The unrolled-oracle equivalence needs the gate configuration
+    to reach its fixpoint within KCORE_ROUNDS: one extra round must
+    leave the edge count unchanged."""
+    from datafusion_functions_financial_spark.operators.graph3 import (
+        KCORE_K, KCORE_ROUNDS, _copurchase_edges, k_core,
+    )
+    edges = _copurchase_edges(spark, sf_dir)
+    n_at = k_core(edges, "item_a", "item_b", KCORE_K,
+                  max_rounds=KCORE_ROUNDS, early_exit=False).count()
+    n_plus = k_core(edges, "item_a", "item_b", KCORE_K,
+                    max_rounds=KCORE_ROUNDS + 1,
+                    early_exit=False).count()
+    assert n_at == n_plus
+
+
+# --------------------------------------------------------------------------
 # plan guards for the new-in-session queries
 # --------------------------------------------------------------------------
 
@@ -239,6 +352,7 @@ R08_NEW = [
     "q_nelson_aalen_events",
     "risk_calmar_events", "risk_omega_events", "risk_info_ratio_events",
     "micro_lee_ready_events", "micro_eff_spread_events",
+    "graph_assortativity_lineitem", "graph_kcore_parts",
 ]
 
 

@@ -38,7 +38,7 @@ from ..operators import (
     stats3, stats4, strsim,
     similarity, sketch, sketch2, sketch3, skew, survival, text, text2,
     text3,
-    text4, text5, tfidf,
+    text4, text5, text6, tfidf,
     vocab,
     wquantile,
 )
@@ -257,7 +257,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
-    risk2, micro5, graph3,
+    risk2, micro5, graph3, text6,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -286,6 +286,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "micro_lee_ready_events", "micro_eff_spread_events",
     # graph3: assortativity + k-core
     "graph_assortativity_lineitem", "graph_kcore_parts",
+    # text6: readability, bigram LM, hapax
+    "text_readability_documents", "text_bigram_xent_documents",
+    "text_hapax_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

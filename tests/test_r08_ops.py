@@ -345,6 +345,74 @@ def test_kcore_gate_config_converges(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# text6 — readability, bigram cross-entropy, hapax
+# --------------------------------------------------------------------------
+
+
+def _docs(spark, texts, sources=None):
+    sources = sources or ["s"] * len(texts)
+    return spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(zip(texts, sources))],
+        "doc_id long, text string, source string")
+
+
+def test_readability_manual_counts(spark):
+    """'Hello world. It works!' -> 4 words, 2 sentences, syllables
+    hello=2 world=1 it=1 works=1 = 5; scores from the formulas."""
+    from datafusion_functions_financial_spark.operators.text6 import (
+        readability,
+    )
+    out = readability(
+        _docs(spark, ["Hello world. It works!"])).collect()[0]
+    assert (out["n_words"], out["n_sentences"],
+            out["n_syllables"]) == (4, 2, 5)
+    _approx(out["flesch"], 206.835 - 1.015 * 2 - 84.6 * 1.25, 1e-4)
+    _approx(out["fk_grade"], 0.39 * 2 + 11.8 * 1.25 - 15.59, 1e-4)
+
+
+def test_readability_no_terminal_punct_is_one_sentence(spark):
+    from datafusion_functions_financial_spark.operators.text6 import (
+        readability,
+    )
+    out = readability(_docs(spark, ["just some words"])).collect()[0]
+    assert out["n_sentences"] == 1 and out["n_words"] == 3
+
+
+def test_bigram_xent_manual(spark):
+    """Corpus 'a b a b' + 'a b c': bigram counts ab=3, ba=1, bc=1;
+    heads a•=3, b•=2.  Doc-2 xent = -(ln(3/3) + ln(1/2)) / 2."""
+    from datafusion_functions_financial_spark.operators.text6 import (
+        bigram_cross_entropy,
+    )
+    out = {r["doc_id"]: r for r in bigram_cross_entropy(
+        _docs(spark, ["a b a b", "a b c"])).collect()}
+    _approx(out[1]["bigram_xent"],
+            -(math.log(3 / 3) + math.log(1 / 2)) / 2, 6e-5)
+    assert out[0]["n_bigrams"] == 3
+    # doc 0: ab ba ab -> -(2 ln(3/3) + ln(1/2)) / 3
+    _approx(out[0]["bigram_xent"], -math.log(1 / 2) / 3, 6e-5)
+
+
+def test_bigram_xent_single_token_doc_dropped(spark):
+    from datafusion_functions_financial_spark.operators.text6 import (
+        bigram_cross_entropy,
+    )
+    rows = bigram_cross_entropy(_docs(spark, ["solo", "a b"])).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_hapax_profile_manual(spark):
+    """Source s: tokens a a b c -> vocab 3, hapax {b, c} = 2."""
+    from datafusion_functions_financial_spark.operators.text6 import (
+        hapax_profile,
+    )
+    out = hapax_profile(
+        _docs(spark, ["a a b", "c"], ["s", "s"])).collect()[0]
+    assert (out["vocab_size"], out["n_hapax"]) == (3, 2)
+    _approx(out["hapax_share"], 2 / 3, 6e-5)
+
+
+# --------------------------------------------------------------------------
 # plan guards for the new-in-session queries
 # --------------------------------------------------------------------------
 
@@ -353,6 +421,8 @@ R08_NEW = [
     "risk_calmar_events", "risk_omega_events", "risk_info_ratio_events",
     "micro_lee_ready_events", "micro_eff_spread_events",
     "graph_assortativity_lineitem", "graph_kcore_parts",
+    "text_readability_documents", "text_bigram_xent_documents",
+    "text_hapax_documents",
 ]
 
 

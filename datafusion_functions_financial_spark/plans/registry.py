@@ -289,6 +289,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # text6: readability, bigram LM, hapax
     "text_readability_documents", "text_bigram_xent_documents",
     "text_hapax_documents",
+    # embpca: deflated second component
+    "emb_pca2_power_embeddings",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -413,6 +413,44 @@ def test_hapax_profile_manual(spark):
 
 
 # --------------------------------------------------------------------------
+# embpca — deflated second component
+# --------------------------------------------------------------------------
+
+
+def test_pca2_orthogonal_and_matches_numpy(spark):
+    """Synthetic corpus with two dominant directions: after enough
+    iterations the two loadings align with numpy's top-2 eigenvectors
+    of X^T X (power iteration runs on the uncentered second-moment
+    matrix) and are mutually orthogonal."""
+    from datafusion_functions_financial_spark.operators.embpca import (
+        power_iteration_two,
+    )
+    from datafusion_functions_financial_spark.operators.similarity import (
+        DIM,
+    )
+    rng = np.random.RandomState(5)
+    e1 = np.zeros(DIM); e1[0] = 1.0
+    e2 = np.zeros(DIM); e2[1] = 1.0
+    X = (rng.randn(200, 1) * 5.0 * e1
+         + rng.randn(200, 1) * 2.0 * e2
+         + rng.randn(200, DIM) * 0.05)
+    X = np.round(X, 4)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    out = power_iteration_two(df, n_iter=6).collect()
+    l1 = np.zeros(DIM); l2 = np.zeros(DIM)
+    for r in out:
+        l1[r["pos"]] = r["loading1"]
+        l2[r["pos"]] = r["loading2"]
+    w, v = np.linalg.eigh(X.T @ X)
+    top1, top2 = v[:, -1], v[:, -2]
+    assert abs(float(np.dot(l1, l2))) < 1e-3
+    assert abs(abs(float(np.dot(l1, top1))) - 1) < 1e-3
+    assert abs(abs(float(np.dot(l2, top2))) - 1) < 1e-3
+
+
+# --------------------------------------------------------------------------
 # plan guards for the new-in-session queries
 # --------------------------------------------------------------------------
 
@@ -422,7 +460,7 @@ R08_NEW = [
     "micro_lee_ready_events", "micro_eff_spread_events",
     "graph_assortativity_lineitem", "graph_kcore_parts",
     "text_readability_documents", "text_bigram_xent_documents",
-    "text_hapax_documents",
+    "text_hapax_documents", "emb_pca2_power_embeddings",
 ]
 
 

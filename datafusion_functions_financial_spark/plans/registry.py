@@ -26,7 +26,8 @@ from ..operators import (
     concentration,
     crossmodal,
     decontam, dedup, diff, divergence,
-    dq, dq2, dq3, embgeo, embnorm, embpca, embproj, embstats, embstats2,
+    dq, dq2, dq3, dq4, embgeo, embnorm, embpca, embproj, embstats,
+    embstats2,
     graph2, graph3,
     histogram,
     incremental, interval, ivf, keywords,
@@ -257,7 +258,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
-    risk2, micro5, graph3, text6,
+    risk2, micro5, graph3, text6, dq4,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -291,6 +292,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "text_hapax_documents",
     # embpca: deflated second component
     "emb_pca2_power_embeddings",
+    # dq4: value patterns + daily completeness
+    "dq_value_patterns_orders", "dq_completeness_daily_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

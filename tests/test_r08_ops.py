@@ -451,6 +451,55 @@ def test_pca2_orthogonal_and_matches_numpy(spark):
 
 
 # --------------------------------------------------------------------------
+# dq4 — value patterns + daily completeness
+# --------------------------------------------------------------------------
+
+
+def test_value_pattern_rewrites_and_nulls(spark):
+    from datafusion_functions_financial_spark.operators.dq4 import (
+        value_pattern_profile,
+    )
+    df = spark.createDataFrame(
+        [("AB-12",), ("CD-99",), ("x7",), (None,)], "c string")
+    out = {(r["pattern"]): (r["n"], r["share"])
+           for r in value_pattern_profile(df, ["c"]).collect()}
+    assert out["AA-99"] == (2, 0.5)
+    assert out["a9"][0] == 1
+    assert out["<null>"][0] == 1
+
+
+def test_value_pattern_topk_tiebreak(spark):
+    from datafusion_functions_financial_spark.operators.dq4 import (
+        value_pattern_profile,
+    )
+    df = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "d", "e", "f"]], "c string")
+    out = value_pattern_profile(df, ["c"], top_k=1).collect()
+    # every value maps to pattern 'a' -> one row, n = 6
+    assert len(out) == 1 and out[0]["n"] == 6
+
+
+def test_daily_completeness_counts(spark):
+    from datafusion_functions_financial_spark.operators.dq4 import (
+        daily_completeness,
+    )
+    d = 86_400_000_000
+    rows = [
+        (1, 0 * d + 5, 1.0, "p"),
+        (1, 0 * d + 6, None, "p"),
+        (2, 0 * d + 7, 2.0, None),
+        (1, 1 * d + 5, 3.0, "p"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, us long, value double, props string")
+    out = {r["day"]: r for r in daily_completeness(
+        df, "us", "user_id", ["value", "props"]).collect()}
+    assert out[0]["n_rows"] == 3 and out[0]["n_keys"] == 2
+    assert out[0]["n_null_value"] == 1 and out[0]["n_null_props"] == 1
+    assert out[1]["n_rows"] == 1 and out[1]["n_null_value"] == 0
+
+
+# --------------------------------------------------------------------------
 # plan guards for the new-in-session queries
 # --------------------------------------------------------------------------
 
@@ -461,6 +510,7 @@ R08_NEW = [
     "graph_assortativity_lineitem", "graph_kcore_parts",
     "text_readability_documents", "text_bigram_xent_documents",
     "text_hapax_documents", "emb_pca2_power_embeddings",
+    "dq_value_patterns_orders", "dq_completeness_daily_events",
 ]
 
 

@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 
 from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
-from .text import _NORM_DUCK, _NORM_SPARK, poly_hash_duck, poly_hash_spark
+from .text import (
+    MOD, _NORM_DUCK, _NORM_SPARK, poly_hash_duck, poly_hash_spark,
+)
 
 __all__ = ["winnow_fingerprints", "winnow_pairs", "ngram_novelty"]
 
@@ -49,17 +51,45 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     window of ``w`` consecutive k-gram hashes, the minimum hash
     (rightmost on ties). Distinct (position, hash) selections."""
     norm = _NORM_SPARK.replace("text", text_col)
+    # Repartition on the doc id BEFORE hashing: a small corpus file
+    # scans as one partition, which would serialize the CPU-heavy
+    # hash/explode onto one core — and the min-window below needs
+    # hashpartitioning(__id) anyway, so this moves the one required
+    # exchange ahead of the expensive work (tiny pre-explode rows)
+    # instead of adding one. The partition count is EXPLICIT: the
+    # pre-explode rows are a few MB, and AQE would coalesce an
+    # unpinned shuffle of them back to one partition — exactly the
+    # serialization this exists to break (bytes are the wrong
+    # proxy for the post-explode × per-char-hash CPU downstream).
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
     base = (
-        df.selectExpr(f"{id_col} AS __id", f"{norm} AS __t")
+        df.selectExpr(f"{id_col} AS __id", f"{text_col} AS __raw")
+        .repartition(n_parts, F.col("__id"))
+        .selectExpr("__id", f"{norm.replace(text_col, '__raw')} AS __t")
         .filter(F.expr(f"length(__t) >= {k + w - 1}"))
         .filter(F.expr(f"length(__t) < {POS_M}"))
     )
-    pos = base.selectExpr(
-        "__id", "__t",
-        f"explode(sequence(1, length(__t) - {k} + 1)) AS __p")
-    hashed = pos.selectExpr(
-        "__id", "__p",
-        f"{poly_hash_spark(f'substring(__t, __p, {k})')} AS __h")
+    # One code-point array per doc, then an UNROLLED k-term polynomial
+    # per position over element_at — identical values to
+    # ``poly_hash_spark(substring(...))`` (split('', s) emits no
+    # trailing empty), but without duplicating the document text onto
+    # every position row or allocating a per-position char array
+    # (measured ~5 s -> ~1 s for the sf0.1 fingerprint relation).
+    h = "0L"
+    for i in range(k):
+        h = f"(({h} * 31 + element_at(__cs, __pp + {i})) % {MOD})"
+    hashed = (
+        base.selectExpr(
+            "__id",
+            "transform(split(__t, ''), "
+            "c -> CAST(ascii(c) AS LONG)) AS __cs")
+        .selectExpr(
+            "__id",
+            f"posexplode(transform(sequence(1, size(__cs) - {k} + 1), "
+            f"__pp -> {h})) AS (__p0, __h)")
+        .selectExpr("__id", "__p0 + 1 AS __p", "__h")
+    )
     keyed = hashed.withColumn(
         "__key", F.expr(f"__h * {POS_M} + ({POS_M - 1} - __p)"))
     winged = keyed.withColumn("__mk", F.min("__key").over(
@@ -133,8 +163,13 @@ def winnow_pairs(df: DataFrame, id_col: str = "doc_id",
     min(|A|, |B|)`` over distinct fingerprint hashes. Candidates come
     only from the fingerprint equi-join; hashes present in more than
     ``max_docs_per_fp`` docs are dropped first (hot-key cap)."""
+    # Materialize the fingerprint relation ONCE: it feeds four
+    # consumers (sizes, hot-hash counts, both self-join sides) and
+    # the explode+window fingerprint subtree dominates the cost —
+    # without this the plan recomputes it 4x (measured 5.6 s -> ~2 s
+    # at sf0.1). At 100 TB this is the persisted fingerprint index.
     fp = (winnow_fingerprints(df, id_col, text_col)
-          .select("__id", "__h").distinct())
+          .select("__id", "__h").distinct().localCheckpoint())
     sizes = fp.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     hot = fp.groupBy("__h").agg(F.count(F.lit(1)).alias("__d"))
     capped = fp.join(

@@ -130,8 +130,8 @@ def ship_latency_profile(orders: DataFrame, lineitem: DataFrame,
               F.col("l_orderkey") == F.col("o_orderkey"))
         .selectExpr(
             "o_orderpriority",
-            "CAST((CAST(l_shipdate AS BIGINT) "
-            "- CAST(o_orderdate AS BIGINT)) DIV 1000 "
+            "CAST((unix_micros(CAST(l_shipdate AS TIMESTAMP)) "
+            "- unix_micros(CAST(o_orderdate AS TIMESTAMP))) "
             f"DIV {US_PER_DAY} AS BIGINT) AS __days")
     )
     cells = lat.groupBy("o_orderpriority", "__days").agg(

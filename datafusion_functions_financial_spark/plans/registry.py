@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from . import (
     analytics, analytics2, analytics3, analytics4, analytics5, analytics6,
-    analytics7,
+    analytics7, analytics8,
     enrich,
     funnel, indicator_queries,
     portfolio, sequences, signals, validate,
@@ -258,7 +258,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
-    risk2, micro5, graph3, text6, dq4,
+    risk2, micro5, graph3, text6, dq4, analytics8,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -294,6 +294,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "emb_pca2_power_embeddings",
     # dq4: value patterns + daily completeness
     "dq_value_patterns_orders", "dq_completeness_daily_events",
+    # analytics8: reconciliation + ship latency
+    "q_reconcile_orders_lineitem", "q_reconcile_topk_orders",
+    "q_ship_latency_orders",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

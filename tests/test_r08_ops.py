@@ -500,6 +500,73 @@ def test_daily_completeness_counts(spark):
 
 
 # --------------------------------------------------------------------------
+# analytics8 — reconciliation + ship latency
+# --------------------------------------------------------------------------
+
+
+def _recon_tables(spark):
+    orders = spark.createDataFrame(
+        [(1, "O", 100.0), (2, "O", 50.0), (3, "F", 10.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double")
+    # order 1 reconciles exactly; order 2 is off by 1.00; order 3 has
+    # no lines at all.
+    li = spark.createDataFrame(
+        [(1, 50.0, 0.0, 0.0), (1, 50.0, 0.0, 0.0),
+         (2, 49.0, 0.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double, "
+        "l_tax double")
+    return orders, li
+
+
+def test_reconciliation_report_manual(spark):
+    from datafusion_functions_financial_spark.plans.analytics8 import (
+        reconciliation_report,
+    )
+    orders, li = _recon_tables(spark)
+    out = {r["o_orderstatus"]: r for r in reconciliation_report(
+        orders, li).collect()}
+    assert out["O"]["n_orders"] == 2 and out["O"]["n_match"] == 1
+    assert out["O"]["n_no_lines"] == 0
+    _approx(out["O"]["mean_abs_diff"], 0.5)   # (0 + 1.00) / 2
+    assert out["F"]["n_no_lines"] == 1
+    assert out["F"]["mean_abs_diff"] is None
+
+
+def test_top_discrepancies_ordering(spark):
+    from datafusion_functions_financial_spark.plans.analytics8 import (
+        top_discrepancies,
+    )
+    orders, li = _recon_tables(spark)
+    rows = top_discrepancies(orders, li).collect()
+    assert [r["o_orderkey"] for r in rows] == [2, 1]
+    _approx(rows[0]["abs_diff"], 1.0)
+    _approx(rows[1]["abs_diff"], 0.0)
+
+
+def test_ship_latency_exact_percentiles(spark):
+    """10 lines with latencies 0..9 days on one priority: p50 is the
+    5th smallest (4), p90 the 9th (8)."""
+    from datafusion_functions_financial_spark.plans.analytics8 import (
+        ship_latency_profile,
+    )
+    day_us = 86_400_000_000
+    orders = spark.createDataFrame(
+        [(i, "1-URGENT", 1.0, 0) for i in range(10)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double, "
+        "o_orderdate long").selectExpr(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        "timestamp_micros(o_orderdate) AS o_orderdate")
+    li = spark.createDataFrame(
+        [(i, i * day_us) for i in range(10)],
+        "l_orderkey long, us long").selectExpr(
+        "l_orderkey", "timestamp_micros(us) AS l_shipdate")
+    out = ship_latency_profile(orders, li).collect()[0]
+    assert (out["n_lines"], out["min_days"], out["max_days"]) == (
+        10, 0, 9)
+    assert out["p50_days"] == 4 and out["p90_days"] == 8
+
+
+# --------------------------------------------------------------------------
 # plan guards for the new-in-session queries
 # --------------------------------------------------------------------------
 
@@ -511,6 +578,8 @@ R08_NEW = [
     "text_readability_documents", "text_bigram_xent_documents",
     "text_hapax_documents", "emb_pca2_power_embeddings",
     "dq_value_patterns_orders", "dq_completeness_daily_events",
+    "q_reconcile_orders_lineitem", "q_reconcile_topk_orders",
+    "q_ship_latency_orders",
 ]
 
 

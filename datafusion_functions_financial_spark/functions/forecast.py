@@ -219,6 +219,123 @@ FROM holt
 """
 
 
+# --------------------------------------------------------------------------
+# Theta-method forecast (simplified Theta(0, 2), horizon 1)
+# --------------------------------------------------------------------------
+
+THETA_ALPHA = 0.5
+_QT = 10 ** 8
+_QTF = float(_QT)
+US_PER_DAY = 86_400_000_000
+
+
+def theta_forecast(df: DataFrame, us_col: str, value_col: str,
+                   key_col: str,
+                   alpha: float = THETA_ALPHA) -> DataFrame:
+    """(key, n_days, slope, ses_level, theta_forecast): the
+    assessable-by-hand core of the Theta method over the key's DAILY
+    mean series — an OLS trend slope on the day index plus SES
+    (seed = first value) on the series, combined as
+    ``forecast = ses_level + slope / 2`` for horizon 1.
+
+    Determinism: daily means come from exact quantized sums; the OLS
+    sums quantize per term (day indexes are exact integers); the SES
+    fold is the identical sequential expression tree on both engines
+    (Spark ``aggregate`` over the day-sorted array == DuckDB
+    ``list_reduce`` over ``list(... ORDER BY day)``, which seeds
+    from the first element exactly like our explicit seed).
+
+    Plan shape at scale: one hash aggregate to (key, day) rows, one
+    per-key aggregation whose state is O(days-per-key) — bounded by
+    calendar length, not row count."""
+    a = float(alpha)
+    daily = (
+        df.selectExpr(f"{key_col} AS __k",
+                      f"({us_col}) DIV {US_PER_DAY} AS __d",
+                      f"{value_col} AS __v")
+        .groupBy("__k", "__d")
+        .agg(F.count(F.lit(1)).alias("__c"),
+             F.sum(F.expr(
+                 f"CAST(round(__v * {_QT}) AS BIGINT)")).alias("__s"))
+        .selectExpr(
+            "__k", "__d",
+            f"CAST(__s AS DOUBLE) / (CAST(__c AS DOUBLE) "
+            f"* {_QTF!r}) AS __m")
+    )
+    idx = daily.withColumn("__t", F.expr(
+        "row_number() OVER (PARTITION BY __k ORDER BY __d) - 1"))
+    sums = idx.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__t").cast("bigint").alias("__st"),
+        F.sum(F.expr("__t * __t")).cast("bigint").alias("__stt"),
+        F.sum(F.expr(
+            f"CAST(round(__m * {_QT}) AS BIGINT)")).alias("__sm"),
+        F.sum(F.expr(
+            f"CAST(round(__t * __m * {_QT}) AS BIGINT)")).alias("__stm"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(__d, __m))), "
+            "s -> s.__m)").alias("__arr"),
+    )
+    ses = (f"aggregate(slice(__arr, 2, size(__arr) - 1), "
+           f"CAST(__arr[0] AS DOUBLE), "
+           f"(acc, x) -> {a!r} * x + (1.0 - {a!r}) * acc)")
+    b = (f"((CAST(n_days AS DOUBLE) * CAST(__stm AS DOUBLE) "
+         f"- CAST(__st AS DOUBLE) * CAST(__sm AS DOUBLE)) "
+         f"/ ({_QTF!r} * (CAST(n_days AS DOUBLE) "
+         f"* CAST(__stt AS DOUBLE) "
+         f"- CAST(__st AS DOUBLE) * CAST(__st AS DOUBLE))))")
+    return sums.filter(F.col("n_days") > 1).select(
+        F.col("__k").alias(key_col), "n_days",
+        round_portable(F.expr(b), 6).alias("slope"),
+        round_portable(F.expr(ses), 6).alias("ses_level"),
+        round_portable(F.expr(
+            f"({ses}) + ({b}) / 2.0"), 6).alias("theta_forecast"),
+    )
+
+
+def _q_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "__us", F.expr("ts DIV 1000"))
+    return theta_forecast(ev, "__us", "value", "event_type")
+
+
+_T_SES = (f"list_reduce(arr, (acc, x) -> {THETA_ALPHA!r} * x "
+          f"+ (1.0 - {THETA_ALPHA!r}) * acc)")
+_T_B = (f"((CAST(n_days AS DOUBLE) * CAST(stm AS DOUBLE) "
+        f"- CAST(st AS DOUBLE) * CAST(sm AS DOUBLE)) "
+        f"/ ({_QTF!r} * (CAST(n_days AS DOUBLE) * CAST(stt AS DOUBLE) "
+        f"- CAST(st AS DOUBLE) * CAST(st AS DOUBLE))))")
+
+_ORACLE_THETA = f"""
+WITH daily AS (
+  SELECT event_type AS k, epoch_us(ts) // {US_PER_DAY} AS d,
+    CAST(sum(CAST(round(value * {_QT}) AS BIGINT)) AS DOUBLE)
+      / (CAST(count(*) AS DOUBLE) * {_QTF!r}) AS m
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT k, d, m,
+    row_number() OVER (PARTITION BY k ORDER BY d) - 1 AS t
+  FROM daily
+), sums AS (
+  SELECT k,
+    CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(t) AS BIGINT) AS st,
+    CAST(sum(t * t) AS BIGINT) AS stt,
+    CAST(sum(CAST(round(m * {_QT}) AS BIGINT)) AS BIGINT) AS sm,
+    CAST(sum(CAST(round(t * m * {_QT}) AS BIGINT)) AS BIGINT) AS stm,
+    list(m ORDER BY d) AS arr
+  FROM idx GROUP BY 1
+)
+SELECT k AS event_type, n_days,
+  {round_portable_duck(_T_B, 6)} AS slope,
+  {round_portable_duck(_T_SES, 6)} AS ses_level,
+  {round_portable_duck(f"({_T_SES}) + ({_T_B}) / 2.0", 6)}
+    AS theta_forecast
+FROM sums WHERE n_days > 1
+"""
+
+
 QUERIES: dict = {
     "q_holt_forecast_events": (_q_holt, _ORACLE_HOLT),
+    "q_theta_forecast_events": (_q_theta, _ORACLE_THETA),
 }

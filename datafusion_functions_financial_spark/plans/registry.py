@@ -297,6 +297,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # analytics8: reconciliation + ship latency
     "q_reconcile_orders_lineitem", "q_reconcile_topk_orders",
     "q_ship_latency_orders",
+    # forecast: theta method
+    "q_theta_forecast_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

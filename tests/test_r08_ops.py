@@ -567,6 +567,44 @@ def test_ship_latency_exact_percentiles(spark):
 
 
 # --------------------------------------------------------------------------
+# forecast — theta method
+# --------------------------------------------------------------------------
+
+
+def test_theta_matches_manual_numpy(spark):
+    """Known daily series: slope = OLS on the day index, SES fold in
+    numpy, forecast = ses + slope/2."""
+    from datafusion_functions_financial_spark.functions.forecast import (
+        THETA_ALPHA, theta_forecast,
+    )
+    day = 86_400_000_000
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0]
+    rows = [("k", i * day + 7, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, us long, v double")
+    out = theta_forecast(df, "us", "v", "g").collect()[0]
+    t = np.arange(len(vals), dtype=float)
+    m = np.array(vals)
+    b = ((len(m) * (t * m).sum() - t.sum() * m.sum())
+         / (len(m) * (t * t).sum() - t.sum() ** 2))
+    l = m[0]
+    for x in m[1:]:
+        l = THETA_ALPHA * x + (1 - THETA_ALPHA) * l
+    assert out["n_days"] == len(vals)
+    _approx(out["slope"], float(b), 1e-5)
+    _approx(out["ses_level"], float(l), 1e-5)
+    _approx(out["theta_forecast"], float(l + b / 2), 1e-5)
+
+
+def test_theta_single_day_key_dropped(spark):
+    from datafusion_functions_financial_spark.functions.forecast import (
+        theta_forecast,
+    )
+    df = spark.createDataFrame(
+        [("k", 5, 1.0), ("k", 9, 2.0)], "g string, us long, v double")
+    assert theta_forecast(df, "us", "v", "g").collect() == []
+
+
+# --------------------------------------------------------------------------
 # plan guards for the new-in-session queries
 # --------------------------------------------------------------------------
 
@@ -579,7 +617,7 @@ R08_NEW = [
     "text_hapax_documents", "emb_pca2_power_embeddings",
     "dq_value_patterns_orders", "dq_completeness_daily_events",
     "q_reconcile_orders_lineitem", "q_reconcile_topk_orders",
-    "q_ship_latency_orders",
+    "q_ship_latency_orders", "q_theta_forecast_events",
 ]
 
 

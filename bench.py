@@ -141,6 +141,14 @@ def main() -> None:
         "text_winnow_pairs_documents",     # fingerprint-index overlap
         "sample_neyman_orders",            # allocation + hash-rank draw
         "emb_anisotropy_embeddings",       # unit-sum identity, no pairs
+        # --- late-r07 (second window) additions ---
+        "q_kaplan_meier_events",           # risk-set windows + log fold
+        "risk_calmar_events",              # running-max drawdown ratio
+        "micro_lee_ready_events",          # asof quote join + tick carry
+        "graph_kcore_parts",               # bounded peel, fixpoint sig
+        "text_bigram_xent_documents",      # corpus-bigram LM join
+        "emb_pca2_power_embeddings",       # deflated power iteration
+        "q_reconcile_orders_lineitem",     # cross-table cents audit
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings",
@@ -193,6 +201,8 @@ def main() -> None:
         "graph_": table_rows["lineitem"],
         "q_joinsize": table_rows["orders"],
         "q_skyline": table_rows["orders"],
+        "q_kaplan": table_rows["events"],
+        "q_reconcile": table_rows["lineitem"],
     }
 
     def run(name: str) -> float:

@@ -257,9 +257,138 @@ FROM staged GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H-shaped multi-join queries (Q3 / Q16 adaptations)
+# --------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-07-01"
+Q3_TOPK = 10
+Q16_TOPK = 15
+
+
+def shipping_priority(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame,
+                      segment: str = Q3_SEGMENT,
+                      cutoff: str = Q3_CUTOFF,
+                      k: int = Q3_TOPK) -> DataFrame:
+    """TPC-H Q3 shape: top-``k`` unshipped-revenue orders for one
+    market segment — orders placed before ``cutoff`` with lines
+    shipping after it. Revenue is exact integer cents; ties rank by
+    (o_orderdate, l_orderkey). The segment filter broadcasts the
+    customer side; the orders⋈lineitem join shuffles on the order
+    key; top-k plans as TakeOrdered."""
+    c = customer.filter(
+        F.col("c_mktsegment") == F.lit(segment)).select("c_custkey")
+    o = orders.filter(F.expr(
+        f"o_orderdate < TIMESTAMP '{cutoff}'")).select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    li = lineitem.filter(F.expr(
+        f"l_shipdate > TIMESTAMP '{cutoff}'")).selectExpr(
+        "l_orderkey",
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+        "AS BIGINT) AS __cents")
+    joined = (
+        o.join(F.broadcast(c),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.sum("__cents").alias("__rev"))
+    return (
+        agg.orderBy(F.col("__rev").desc(), F.col("o_orderdate").asc(),
+                    F.col("o_orderkey").asc())
+        .limit(k)
+        .select(
+            "o_orderkey",
+            round_portable(F.expr("__rev / 100.0"), 2).alias("revenue"),
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        )
+    )
+
+
+def parts_supplier_breadth(part: DataFrame, lineitem: DataFrame,
+                           k: int = Q16_TOPK) -> DataFrame:
+    """TPC-H Q16 shape: (p_brand, p_size, supplier_cnt) — distinct
+    suppliers shipping each (brand, size), top-``k`` by count with
+    (brand, size) tiebreaks. The part dimension broadcasts; the
+    distinct collapses map-side on (brand, size, suppkey) before the
+    final count."""
+    pl = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_size", "l_suppkey")
+        .distinct()
+    )
+    agg = pl.groupBy("p_brand", "p_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("supplier_cnt"))
+    return (
+        agg.orderBy(F.col("supplier_cnt").desc(),
+                    F.col("p_brand").asc(), F.col("p_size").asc())
+        .limit(k)
+        .select("p_brand",
+                F.col("p_size").cast("bigint").alias("p_size"),
+                "supplier_cnt")
+    )
+
+
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shipping_priority(load(spark, sf_dir, "customer"),
+                             load(spark, sf_dir, "orders"),
+                             load(spark, sf_dir, "lineitem"))
+
+
+def _q_parts_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parts_supplier_breadth(load(spark, sf_dir, "part"),
+                                  load(spark, sf_dir, "lineitem"))
+
+
+_ORACLE_Q3 = f"""
+WITH li AS (
+  SELECT l_orderkey,
+    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      AS cents
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+), agg AS (
+  SELECT o.o_orderkey, o.o_orderdate,
+         CAST(sum(li.cents) AS BIGINT) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+    AND c.c_mktsegment = '{Q3_SEGMENT}'
+  JOIN li ON o.o_orderkey = li.l_orderkey
+  WHERE o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  GROUP BY 1, 2
+)
+SELECT o_orderkey,
+  {round_portable_duck("rev / 100.0", 2)} AS revenue,
+  o_orderdate
+FROM agg
+ORDER BY rev DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT {Q3_TOPK}
+"""
+
+_ORACLE_Q16 = f"""
+WITH pl AS (
+  SELECT DISTINCT p.p_brand, p.p_size, l.l_suppkey
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), agg AS (
+  SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+         CAST(count(*) AS BIGINT) AS supplier_cnt
+  FROM pl GROUP BY 1, 2
+)
+SELECT p_brand, p_size, supplier_cnt
+FROM agg
+ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+LIMIT {Q16_TOPK}
+"""
+
+
 QUERIES: dict = {
     "q_reconcile_orders_lineitem": (_q_reconcile, _ORACLE_RECONCILE),
     "q_reconcile_topk_orders": (_q_discrepancies,
                                 _ORACLE_DISCREPANCIES),
     "q_ship_latency_orders": (_q_ship_latency, _ORACLE_SHIP_LATENCY),
+    "q_shipping_priority_orders": (_q_shipping_priority, _ORACLE_Q3),
+    "q_supplier_breadth_parts": (_q_parts_breadth, _ORACLE_Q16),
 }

@@ -299,6 +299,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_ship_latency_orders",
     # forecast: theta method
     "q_theta_forecast_events",
+    # analytics8: TPC-H Q3/Q16 shapes
+    "q_shipping_priority_orders", "q_supplier_breadth_parts",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -605,6 +605,40 @@ def test_theta_single_day_key_dropped(spark):
 
 
 # --------------------------------------------------------------------------
+# analytics8 — TPC-H Q3/Q16 shapes: plan-asserted broadcast + top-k
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", [
+    "q_shipping_priority_orders", "q_supplier_breadth_parts",
+])
+def test_tpch_shapes_broadcast_and_take_ordered(spark, sf_dir, name):
+    """The dimension side must broadcast and the top-k must plan as
+    TakeOrderedAndProject (no global sort)."""
+    from tests.test_plans import plan_of
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shipping_priority_filters_both_sides(spark, sf_dir):
+    """Every returned order respects both date predicates (the
+    pushed filters, sanity-checked on data)."""
+    from datafusion_functions_financial_spark.plans.analytics8 import (
+        Q3_CUTOFF, _q_shipping_priority,
+    )
+    rows = _q_shipping_priority(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    import datetime
+    cut = datetime.datetime.fromisoformat(Q3_CUTOFF)
+    for r in rows:
+        assert r["o_orderdate"] < cut
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+# --------------------------------------------------------------------------
 # plan guards for the new-in-session queries
 # --------------------------------------------------------------------------
 
@@ -618,6 +652,7 @@ R08_NEW = [
     "dq_value_patterns_orders", "dq_completeness_daily_events",
     "q_reconcile_orders_lineitem", "q_reconcile_topk_orders",
     "q_ship_latency_orders", "q_theta_forecast_events",
+    "q_shipping_priority_orders", "q_supplier_breadth_parts",
 ]
 
 

@@ -192,9 +192,82 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
 FROM per_doc
 """
 
+BPE_TOPK = 25
+
+
+def bpe_merge_candidates(df: DataFrame, text_col: str = "text",
+                         k: int = BPE_TOPK) -> DataFrame:
+    """(left, right, pair_count, rank): the top-``k`` adjacent
+    CHARACTER pairs by corpus frequency — the first merge candidates
+    of BPE tokenizer training. Each distinct word contributes its
+    within-word char pairs weighted by the word's occurrence count,
+    so the whole computation runs on the VOCABULARY-sized relation:
+    at 100 TB the corpus collapses to word counts first (one
+    map-combinable shuffle) and the char-pair explode touches only
+    distinct words. Ties rank (count DESC, left ASC, right ASC)."""
+    counts = token_counts(df, text_col)
+    pairs = (
+        counts.selectExpr("split(token, '') AS __cs",
+                          "n_occurrences AS __n")
+        .filter(F.expr("size(__cs) >= 2"))
+        .select(F.explode(F.expr(
+            "zip_with(slice(__cs, 1, size(__cs) - 1), "
+            "slice(__cs, 2, size(__cs) - 1), "
+            "(x, y) -> struct(x AS a, y AS b))")).alias("bg"),
+            F.col("__n"))
+        .select("bg.a", "bg.b", "__n")
+    )
+    agg = pairs.groupBy("a", "b").agg(
+        F.sum("__n").cast("bigint").alias("pair_count"))
+    top = agg.orderBy(F.col("pair_count").desc(), F.col("a").asc(),
+                      F.col("b").asc()).limit(k)
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("a").asc(),
+                       F.col("b").asc())
+    return top.select(
+        F.col("a").alias("left"), F.col("b").alias("right"),
+        "pair_count",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_candidates(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_BPE_PAIRS = f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), flat AS (
+  SELECT u.token FROM toks, UNNEST(t) AS u(token) WHERE u.token != ''
+), counts AS (
+  SELECT token, count(*) AS n FROM flat GROUP BY token
+), chars AS (
+  SELECT regexp_split_to_array(token, '') AS cs, n
+  FROM counts WHERE len(token) >= 2
+), pairs AS (
+  SELECT unnest(list_transform(cs[2:],
+           (x, i) -> struct_pack(a := cs[i], b := x))) AS bg, n
+  FROM chars
+), agg AS (
+  SELECT bg.a AS l, bg.b AS r, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY 1, 2
+), ranked AS (
+  SELECT l, r, pair_count,
+    row_number() OVER (ORDER BY pair_count DESC, l ASC, r ASC)
+      AS rank
+  FROM agg
+)
+SELECT l AS "left", r AS "right", pair_count,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {BPE_TOPK}
+"""
+
+
 QUERIES: dict = {
     "vocab_top_tokens_documents": (_q_top_tokens, _ORACLE_TOP_TOKENS),
     "vocab_stats_documents": (_q_vocab_stats, _ORACLE_VOCAB_STATS),
+    "vocab_bpe_pairs_documents": (_q_bpe_pairs, _ORACLE_BPE_PAIRS),
 }
 
 # Registered via the registry's r04-queue tail (keeping this module's

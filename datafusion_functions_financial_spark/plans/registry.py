@@ -301,6 +301,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_theta_forecast_events",
     # analytics8: TPC-H Q3/Q16 shapes
     "q_shipping_priority_orders", "q_supplier_breadth_parts",
+    # vocab: BPE merge candidates
+    "vocab_bpe_pairs_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -639,6 +639,40 @@ def test_shipping_priority_filters_both_sides(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# vocab — BPE merge candidates
+# --------------------------------------------------------------------------
+
+
+def test_bpe_pairs_weighted_by_word_count(spark):
+    """'ab ab cd' -> pair (a,b) count 2, (c,d) count 1; multi-char
+    words contribute every adjacent pair."""
+    from datafusion_functions_financial_spark.operators.vocab import (
+        bpe_merge_candidates,
+    )
+    df = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "abc")], "doc_id long, text string")
+    out = {(r["left"], r["right"]): r["pair_count"]
+           for r in bpe_merge_candidates(df).collect()}
+    # 'ab'x2 -> (a,b)+2 ; 'cd' -> (c,d)+1 ; 'abc' -> (a,b)+1, (b,c)+1
+    assert out[("a", "b")] == 3
+    assert out[("c", "d")] == 1
+    assert out[("b", "c")] == 1
+
+
+def test_bpe_pairs_rank_deterministic(spark):
+    from datafusion_functions_financial_spark.operators.vocab import (
+        bpe_merge_candidates,
+    )
+    df = spark.createDataFrame(
+        [(1, "xy yx")], "doc_id long, text string")
+    rows = bpe_merge_candidates(df).collect()
+    # equal counts -> ties break by (left, right) ascending
+    assert [(r["left"], r["right"]) for r in rows] == [
+        ("x", "y"), ("y", "x")]
+    assert [r["rank"] for r in rows] == [1, 2]
+
+
+# --------------------------------------------------------------------------
 # plan guards for the new-in-session queries
 # --------------------------------------------------------------------------
 
@@ -653,6 +687,7 @@ R08_NEW = [
     "q_reconcile_orders_lineitem", "q_reconcile_topk_orders",
     "q_ship_latency_orders", "q_theta_forecast_events",
     "q_shipping_priority_orders", "q_supplier_breadth_parts",
+    "vocab_bpe_pairs_documents",
 ]
 
 

@@ -1112,3 +1112,88 @@ FROM groups GROUP BY 1
 
 QUERIES["dedup_cluster_sizes_documents"] = (_q_cluster_sizes,
                                             _ORACLE_CLUSTER_SIZES)
+
+
+# --------------------------------------------------------------------------
+# Candidate-similarity histogram: the corpus duplication landscape
+# --------------------------------------------------------------------------
+
+HIST_BINS = 20
+
+
+def candidate_jaccard_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bins: int = HIST_BINS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """(bin, lo, hi, n_pairs): histogram of EXACT Jaccard over the
+    LSH candidate pairs (threshold 0 — every candidate, not only
+    confirmed near-dups). The "duplication landscape" report that
+    tells you where to SET the dedup threshold: a bimodal histogram
+    separates boilerplate twins from organic overlap. Same candidate
+    generation and verification as ``minhash_lsh_pairs`` — the
+    bucket-capped equi-join, never the pair space; the histogram
+    adds one vocabulary-bounded aggregate (``n_bins`` rows).
+
+    Bin edges: ``floor(j * n_bins)`` clamped to the last bin for
+    j == 1 — both engines compute j as the same int/int rational, so
+    the same double and the same floor."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, threshold=0.0,
+                              max_bucket_size=max_bucket_size)
+    agg = (
+        pairs.withColumn("bin", F.expr(
+            f"least(CAST(floor(jaccard * {n_bins}) AS BIGINT), "
+            f"{n_bins - 1})"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    return agg.select(
+        "bin",
+        F.expr(f"CAST(bin AS DOUBLE) / {n_bins}").alias("lo"),
+        F.expr(f"CAST(bin + 1 AS DOUBLE) / {n_bins}").alias("hi"),
+        "n_pairs",
+    )
+
+
+def _q_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candidate_jaccard_histogram(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_JACCARD_HIST = f"""
+WITH {_DUCK_LSH_CAND_CTES}, sh AS (
+  SELECT doc_id, unnest(list_distinct(__hashes)) AS h FROM hashed
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+  GROUP BY 1, 2
+), jac AS (
+  -- LEFT join: a candidate pair with ZERO shingle overlap (possible
+  -- via minhash band collision) still histograms at j = 0, exactly
+  -- as the Spark side's in-row array_intersect does.
+  SELECT coalesce(i.inter, 0)
+    / (sa.n + sb.n - coalesce(i.inter, 0)) AS j
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+), binned AS (
+  SELECT CAST(least(floor(j * {HIST_BINS}), {HIST_BINS - 1})
+    AS BIGINT) AS bin
+  FROM jac
+)
+SELECT bin,
+  CAST(bin AS DOUBLE) / {HIST_BINS} AS lo,
+  CAST(bin + 1 AS DOUBLE) / {HIST_BINS} AS hi,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM binned GROUP BY 1
+"""
+
+
+QUERIES["dedup_jaccard_hist_documents"] = (_q_jaccard_hist,
+                                           _ORACLE_JACCARD_HIST)

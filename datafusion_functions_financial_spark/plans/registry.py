@@ -31,7 +31,7 @@ from ..operators import (
     graph2, graph3,
     histogram,
     incremental, interval, ivf, keywords,
-    linkage, microstructure, micro4, multimodal,
+    linkage, microstructure, micro4, mlmetrics, multimodal,
     micro2, micro3, micro5, outliers, packing, pipeline, profile, qsketch,
     quality,
     quantile2, quantize, rfm,
@@ -258,7 +258,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
-    risk2, micro5, graph3, text6, dq4, analytics8,
+    risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -303,6 +303,11 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_shipping_priority_orders", "q_supplier_breadth_parts",
     # vocab: BPE merge candidates
     "vocab_bpe_pairs_documents",
+    # dedup: candidate-similarity landscape
+    "dedup_jaccard_hist_documents",
+    # mlmetrics: model evaluation at scale
+    "q_auc_events", "q_calibration_events", "q_gains_lift_events",
+    "q_threshold_metrics_events", "q_bh_fdr_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -25,7 +25,7 @@ from ..operators import (
     chunking,
     concentration,
     crossmodal,
-    decontam, dedup, diff, divergence,
+    decontam, dedup, diff, digest, divergence,
     dq, dq2, dq3, dq4, embgeo, embnorm, embpca, embproj, embstats,
     embstats2,
     graph2, graph3,
@@ -258,7 +258,7 @@ _MODULES = [
     technical, chunking, vocab, histogram, quality, enrich,
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
-    risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics,
+    risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -308,6 +308,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # mlmetrics: model evaluation at scale
     "q_auc_events", "q_calibration_events", "q_gains_lift_events",
     "q_threshold_metrics_events", "q_bh_fdr_events",
+    # digest: Merkle-bucket snapshot integrity
+    "dq_table_digest_orders", "dq_digest_diff_orders",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

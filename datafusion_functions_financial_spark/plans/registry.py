@@ -36,7 +36,7 @@ from ..operators import (
     quality,
     quantile2, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, spectral, stats2,
-    stats3, stats4, strsim,
+    stats3, stats4, stats5, strsim,
     similarity, sketch, sketch2, sketch3, skew, survival, text, text2,
     text3,
     text4, text5, text6, tfidf,
@@ -259,6 +259,7 @@ _MODULES = [
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
+    stats5,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -310,6 +311,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_threshold_metrics_events", "q_bh_fdr_events",
     # digest: Merkle-bucket snapshot integrity
     "dq_table_digest_orders", "dq_digest_diff_orders",
+    # stats5: rank/tail/agreement dependence
+    "q_kendall_tau_events", "q_tail_dependence_events",
+    "q_lin_ccc_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -149,6 +149,12 @@ def main() -> None:
         "text_bigram_xent_documents",      # corpus-bigram LM join
         "emb_pca2_power_embeddings",       # deflated power iteration
         "q_reconcile_orders_lineitem",     # cross-table cents audit
+        # --- late-r07 (third window) additions ---
+        "q_auc_events",                    # bucketed prefix-sum ranks
+        "q_bh_fdr_events",                 # closed-form chi2 p + BH rank
+        "dq_digest_diff_orders",           # Merkle-bucket snapshot diff
+        "q_kendall_tau_events",            # calendar-bounded pair join
+        "dedup_jaccard_hist_documents",    # LSH-candidate Jaccard hist
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings",
@@ -203,6 +209,10 @@ def main() -> None:
         "q_skyline": table_rows["orders"],
         "q_kaplan": table_rows["events"],
         "q_reconcile": table_rows["lineitem"],
+        "q_auc": table_rows["events"],
+        "q_bh_fdr": table_rows["events"],
+        "dq_digest": table_rows["orders"],
+        "q_kendall": table_rows["events"],
     }
 
     def run(name: str) -> float:

@@ -30,7 +30,7 @@ from ..operators import (
     embstats2,
     graph2, graph3,
     histogram,
-    incremental, interval, ivf, keywords,
+    incremental, interval, ivf, keywords, kmeans,
     linkage, microstructure, micro4, mlmetrics, multimodal,
     micro2, micro3, micro5, outliers, packing, pipeline, profile, qsketch,
     quality,
@@ -259,7 +259,7 @@ _MODULES = [
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
-    stats5,
+    stats5, kmeans,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -314,6 +314,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # stats5: rank/tail/agreement dependence
     "q_kendall_tau_events", "q_tail_dependence_events",
     "q_lin_ccc_events",
+    # kmeans: Lloyd clustering over embeddings
+    "emb_kmeans_embeddings",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -53,7 +53,7 @@ from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
 
 __all__ = ["auc", "calibration_bins", "gains_lift", "threshold_metrics",
-           "bh_fdr_dow"]
+           "bh_fdr_dow", "woe_iv"]
 
 Q = 10 ** 8
 QF = float(Q)
@@ -225,6 +225,44 @@ def gains_lift(df: DataFrame, score_col: str, label_expr: str,
                 "/ (CAST(__tp AS DOUBLE) / CAST(__tn AS DOUBLE))"), 6
             ).alias("lift"),
         )
+    )
+
+
+def woe_iv(df: DataFrame, score_col: str, label_expr: str,
+           id_col: str, n_bins: int = N_BINS) -> DataFrame:
+    """(bin, n_pos, n_neg, woe, iv_term, iv_total): weight of
+    evidence per score decile with Laplace(0.5) smoothing —
+    ``woe = ln((pos_i + .5)/pos_tot / ((neg_i + .5)/neg_tot))`` —
+    and the information value (sum of smoothed-share-difference x
+    WoE terms; the credit-scoring predictiveness scale: < 0.02
+    useless, > 0.3 strong). The IV window runs over the n_bins-row
+    relation — bounded, never the data."""
+    binned = _binned(df, score_col, label_expr, id_col, n_bins)
+    tot = Window.partitionBy()
+    ps = ("((CAST(n_pos AS DOUBLE) + 0.5) / CAST(__tp AS DOUBLE))")
+    ns = ("((CAST(n_neg AS DOUBLE) + 0.5) / CAST(__tn AS DOUBLE))")
+    woe = f"ln({ps} / {ns})"
+    rel = (
+        binned
+        .select("bin", F.col("sp").alias("n_pos"),
+                (F.col("n") - F.col("sp")).cast("bigint").alias("n_neg"))
+        .withColumn("__tp", F.sum("n_pos").over(tot).cast("bigint"))
+        .withColumn("__tn", F.sum("n_neg").over(tot).cast("bigint"))
+        .withColumn("__woe", F.expr(woe))
+        # IV terms quantize to BIGINT before the cross-row sum (the
+        # SCALING.md rule): the total is add-order-free and exact.
+        .withColumn("__ivq", F.expr(
+            f"CAST(round((({ps}) - ({ns})) * ({woe}) * {Q}) "
+            f"AS BIGINT)"))
+    )
+    return rel.select(
+        "bin", "n_pos", "n_neg",
+        round_portable(F.col("__woe"), 6).alias("woe"),
+        round_portable(F.expr(
+            f"CAST(__ivq AS DOUBLE) / {QF!r}"), 6).alias("iv_term"),
+        round_portable(F.expr(
+            f"CAST(sum(__ivq) OVER () AS DOUBLE) / {QF!r}"), 6
+        ).alias("iv_total"),
     )
 
 
@@ -439,6 +477,37 @@ FROM cum
 """
 
 
+def _q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return woe_iv(_two_class(spark, sf_dir), "value", _LABEL,
+                  "event_id")
+
+
+_WOE_PS = "((CAST(n_pos AS DOUBLE) + 0.5) / CAST(tp AS DOUBLE))"
+_WOE_NS = "((CAST(n_neg AS DOUBLE) + 0.5) / CAST(tn AS DOUBLE))"
+_WOE = f"ln({_WOE_PS} / {_WOE_NS})"
+
+_ORACLE_WOE_IV = f"""
+WITH {_DUCK_BINNED}, rel AS (
+  SELECT bin, sp AS n_pos, CAST(n - sp AS BIGINT) AS n_neg,
+    CAST(sum(sp) OVER () AS BIGINT) AS tp,
+    CAST(sum(n - sp) OVER () AS BIGINT) AS tn
+  FROM binned
+), terms AS (
+  SELECT bin, n_pos, n_neg, {_WOE} AS woe,
+    CAST(round((({_WOE_PS}) - ({_WOE_NS})) * ({_WOE}) * {Q})
+      AS BIGINT) AS ivq
+  FROM rel
+)
+SELECT bin, n_pos, n_neg,
+  {round_portable_duck("woe", 6)} AS woe,
+  {round_portable_duck(f"CAST(ivq AS DOUBLE) / {QF!r}", 6)}
+    AS iv_term,
+  {round_portable_duck(
+      f"CAST(sum(ivq) OVER () AS DOUBLE) / {QF!r}", 6)} AS iv_total
+FROM terms
+"""
+
+
 def _q_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_metrics(_two_class(spark, sf_dir), "value", _LABEL)
 
@@ -530,4 +599,5 @@ QUERIES: dict = {
     "q_gains_lift_events": (_q_gains, _ORACLE_GAINS),
     "q_threshold_metrics_events": (_q_thresholds, _thr_oracle()),
     "q_bh_fdr_events": (_q_bh_fdr, _ORACLE_BH_FDR),
+    "q_woe_iv_events": (_q_woe_iv, _ORACLE_WOE_IV),
 }

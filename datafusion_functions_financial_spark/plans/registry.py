@@ -23,7 +23,7 @@ from ..functions import (
 from ..operators import (
     anomaly2, anomaly3, asof, blocking, bm25, boilerplate, bootstrap, cc,
     chunking,
-    concentration,
+    concentration, corrmatrix,
     crossmodal,
     decontam, dedup, diff, digest, divergence,
     dq, dq2, dq3, dq4, embgeo, embnorm, embpca, embproj, embstats,
@@ -37,7 +37,8 @@ from ..operators import (
     quantile2, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, spectral, stats2,
     stats3, stats4, stats5, strsim,
-    similarity, sketch, sketch2, sketch3, skew, survival, text, text2,
+    similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
+    text2,
     text3,
     text4, text5, text6, tfidf,
     vocab,
@@ -259,7 +260,7 @@ _MODULES = [
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
-    stats5, kmeans,
+    stats5, kmeans, sketch4, corrmatrix,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -316,6 +317,12 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_lin_ccc_events",
     # kmeans: Lloyd clustering over embeddings
     "emb_kmeans_embeddings",
+    # mlmetrics: weight of evidence / information value
+    "q_woe_iv_events",
+    # sketch4: bottom-k distinct sketch + shard merge
+    "sketch_bottomk_users_events", "sketch_bottomk_merge_events",
+    # corrmatrix: one-pass feature correlation matrix
+    "dq_corr_matrix_lineitem",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -36,7 +36,7 @@ from ..operators import (
     quality,
     quantile2, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, spectral, stats2,
-    stats3, stats4, stats5, strsim,
+    stats3, stats4, stats5, stats6, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
@@ -260,7 +260,7 @@ _MODULES = [
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
-    stats5, kmeans, sketch4, corrmatrix,
+    stats5, kmeans, sketch4, corrmatrix, stats6,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -323,6 +323,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "sketch_bottomk_users_events", "sketch_bottomk_merge_events",
     # corrmatrix: one-pass feature correlation matrix
     "dq_corr_matrix_lineitem",
+    # stats6: MK trend, Huber location, Ljung-Box
+    "q_mann_kendall_events", "q_huber_mean_orders",
+    "q_ljung_box_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

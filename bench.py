@@ -155,6 +155,8 @@ def main() -> None:
         "dq_digest_diff_orders",           # Merkle-bucket snapshot diff
         "q_kendall_tau_events",            # calendar-bounded pair join
         "dedup_jaccard_hist_documents",    # LSH-candidate Jaccard hist
+        "q_huber_mean_orders",             # frozen-scale IRLS scans
+        "emb_kmeans_embeddings",           # broadcast-centroid Lloyd
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings",
@@ -213,6 +215,7 @@ def main() -> None:
         "q_bh_fdr": table_rows["events"],
         "dq_digest": table_rows["orders"],
         "q_kendall": table_rows["events"],
+        "q_huber": table_rows["orders"],
     }
 
     def run(name: str) -> float:

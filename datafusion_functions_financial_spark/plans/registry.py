@@ -23,7 +23,7 @@ from ..functions import (
 from ..operators import (
     anomaly2, anomaly3, asof, blocking, bm25, boilerplate, bootstrap, cc,
     chunking,
-    concentration, corrmatrix,
+    concentration, corrmatrix, cosinedup,
     crossmodal,
     decontam, dedup, diff, digest, divergence,
     dq, dq2, dq3, dq4, embgeo, embnorm, embpca, embproj, embstats,
@@ -260,7 +260,7 @@ _MODULES = [
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
-    stats5, kmeans, sketch4, corrmatrix, stats6,
+    stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -326,6 +326,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # stats6: MK trend, Huber location, Ljung-Box
     "q_mann_kendall_events", "q_huber_mean_orders",
     "q_ljung_box_events",
+    # cosinedup: sparse TF-IDF cosine near-dup join
+    "dedup_tfidf_cosine_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

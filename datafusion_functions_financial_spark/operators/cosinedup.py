@@ -26,6 +26,16 @@ Recall contract: a pair is found iff the two docs SHARE one of their
 R rarest in-band terms — the standard blocking trade; raise R or
 DF_CAP to trade cost for recall (the candidate histogram operator in
 dedup.py tells you where the threshold should sit).
+
+Corpus caveat (same pathology the bench notes for simhash pairs):
+the driver's synthetic corpus has a ~31-term vocabulary, so at sf0.1
+even the rarest term's df is ~3.8k and NO term is block-eligible —
+the gate result is honestly empty there (both engines agree on the
+empty relation), while sf0.001/sf0.01 exercise ~300 verified pairs
+and the unit tests cover realistic vocabularies. On a real corpus
+(Zipf vocabulary) the rare tail is exactly where near-dup signal
+lives, which is why DF-capped prefix blocking is the standard
+technique.
 """
 
 from __future__ import annotations

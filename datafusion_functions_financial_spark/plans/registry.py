@@ -30,7 +30,7 @@ from ..operators import (
     embstats2,
     graph2, graph3,
     histogram,
-    incremental, interval, ivf, keywords, kmeans,
+    incremental, interval, ivf, kcenter, keywords, kmeans,
     linkage, microstructure, micro4, mlmetrics, multimodal,
     micro2, micro3, micro5, outliers, packing, pipeline, profile, qsketch,
     quality,
@@ -260,7 +260,7 @@ _MODULES = [
     # --- NEW after the r07 window froze: gate in r08. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
-    stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup,
+    stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -328,6 +328,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_ljung_box_events",
     # cosinedup: sparse TF-IDF cosine near-dup join
     "dedup_tfidf_cosine_documents",
+    # kcenter: farthest-first coreset selection
+    "emb_kcenter_embeddings",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

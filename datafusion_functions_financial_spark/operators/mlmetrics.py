@@ -53,7 +53,7 @@ from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
 
 __all__ = ["auc", "calibration_bins", "gains_lift", "threshold_metrics",
-           "bh_fdr_dow", "woe_iv"]
+           "bh_fdr_dow", "woe_iv", "stump_split"]
 
 Q = 10 ** 8
 QF = float(Q)
@@ -319,6 +319,63 @@ def threshold_metrics(df: DataFrame, score_col: str,
     )
 
 
+def stump_split(df: DataFrame, score_col: str,
+                label_expr: str) -> DataFrame:
+    """(i, thr, n_left, ig, is_best): information gain of the
+    decision stump ``score >= thr`` at the nine decile thresholds —
+    the single-feature split scorer (the inner loop of tree
+    training, and the quick "is this feature predictive at all"
+    check). ``ig = H(y) - [n_l/n H(y_l) + n_r/n H(y_r)]`` with the
+    binary entropy computed from exact BIGINT counts in one shared
+    expression; the best-split rank runs over the 9-row relation."""
+    rows = _labeled(df, score_col, label_expr)
+    ps = [i / 10 for i in range(1, 10)]
+    thr = (
+        rows.agg(F.expr(
+            f"percentile(__v, array({', '.join(map(repr, ps))}))"
+        ).alias("__qs"))
+        .select(F.posexplode("__qs").alias("__p", "__q"))
+        .select((F.col("__p") + 1).cast("bigint").alias("i"),
+                round_portable(F.col("__q"), 6).alias("thr"))
+    )
+    m = (
+        rows.crossJoin(F.broadcast(thr))
+        .groupBy("i", "thr")
+        .agg(
+            F.sum(F.expr("CASE WHEN __v < thr THEN 1 ELSE 0 END"))
+            .cast("bigint").alias("nl"),
+            F.sum(F.expr(
+                "CASE WHEN __v < thr AND __y = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint").alias("pl"),
+            F.sum(F.expr("CASE WHEN __v >= thr THEN 1 ELSE 0 END"))
+            .cast("bigint").alias("nr"),
+            F.sum(F.expr(
+                "CASE WHEN __v >= thr AND __y = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint").alias("pr"),
+        )
+    )
+
+    def h(p_num: str, n_den: str) -> str:
+        p = f"(CAST({p_num} AS DOUBLE) / CAST({n_den} AS DOUBLE))"
+        return (f"(CASE WHEN {p} <= 0.0 OR {p} >= 1.0 THEN 0.0 ELSE "
+                f"-({p}) * ln({p}) - (1.0 - {p}) * ln(1.0 - {p}) "
+                f"END)")
+
+    hp = h("pl + pr", "nl + nr")
+    hl = f"(CASE WHEN nl > 0 THEN {h('pl', 'nl')} ELSE 0.0 END)"
+    hr = f"(CASE WHEN nr > 0 THEN {h('pr', 'nr')} ELSE 0.0 END)"
+    ig = (f"({hp} - (CAST(nl AS DOUBLE) * {hl} "
+          f"+ CAST(nr AS DOUBLE) * {hr}) / CAST(nl + nr AS DOUBLE))")
+    scored = m.select(
+        "i", "thr", F.col("nl").alias("n_left"),
+        round_portable(F.expr(ig), 6).alias("ig"),
+    )
+    return scored.withColumn("is_best", F.expr(
+        "CAST(CASE WHEN CAST(row_number() OVER "
+        "(ORDER BY ig DESC, i ASC) AS BIGINT) = 1 "
+        "THEN 1 ELSE 0 END AS BIGINT)"))
+
+
 def bh_fdr_dow(df: DataFrame, us_col: str, group_expr: str,
                alpha: float = BH_ALPHA) -> DataFrame:
     """(grp, n, chi2, p_value, rnk, bh_crit, significant): per-group
@@ -548,6 +605,53 @@ FROM m
 """
 
 
+def _q_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stump_split(_two_class(spark, sf_dir), "value", _LABEL)
+
+
+def _stump_oracle() -> str:
+    rows = "\n  UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS i, "
+        f"{round_portable_duck(f'quantile_cont(v, {i / 10!r})', 6)}"
+        f" AS thr FROM v"
+        for i in range(1, 10))
+
+    def h(p_num: str, n_den: str) -> str:
+        p = f"(CAST({p_num} AS DOUBLE) / CAST({n_den} AS DOUBLE))"
+        return (f"(CASE WHEN {p} <= 0.0 OR {p} >= 1.0 THEN 0.0 ELSE "
+                f"-({p}) * ln({p}) - (1.0 - {p}) * ln(1.0 - {p}) "
+                f"END)")
+
+    hp = h("pl + pr", "nl + nr")
+    hl = f"(CASE WHEN nl > 0 THEN {h('pl', 'nl')} ELSE 0.0 END)"
+    hr = f"(CASE WHEN nr > 0 THEN {h('pr', 'nr')} ELSE 0.0 END)"
+    ig = (f"({hp} - (CAST(nl AS DOUBLE) * {hl} "
+          f"+ CAST(nr AS DOUBLE) * {hr}) / CAST(nl + nr AS DOUBLE))")
+    return f"""
+WITH {_DUCK_LABELED}, thr AS (
+  {rows}
+), m AS (
+  SELECT t.i, t.thr,
+    CAST(sum(CASE WHEN v < t.thr THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+    CAST(sum(CASE WHEN v < t.thr AND y = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS pl,
+    CAST(sum(CASE WHEN v >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+      AS nr,
+    CAST(sum(CASE WHEN v >= t.thr AND y = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS pr
+  FROM v CROSS JOIN thr t GROUP BY 1, 2
+), scored AS (
+  SELECT i, thr, nl AS n_left,
+    {round_portable_duck(ig, 6)} AS ig
+  FROM m
+)
+SELECT i, thr, n_left, ig,
+  CAST(CASE WHEN CAST(row_number() OVER (ORDER BY ig DESC, i ASC)
+    AS BIGINT) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM scored
+"""
+
+
 def _q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return bh_fdr_dow(ev, "ts DIV 1000", f"user_id % {BH_GROUPS}")
@@ -600,4 +704,5 @@ QUERIES: dict = {
     "q_threshold_metrics_events": (_q_thresholds, _thr_oracle()),
     "q_bh_fdr_events": (_q_bh_fdr, _ORACLE_BH_FDR),
     "q_woe_iv_events": (_q_woe_iv, _ORACLE_WOE_IV),
+    "q_stump_split_events": (_q_stump, _stump_oracle()),
 }

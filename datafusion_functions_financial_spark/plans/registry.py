@@ -34,7 +34,7 @@ from ..operators import (
     linkage, microstructure, micro4, mlmetrics, multimodal,
     micro2, micro3, micro5, outliers, packing, pipeline, profile, qsketch,
     quality,
-    quantile2, quantize, rfm,
+    quantile2, quantile3, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, spectral, stats2,
     stats3, stats4, stats5, stats6, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
@@ -261,6 +261,7 @@ _MODULES = [
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
     stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
+    quantile3,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -330,6 +331,10 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "dedup_tfidf_cosine_documents",
     # kcenter: farthest-first coreset selection
     "emb_kcenter_embeddings",
+    # quantile3: order-statistic median CI
+    "q_median_ci_orders",
+    # mlmetrics: decision-stump split scoring
+    "q_stump_split_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -36,7 +36,7 @@ from ..operators import (
     quality,
     quantile2, quantile3, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, spectral, stats2,
-    stats3, stats4, stats5, stats6, strsim,
+    stats3, stats4, stats5, stats6, stats7, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
@@ -261,7 +261,7 @@ _MODULES = [
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
     stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
-    quantile3,
+    quantile3, stats7,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -335,6 +335,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_median_ci_orders",
     # mlmetrics: decision-stump split scoring
     "q_stump_split_events",
+    # stats7: nonlinear dependence / two-sample energy
+    "q_distance_corr_events", "q_energy_distance_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

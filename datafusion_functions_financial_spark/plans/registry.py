@@ -31,7 +31,7 @@ from ..operators import (
     graph2, graph3,
     histogram,
     incremental, interval, ivf, kcenter, keywords, kmeans,
-    linkage, microstructure, micro4, mlmetrics, multimodal,
+    linkage, microstructure, micro4, mlmetrics, mmd, multimodal,
     micro2, micro3, micro5, outliers, packing, pipeline, profile, qsketch,
     quality,
     quantile2, quantile3, quantize, rfm,
@@ -261,7 +261,7 @@ _MODULES = [
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
     stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
-    quantile3, stats7,
+    quantile3, stats7, mmd,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -337,6 +337,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_stump_split_events",
     # stats7: nonlinear dependence / two-sample energy
     "q_distance_corr_events", "q_energy_distance_events",
+    # mmd: kernel two-sample shift test over embeddings
+    "emb_mmd_labels_embeddings",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

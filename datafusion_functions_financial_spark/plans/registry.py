@@ -36,7 +36,7 @@ from ..operators import (
     quality,
     quantile2, quantile3, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, spectral, stats2,
-    stats3, stats4, stats5, stats6, stats7, strsim,
+    stats3, stats4, stats5, stats6, stats7, stats8, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
@@ -261,7 +261,7 @@ _MODULES = [
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
     stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
-    quantile3, stats7, mmd,
+    quantile3, stats7, mmd, stats8,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -339,6 +339,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_distance_corr_events", "q_energy_distance_events",
     # mmd: kernel two-sample shift test over embeddings
     "emb_mmd_labels_embeddings",
+    # stats8: Wilson rate CI + effect-size panel
+    "dq_wilson_ci_events", "q_effect_sizes_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -219,3 +219,62 @@ QUERIES: dict = {
     "sample_systematic_orders": (_q_systematic, _ORACLE_SYSTEMATIC),
     "sample_neyman_orders": (_q_neyman, _ORACLE_NEYMAN),
 }
+
+
+# --------------------------------------------------------------------------
+# Effective sample size of a weighted mixture (Kish ESS)
+# --------------------------------------------------------------------------
+
+
+def effective_sample_size(df: DataFrame, weight_expr: str,
+                          group_col: str) -> DataFrame:
+    """(group, n, ess, ess_ratio): Kish's effective sample size
+    ``(sum w)^2 / sum w^2`` per group — how many EQUAL-weight
+    samples a weighted mixture is actually worth. ess_ratio near 1
+    means weights are flat; near 1/n means one row dominates. The
+    sanity gauge to run after any importance-weighted mixing step
+    (sampling.mix_proportions, temperature sampling). Exact BIGINT
+    weight sums; one map-combinable aggregate."""
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr(f"CAST(({weight_expr}) AS BIGINT)"))
+        .alias("__sw"),
+        F.sum(F.expr(
+            f"CAST(({weight_expr}) AS BIGINT) "
+            f"* CAST(({weight_expr}) AS BIGINT)")).alias("__sw2"),
+    )
+    ess = ("(CAST(__sw AS DOUBLE) * CAST(__sw AS DOUBLE) "
+           "/ CAST(__sw2 AS DOUBLE))")
+    return agg.select(
+        "grp", "n",
+        round_portable(F.expr(ess), 6).alias("ess"),
+        round_portable(F.expr(
+            f"{ess} / CAST(n AS DOUBLE)"), 6).alias("ess_ratio"),
+    )
+
+
+def _q_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return effective_sample_size(load(spark, sf_dir, "documents"),
+                                 "n_chars", "source")
+
+
+_ESS = ("(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) "
+        "/ CAST(sw2 AS DOUBLE))")
+
+_ORACLE_ESS = f"""
+WITH agg AS (
+  SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sw,
+    CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+      AS BIGINT) AS sw2
+  FROM documents GROUP BY 1
+)
+SELECT grp, n,
+  {round_portable_duck(_ESS, 6)} AS ess,
+  {round_portable_duck(f"{_ESS} / CAST(n AS DOUBLE)", 6)}
+    AS ess_ratio
+FROM agg
+"""
+
+
+QUERIES["sample_ess_documents"] = (_q_ess, _ORACLE_ESS)

@@ -223,6 +223,14 @@ PRIOR_GATED = frozenset({
 _PickSkewR07 = _pick(skew, "dq_key_skew_lineitem")
 _RestSkewR07 = _rest(skew, "dq_key_skew_lineitem")
 
+# sampling3 sits inside the frozen r07 window; its late ESS addition
+# must register PAST the window (r08 queue) without moving the two
+# window entries.
+_PickSampling3R07 = _pick(sampling3, "sample_systematic_orders",
+                          "sample_neyman_orders")
+_RestSampling3R07 = _rest(sampling3, "sample_systematic_orders",
+                          "sample_neyman_orders")
+
 _MODULES = [
     # --- r07 must-gate block: the 26-entry r06 queue (stats2,
     # spectral, micro3, graph2, quantile2, analytics7, key-skew) —
@@ -236,7 +244,7 @@ _MODULES = [
     # winnowing fingerprints + n-gram novelty, FD violations +
     # cardinality profile, systematic + Neyman sampling, centroid/
     # medoid embedding geometry, chi-square drift. ---
-    cc, qsketch, stats3, micro4, text4, dq3, sampling3, embgeo,
+    cc, qsketch, stats3, micro4, text4, dq3, _PickSampling3R07, embgeo,
     # --- past the window: all driver-green in r01-r06. ---
     analytics4, technical5, robustfit, rfm, embpca, dq2, sequences,
     forecast, sketch3, analytics5, embstats2, interval,
@@ -261,7 +269,7 @@ _MODULES = [
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
     stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
-    quantile3, stats7, mmd, stats8,
+    quantile3, stats7, mmd, stats8, _RestSampling3R07,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -341,6 +349,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "emb_mmd_labels_embeddings",
     # stats8: Wilson rate CI + effect-size panel
     "dq_wilson_ci_events", "q_effect_sizes_events",
+    # sampling3: Kish effective sample size
+    "sample_ess_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -35,7 +35,8 @@ from ..operators import (
     micro2, micro3, micro5, outliers, packing, pipeline, profile, qsketch,
     quality,
     quantile2, quantile3, quantize, rfm,
-    robustfit, rollup, sampling, sampling2, sampling3, spectral, stats2,
+    robustfit, rollup, sampling, sampling2, sampling3, simpson,
+    spectral, stats2,
     stats3, stats4, stats5, stats6, stats7, stats8, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
@@ -269,7 +270,7 @@ _MODULES = [
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
     stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
-    quantile3, stats7, mmd, stats8, _RestSampling3R07,
+    quantile3, stats7, mmd, stats8, _RestSampling3R07, simpson,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -351,6 +352,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "dq_wilson_ci_events", "q_effect_sizes_events",
     # sampling3: Kish effective sample size
     "sample_ess_documents",
+    # simpson: aggregation-trap audit + partial correlation
+    "dq_simpson_lineitem", "q_partial_corr_lineitem",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -21,7 +21,8 @@ from ..functions import (
     technical, technical2, technical3, technical4, technical5, technical6,
 )
 from ..operators import (
-    anomaly2, anomaly3, asof, blocking, bm25, boilerplate, bootstrap, cc,
+    anomaly2, anomaly3, asof, binseg, blocking, bm25, boilerplate,
+    bootstrap, cc,
     chunking,
     concentration, corrmatrix, cosinedup,
     crossmodal,
@@ -270,7 +271,7 @@ _MODULES = [
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
     stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
-    quantile3, stats7, mmd, stats8, _RestSampling3R07, simpson,
+    quantile3, stats7, mmd, stats8, _RestSampling3R07, simpson, binseg,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -354,6 +355,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "sample_ess_documents",
     # simpson: aggregation-trap audit + partial correlation
     "dq_simpson_lineitem", "q_partial_corr_lineitem",
+    # binseg: exact least-squares changepoint
+    "q_best_changepoint_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

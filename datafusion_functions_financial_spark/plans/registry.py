@@ -24,7 +24,7 @@ from ..operators import (
     anomaly2, anomaly3, asof, binseg, blocking, bm25, boilerplate,
     bootstrap, cc,
     chunking,
-    concentration, corrmatrix, cosinedup,
+    concentration, corrmatrix, cosinedup, cuped,
     crossmodal,
     decontam, dedup, diff, digest, divergence,
     dq, dq2, dq3, dq4, embgeo, embnorm, embpca, embproj, embstats,
@@ -272,6 +272,7 @@ _MODULES = [
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
     stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
     quantile3, stats7, mmd, stats8, _RestSampling3R07, simpson, binseg,
+    cuped,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -357,6 +358,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "dq_simpson_lineitem", "q_partial_corr_lineitem",
     # binseg: exact least-squares changepoint
     "q_best_changepoint_events",
+    # cuped: experimentation variance reduction
+    "q_cuped_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -21,8 +21,8 @@ from ..functions import (
     technical, technical2, technical3, technical4, technical5, technical6,
 )
 from ..operators import (
-    anomaly2, anomaly3, asof, binseg, blocking, bm25, boilerplate,
-    bootstrap, cc,
+    abtest, anomaly2, anomaly3, asof, binseg, blocking, bm25,
+    boilerplate, bootstrap, cc,
     chunking,
     concentration, corrmatrix, cosinedup, cuped,
     crossmodal,
@@ -272,7 +272,7 @@ _MODULES = [
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
     stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
     quantile3, stats7, mmd, stats8, _RestSampling3R07, simpson, binseg,
-    cuped,
+    cuped, abtest,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -360,6 +360,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_best_changepoint_events",
     # cuped: experimentation variance reduction
     "q_cuped_events",
+    # abtest: jackknife ratio SE + two-proportion z
+    "q_jackknife_ratio_events", "q_two_proportion_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -223,3 +223,132 @@ QUERIES: dict = {
     "q_jackknife_ratio_events": (_q_jackknife, _jk_oracle()),
     "q_two_proportion_events": (_q_two_prop, _ORACLE_TWO_PROP),
 }
+
+
+# --------------------------------------------------------------------------
+# Experiment design: required sample size, and the SRM guardrail
+# --------------------------------------------------------------------------
+
+Z_ALPHA = 1.959963984540054   # two-sided 5%
+Z_BETA = 0.8416212335729143   # 80% power
+
+
+def required_sample_size(df: DataFrame, arm_expr: str,
+                         hit_expr: str) -> DataFrame:
+    """One row (p_a, p_b, abs_lift, n_per_arm): the classical
+    two-proportion sample-size closed form evaluated at the OBSERVED
+    rates — "how many units per arm would this observed lift need to
+    reach 80% power at alpha 5%?". NULL when the observed lift is
+    zero (no finite answer)."""
+    s = df.agg(
+        F.sum(F.expr(f"CASE WHEN ({arm_expr}) = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("na"),
+        F.sum(F.expr(
+            f"CASE WHEN ({arm_expr}) = 0 AND ({hit_expr}) THEN 1 "
+            f"ELSE 0 END")).cast("bigint").alias("ha"),
+        F.sum(F.expr(f"CASE WHEN ({arm_expr}) = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("nb"),
+        F.sum(F.expr(
+            f"CASE WHEN ({arm_expr}) = 1 AND ({hit_expr}) THEN 1 "
+            f"ELSE 0 END")).cast("bigint").alias("hb"),
+    )
+    pa = "(CAST(ha AS DOUBLE) / CAST(na AS DOUBLE))"
+    pb = "(CAST(hb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    d = f"abs({pa} - {pb})"
+    n = (f"ceil(({Z_ALPHA!r} + {Z_BETA!r}) * ({Z_ALPHA!r} + {Z_BETA!r})"
+         f" * ({pa} * (1.0 - {pa}) + {pb} * (1.0 - {pb})) "
+         f"/ ({d} * {d}))")
+    return s.select(
+        round_portable(F.expr(pa), 6).alias("p_a"),
+        round_portable(F.expr(pb), 6).alias("p_b"),
+        round_portable(F.expr(d), 6).alias("abs_lift"),
+        F.expr(f"CASE WHEN {d} > 0.0 THEN CAST({n} AS BIGINT) END")
+        .alias("n_per_arm"),
+    )
+
+
+def srm_check(df: DataFrame, arm_expr: str) -> DataFrame:
+    """One row (n_a, n_b, z_srm, srm_flag): sample-ratio-mismatch
+    guardrail for a 50/50 split — z = (n_a - n_b)/sqrt(n), flag at
+    |z| > 3 (the conventional SRM alarm; an imbalanced assignment
+    invalidates the experiment before any metric is read)."""
+    s = df.agg(
+        F.sum(F.expr(f"CASE WHEN ({arm_expr}) = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("na"),
+        F.sum(F.expr(f"CASE WHEN ({arm_expr}) = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("nb"),
+    )
+    z = ("(CAST(na - nb AS DOUBLE) / sqrt(CAST(na + nb AS DOUBLE)))")
+    return s.select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        round_portable(F.expr(z), 6).alias("z_srm"),
+        F.expr(f"CAST(CASE WHEN abs({z}) > 3.0 THEN 1 ELSE 0 END "
+               "AS BIGINT)").alias("srm_flag"),
+    )
+
+
+def _q_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return required_sample_size(ev, "user_id % 2",
+                                "event_type = 'purchase'")
+
+
+_SS_PA = "(CAST(ha AS DOUBLE) / CAST(na AS DOUBLE))"
+_SS_PB = "(CAST(hb AS DOUBLE) / CAST(nb AS DOUBLE))"
+_SS_D = f"abs({_SS_PA} - {_SS_PB})"
+_SS_N = (f"ceil(({Z_ALPHA!r} + {Z_BETA!r}) * ({Z_ALPHA!r} + {Z_BETA!r})"
+         f" * ({_SS_PA} * (1.0 - {_SS_PA}) + {_SS_PB} "
+         f"* (1.0 - {_SS_PB})) / ({_SS_D} * {_SS_D}))")
+
+_ORACLE_SAMPLE_SIZE = f"""
+WITH s AS (
+  SELECT
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS na,
+    CAST(sum(CASE WHEN user_id % 2 = 0
+      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS ha,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS nb,
+    CAST(sum(CASE WHEN user_id % 2 = 1
+      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS hb
+  FROM events
+)
+SELECT
+  {round_portable_duck(_SS_PA, 6)} AS p_a,
+  {round_portable_duck(_SS_PB, 6)} AS p_b,
+  {round_portable_duck(_SS_D, 6)} AS abs_lift,
+  CASE WHEN {_SS_D} > 0.0 THEN CAST({_SS_N} AS BIGINT) END
+    AS n_per_arm
+FROM s
+"""
+
+
+def _q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return srm_check(ev, "user_id % 2")
+
+
+_SRM_Z = "(CAST(na - nb AS DOUBLE) / sqrt(CAST(na + nb AS DOUBLE)))"
+
+_ORACLE_SRM = f"""
+WITH s AS (
+  SELECT
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS na,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS nb
+  FROM events
+)
+SELECT na AS n_a, nb AS n_b,
+  {round_portable_duck(_SRM_Z, 6)} AS z_srm,
+  CAST(CASE WHEN abs({_SRM_Z}) > 3.0 THEN 1 ELSE 0 END AS BIGINT)
+    AS srm_flag
+FROM s
+"""
+
+
+QUERIES["q_sample_size_events"] = (_q_sample_size,
+                                   _ORACLE_SAMPLE_SIZE)
+QUERIES["dq_srm_events"] = (_q_srm, _ORACLE_SRM)

@@ -360,8 +360,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_best_changepoint_events",
     # cuped: experimentation variance reduction
     "q_cuped_events",
-    # abtest: jackknife ratio SE + two-proportion z
+    # abtest: jackknife ratio SE + two-proportion z + design
     "q_jackknife_ratio_events", "q_two_proportion_events",
+    "q_sample_size_events", "dq_srm_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -78,3 +78,53 @@ def test_two_proportion_z_matches_closed_form(spark):
     pa, pb, pp = 0.3, 0.2, 0.25
     z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
     assert row["z"] == pytest.approx(z, abs=1e-5)
+
+
+def test_sample_size_matches_closed_form(spark):
+    from datafusion_functions_financial_spark.operators.abtest import (
+        Z_ALPHA, Z_BETA, required_sample_size,
+    )
+    rows = []
+    uid = 0
+    for arm, hits in ((0, 30), (1, 20)):
+        for i in range(100):
+            et = "purchase" if i < hits else "click"
+            rows.append((uid * 2 + arm, et, 1.0))
+            uid += 1
+    df = _events_df(spark, rows)
+    [row] = required_sample_size(
+        df, "user_id % 2", "event_type = 'purchase'").collect()
+    pa, pb = 0.3, 0.2
+    want = math.ceil((Z_ALPHA + Z_BETA) ** 2
+                     * (pa * (1 - pa) + pb * (1 - pb))
+                     / (pa - pb) ** 2)
+    assert row["n_per_arm"] == want
+    assert row["abs_lift"] == pytest.approx(0.1)
+
+
+def test_sample_size_null_on_zero_lift(spark):
+    from datafusion_functions_financial_spark.operators.abtest import (
+        required_sample_size,
+    )
+    rows = [(u, "purchase" if u % 8 < 2 else "click", 1.0)
+            for u in range(400)]  # identical 25% rate in both arms
+    df = _events_df(spark, rows)
+    [row] = required_sample_size(
+        df, "user_id % 2", "event_type = 'purchase'").collect()
+    assert row["n_per_arm"] is None
+
+
+def test_srm_flags_imbalance(spark):
+    from datafusion_functions_financial_spark.operators.abtest import (
+        srm_check,
+    )
+    balanced = _events_df(
+        spark, [(u, "e", 1.0) for u in range(1000)])
+    [rb] = srm_check(balanced, "user_id % 2").collect()
+    assert rb["srm_flag"] == 0
+    skewed = _events_df(
+        spark, [(u, "e", 1.0) for u in range(1000)]
+        + [(2 * u, "e", 1.0) for u in range(200)])  # extra arm-0 rows
+    [rs] = srm_check(skewed, "user_id % 2").collect()
+    assert rs["srm_flag"] == 1
+    assert abs(rs["z_srm"]) > 3.0

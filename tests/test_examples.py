@@ -22,6 +22,7 @@ pytestmark = pytest.mark.slow
     "examples/quant_screen_demo.py",
     "examples/data_audit_demo.py",
     "examples/distribution_health_demo.py",
+    "examples/experimentation_demo.py",
 ])
 def test_example_runs(script):
     proc = subprocess.run(

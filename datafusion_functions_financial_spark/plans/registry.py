@@ -29,7 +29,7 @@ from ..operators import (
     decontam, dedup, diff, digest, divergence,
     dq, dq2, dq3, dq4, embgeo, embnorm, embpca, embproj, embstats,
     embstats2,
-    graph2, graph3,
+    graph2, graph3, graph4,
     histogram,
     incremental, interval, ivf, kcenter, keywords, kmeans,
     linkage, microstructure, micro4, mlmetrics, mmd, multimodal,
@@ -272,7 +272,7 @@ _MODULES = [
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
     stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
     quantile3, stats7, mmd, stats8, _RestSampling3R07, simpson, binseg,
-    cuped, abtest,
+    cuped, abtest, graph4,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -363,6 +363,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # abtest: jackknife ratio SE + two-proportion z + design
     "q_jackknife_ratio_events", "q_two_proportion_events",
     "q_sample_size_events", "dq_srm_events",
+    # graph4: attribute-partition modularity
+    "graph_modularity_parts",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

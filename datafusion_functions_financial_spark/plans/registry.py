@@ -42,7 +42,7 @@ from ..operators import (
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
-    text4, text5, text6, text7, tfidf,
+    text4, text5, text6, text7, text8, tfidf,
     vocab,
     wquantile,
 )
@@ -272,7 +272,7 @@ _MODULES = [
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
     stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
     quantile3, stats7, mmd, stats8, _RestSampling3R07, simpson, binseg,
-    cuped, abtest, graph4, text7,
+    cuped, abtest, graph4, text7, text8,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -367,6 +367,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "graph_modularity_parts",
     # text7: burstiness + Dunning keyness
     "text_burstiness_documents", "text_keyness_documents",
+    # text8: Heaps'-law fit
+    "text_heaps_law_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -369,3 +369,98 @@ QUERIES: dict = {
     "q_huber_mean_orders": (_q_huber, _huber_oracle()),
     "q_ljung_box_events": (_q_ljung_box, _lb_oracle()),
 }
+
+
+# --------------------------------------------------------------------------
+# Seasonal strength: day-of-week eta-squared over the daily means
+# --------------------------------------------------------------------------
+
+
+def seasonal_strength(df: DataFrame, value_col: str, key: str,
+                      us_col: str) -> DataFrame:
+    """(key, n_days, eta2): share of daily-mean variance explained by
+    the day-of-week — the seasonality EFFECT SIZE (the dow ANOVA's F
+    says "significant", eta² says "how much"). Weekday buckets are
+    epoch-day mod 7, so no calendar translation enters the compare;
+    both sums of squares come from quantized BIGINTs."""
+    daily = _daily(df, value_col, key, us_col).withColumn(
+        "__dow", F.expr("__d % 7"))
+    qm = f"CAST(round(__m * {Q}) AS BIGINT)"
+    qmm = f"CAST(round(__m * __m * {QYY}) AS BIGINT)"
+    per_dow = daily.groupBy(key, "__dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nd"),
+        F.sum(F.expr(qm)).alias("__sd"),
+    )
+    per_key = daily.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.expr(qm)).alias("__s"),
+        F.sum(F.expr(qmm)).alias("__ss"),
+    )
+    # SS_between = sum_d nd*(md - mbar)^2 = sum_d sd^2/nd/Q^2 - n*mbar^2
+    bet = per_dow.groupBy(key).agg(
+        F.sum(F.expr(
+            f"CAST(round(CAST(__sd AS DOUBLE) "
+            f"* CAST(__sd AS DOUBLE) / CAST(__nd AS DOUBLE) "
+            f"/ {float(Q)!r} / {float(Q)!r} * {QYY}) AS BIGINT)"
+        )).alias("__bq"))
+    mbar = f"(CAST(__s AS DOUBLE) / (CAST(n_days AS DOUBLE) * {float(Q)!r}))"
+    ss_tot = (f"(CAST(__ss AS DOUBLE) / {float(QYY)!r} "
+              f"- CAST(n_days AS DOUBLE) * {mbar} * {mbar})")
+    ss_bet = (f"(CAST(__bq AS DOUBLE) / {float(QYY)!r} "
+              f"- CAST(n_days AS DOUBLE) * {mbar} * {mbar})")
+    return (
+        per_key.join(bet, key)
+        .select(
+            F.col(key), "n_days",
+            round_portable(F.expr(
+                f"CASE WHEN {ss_tot} > 0.0 THEN ({ss_bet}) / ({ss_tot}) "
+                f"ELSE 0.0 END"), 6).alias("eta2"),
+        )
+    )
+
+
+def _q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "__us", F.expr("ts DIV 1000"))
+    return seasonal_strength(ev, "value", "event_type", "__us")
+
+
+_SS_MBAR = (f"(CAST(s AS DOUBLE) / (CAST(n_days AS DOUBLE) "
+            f"* {float(Q)!r}))")
+_SS_TOT = (f"(CAST(ss AS DOUBLE) / {float(QYY)!r} "
+           f"- CAST(n_days AS DOUBLE) * {_SS_MBAR} * {_SS_MBAR})")
+_SS_BET = (f"(CAST(bq AS DOUBLE) / {float(QYY)!r} "
+           f"- CAST(n_days AS DOUBLE) * {_SS_MBAR} * {_SS_MBAR})")
+
+_ORACLE_SEASONAL_STRENGTH = f"""
+WITH daily AS ({_DUCK_DAILY}), dd AS (
+  SELECT event_type, d % 7 AS dow, m,
+    CAST(round(m * {Q}) AS BIGINT) AS qm,
+    CAST(round(m * m * {QYY}) AS BIGINT) AS qmm
+  FROM daily
+), per_dow AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nd,
+    CAST(sum(qm) AS BIGINT) AS sd
+  FROM dd GROUP BY 1, 2
+), per_key AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(qm) AS BIGINT) AS s,
+    CAST(sum(qmm) AS BIGINT) AS ss
+  FROM dd GROUP BY 1
+), bet AS (
+  SELECT event_type,
+    CAST(sum(CAST(round(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+      / CAST(nd AS DOUBLE) / {float(Q)!r} / {float(Q)!r} * {QYY})
+      AS BIGINT)) AS BIGINT) AS bq
+  FROM per_dow GROUP BY 1
+)
+SELECT k.event_type, k.n_days,
+  {round_portable_duck(
+      f"CASE WHEN {_SS_TOT} > 0.0 THEN ({_SS_BET}) / ({_SS_TOT}) "
+      f"ELSE 0.0 END", 6)} AS eta2
+FROM per_key k JOIN bet b ON k.event_type = b.event_type
+"""
+
+
+QUERIES["q_seasonal_strength_events"] = (
+    _q_seasonal_strength, _ORACLE_SEASONAL_STRENGTH)

@@ -32,7 +32,8 @@ from ..operators import (
     graph2, graph3, graph4,
     histogram,
     incremental, interval, ivf, kcenter, keywords, kmeans,
-    linkage, microstructure, micro4, mlmetrics, mmd, multimodal,
+    linkage, markov2, microstructure, micro4, mlmetrics, mmd,
+    multimodal,
     micro2, micro3, micro5, outliers, packing, pipeline, profile, qsketch,
     quality,
     quantile2, quantile3, quantize, rfm,
@@ -272,7 +273,7 @@ _MODULES = [
     risk2, micro5, graph3, text6, dq4, analytics8, mlmetrics, digest,
     stats5, kmeans, sketch4, corrmatrix, stats6, cosinedup, kcenter,
     quantile3, stats7, mmd, stats8, _RestSampling3R07, simpson, binseg,
-    cuped, abtest, graph4, text7, text8,
+    cuped, abtest, graph4, text7, text8, markov2,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -369,6 +370,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "text_burstiness_documents", "text_keyness_documents",
     # text8: Heaps'-law fit
     "text_heaps_law_documents",
+    # markov2 + stats6 late: stationary distribution, seasonal eta2
+    "q_markov_stationary_events", "q_seasonal_strength_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

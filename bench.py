@@ -264,16 +264,20 @@ def main() -> None:
     from pyspark.sql import functions as SF
 
     from datafusion_functions_financial_spark.operators.ivf import (
-        cosine_topk_ivf, ivf_index,
+        cosine_topk_ivf, ivf_index, ivf_params,
     )
     from datafusion_functions_financial_spark.operators.similarity import (
-        DIM, cosine_topk, cosine_topk_lsh, lsh_buckets,
+        DIM, cosine_topk, cosine_topk_lsh, lsh_buckets, lsh_params,
     )
 
     # SPARK_GRAFT_ANN_N lets a smoke run shrink (or skip via small N)
     # the audit without touching the headline suite.
     ANN_N = int(os.environ.get("SPARK_GRAFT_ANN_N", "100000"))
-    ANN_NQ, ANN_SEED_MOD = 16, 2048
+    ANN_NQ = 16
+    # Scale-aware sizing (VERDICT r07 item 2): K ~ sqrt(n) cells and
+    # nprobe from the measured worst-case recall curve, instead of the
+    # fixed seed_mod=2048/nprobe=4 that gave recall 0.325 at 100K.
+    ANN_SEED_MOD, ANN_NPROBE = ivf_params(ANN_N, target_recall=0.75)
     t0 = time.perf_counter()
     vecs = spark.range(ANN_N).repartition(2 * int(cpus)).selectExpr(
         "id AS vec_id",
@@ -309,12 +313,17 @@ def main() -> None:
         cosine_topk(vecs, qs))
     ann_timings["ann100k_lsh"], lsh_res = run_ck(
         cosine_topk_lsh(vecs, qs, use_arrow=True))
+    ANN_PLANES = lsh_params(ANN_N)
+    ann_timings["ann100k_lsh_multiprobe"], lshm_res = run_ck(
+        cosine_topk_lsh(vecs, qs, use_arrow=True, planes=ANN_PLANES,
+                        multiprobe=True))
     t0 = time.perf_counter()
     index = ivf_index(vecs, seed_mod=ANN_SEED_MOD)
     index = (index[0], index[1].localCheckpoint())
     ann_timings["ann100k_ivf_build"] = round(time.perf_counter() - t0, 3)
     ann_timings["ann100k_ivf_query"], ivf_res = run_ck(
-        cosine_topk_ivf(vecs, qs, seed_mod=ANN_SEED_MOD, index=index))
+        cosine_topk_ivf(vecs, qs, seed_mod=ANN_SEED_MOD,
+                        nprobe=ANN_NPROBE, index=index))
 
     # Recall@5 vs the exact brute-force top-5 (VERDICT r06 item 4):
     # candidates-per-query measures pruning; this measures whether the
@@ -337,8 +346,11 @@ def main() -> None:
     ann["recall_at_5"] = {
         "baseline": "bruteforce_top5",
         "lsh": _recall(_top5(lsh_res)),
+        "lsh_multiprobe": _recall(_top5(lshm_res)),
         "ivf": _recall(_top5(ivf_res)),
     }
+    ann["ivf_params"] = {"seed_mod": ANN_SEED_MOD, "nprobe": ANN_NPROBE}
+    ann["lsh_multiprobe_planes"] = ANN_PLANES
     ann["timing_method"] = "localCheckpoint"  # was noop write (<=r06)
     # Candidates per query: the measured pruning claim. Brute force
     # scores the whole corpus; LSH scores its bucket; IVF scores its

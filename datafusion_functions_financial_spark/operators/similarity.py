@@ -132,16 +132,29 @@ def _plane_component(p: str, i: str) -> str:
     )
 
 
-def _bucket_spark(vec: str) -> str:
+def _bucket_spark(vec: str, planes: int = N_PLANES) -> str:
     dot = (
         f"aggregate(zip_with({vec}, transform(sequence(0, {DIM - 1}), "
         f"i -> {_plane_component('p', 'i')}), "
         f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)"
     )
     return (
-        f"array_join(transform(sequence(0, {N_PLANES - 1}), p -> "
+        f"array_join(transform(sequence(0, {planes - 1}), p -> "
         f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END), '')"
     )
+
+
+def lsh_params(n: int, target_bucket: int = 256) -> int:
+    """Scale-aware plane count: fixed N_PLANES means bucket occupancy
+    (and so the per-query candidate cost) grows linearly with the
+    corpus — at 100K vectors the 2^8 buckets held ~390 vectors each.
+    Sizing planes = log2(n / target_bucket) keeps the expected bucket
+    near ``target_bucket`` rows at any corpus size; recall is then
+    recovered with multi-probe (``cosine_topk_lsh(multiprobe=True)``)
+    rather than by letting buckets bloat."""
+    import math
+
+    return max(4, int(round(math.log2(max(2.0, n / float(target_bucket))))))
 
 
 def _bucket_duck(vec: str) -> str:
@@ -159,7 +172,8 @@ def _bucket_duck(vec: str) -> str:
 
 def lsh_buckets(vectors: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding",
-                use_arrow: bool = False) -> DataFrame:
+                use_arrow: bool = False,
+                planes: int = N_PLANES) -> DataFrame:
     """(vec_id, embedding, bucket): sign-random-projection bucket per
     vector, as an ``N_PLANES``-char '0'/'1' string.
 
@@ -171,18 +185,18 @@ def lsh_buckets(vectors: DataFrame, id_col: str = "vec_id",
     Catalyst default stays because the DuckDB oracles mirror its
     expression text; the Arrow path is the 100 TB scan shape."""
     if use_arrow:
-        sig_udf = fasthash.make_band_sig_udf(1, N_PLANES, DIM)
+        sig_udf = fasthash.make_band_sig_udf(1, planes, DIM)
         return vectors.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
             sig_udf(F.col(vec_col)).alias("__sig"),
         ).selectExpr(
             "vec_id", "embedding",
-            f"lpad(bin(__sig[0]), {N_PLANES}, '0') AS bucket",
+            f"lpad(bin(__sig[0]), {planes}, '0') AS bucket",
         )
     return vectors.selectExpr(
         f"{id_col} AS vec_id", f"{vec_col} AS embedding",
-        f"{_bucket_spark(vec_col)} AS bucket",
+        f"{_bucket_spark(vec_col, planes)} AS bucket",
     )
 
 
@@ -193,16 +207,36 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool = False,
+    planes: int = N_PLANES,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN: candidates restricted to the query's LSH bucket.
     ``use_arrow`` selects the vectorized bucket path (see
-    ``lsh_buckets``) — identical buckets, identical output."""
-    v = lsh_buckets(vectors, id_col, vec_col, use_arrow).selectExpr(
+    ``lsh_buckets``) — identical buckets, identical output.
+
+    ``multiprobe=True`` additionally probes every Hamming-distance-1
+    bucket (each single-plane sign flip), the standard multi-probe LSH
+    move (Lv et al., VLDB'07): (planes + 1)x the candidates for a
+    recall jump without rebuilding the index. The probe relation stays
+    query-side and broadcast — corpus rows still hash once."""
+    v = lsh_buckets(vectors, id_col, vec_col, use_arrow, planes).selectExpr(
         "vec_id AS n_id", "embedding AS n_vec", "bucket"
     )
-    q = lsh_buckets(queries, id_col, vec_col, use_arrow).selectExpr(
+    q = lsh_buckets(queries, id_col, vec_col, use_arrow, planes).selectExpr(
         "vec_id AS q_id", "embedding AS q_vec", "bucket"
     )
+    if multiprobe:
+        flips = (
+            f"transform(sequence(1, {planes}), p -> "
+            f"concat(substring(bucket, 1, p - 1), "
+            f"CASE WHEN substring(bucket, p, 1) = '1' "
+            f"THEN '0' ELSE '1' END, "
+            f"substring(bucket, p + 1, {planes})))"
+        )
+        q = q.selectExpr(
+            "q_id", "q_vec",
+            f"explode(concat(array(bucket), {flips})) AS bucket",
+        )
     joined = v.join(F.broadcast(q), "bucket").filter("q_id != n_id")
     scored = joined.select(
         "q_id", "n_id",

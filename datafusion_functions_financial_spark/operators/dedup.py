@@ -815,25 +815,55 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 # ==========================================================================
 
 
+# Above this many near-dup edges, dedup_clusters switches from
+# min-label propagation (rounds ~ cluster diameter — fine for the
+# shallow clusters LSH produces, but O(diameter) joins over a large
+# edge set) to the large-star/small-star alternation (O(log^2 n)
+# rounds regardless of diameter; ``operators/cc.py``, Kiveris et al.
+# SoCC'14). Proven equal on both branches in
+# ``tests/test_dedup.py::test_dedup_clusters_strategies_agree``.
+CC_EDGE_THRESHOLD = 100_000
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 50,
+    strategy: str = "auto",
+    cc_edge_threshold: int = CC_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters: every doc labeled with the
-    smallest reachable doc id (connected components via iterative
-    min-label propagation); ``is_kept`` marks the cluster canonical.
+    smallest reachable doc id (connected components); ``is_kept`` marks
+    the cluster canonical.
 
-    Scale: each round is one join + groupBy over the EDGE set (near-dup
-    pairs — tiny relative to the corpus); rounds ~ O(cluster diameter),
-    which for dup clusters is almost always <= 3. The corpus-sized
-    label table joins the aggregated neighbor-min, not raw edges.
+    ``strategy``: ``"labelprop"`` (min-label propagation — each round
+    is one join + groupBy over the EDGE set; rounds ~ O(cluster
+    diameter), almost always <= 3 for LSH dup clusters),
+    ``"cc"`` (large-star/small-star — O(log^2 n) rounds independent of
+    diameter, the 100 TB-safe closer for adversarially deep chains),
+    or ``"auto"`` (default): labelprop below ``cc_edge_threshold``
+    edges, cc above. The corpus-sized label table only ever joins
+    aggregated per-node minima, never raw edges, on either branch.
     """
-    # Materialize the edge set once — label propagation iterates over it
+    # Materialize the edge set once — both strategies iterate over it
     # and would otherwise re-execute the entire pair-generation pipeline
     # (e.g. MinHash-LSH) every round.
     pairs = pairs.localCheckpoint()
+    if strategy == "auto":
+        strategy = "cc" if pairs.count() > cc_edge_threshold \
+            else "labelprop"
+    if strategy == "cc":
+        from .cc import connected_components
+
+        labels = connected_components(
+            df.selectExpr(f"{id_col} AS id"), pairs,
+            "id", "id_a", "id_b")
+        return labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            (F.col("node") == F.col("component")).alias("is_kept"),
+        )
     edges = pairs.selectExpr("id_a AS src", "id_b AS dst").union(
         pairs.selectExpr("id_b AS src", "id_a AS dst")
     )

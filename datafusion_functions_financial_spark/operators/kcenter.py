@@ -50,24 +50,69 @@ def _lit_array(vec) -> str:
     return "array(" + ", ".join(repr(float(x)) for x in vec) + ")"
 
 
-def kcenter_select(df: DataFrame, vec_col: str = "embedding",
-                   id_col: str = "vec_id", k: int = K) -> DataFrame:
-    """(rank, vec_id, sel_dist): the farthest-first selection
-    sequence. k bounded driver round-trips (one argmax row each)."""
-    spark = df.sparkSession
-    emb = df.select(F.col(id_col).alias("vec_id"),
-                    F.expr(f"transform({vec_col}, "
-                           f"x -> CAST(x AS DOUBLE))").alias("embedding"))
-    seed = emb.orderBy("vec_id").limit(1).collect()[0]
-    centers = [(int(seed["vec_id"]), list(seed["embedding"]))]
-    out = [(1, centers[0][0], None)]
-    for rank in range(2, k + 1):
+# Above this many centers the per-round min-distance expression stops
+# being an inlined ``least(fold_1, ..., fold_i)`` over literal center
+# arrays (whose expression tree grows O(k * dim) and eventually hits
+# Catalyst's expression-size limits) and becomes a broadcast crossJoin
+# against the i-row centers relation + groupBy-min (plan size constant
+# in k; same arithmetic, same tie order). See SCALING.md §"k-center".
+JOIN_METHOD_THRESHOLD = 100
+
+
+def _min_dist(emb: DataFrame, centers: list, method: str) -> DataFrame:
+    """(vec_id, __d): each vector's min squared distance to ``centers``.
+
+    ``method="literal"`` inlines each center as a literal array in one
+    ``least(...)`` expression — zero shuffle, but the expression tree
+    grows with len(centers). ``method="join"`` broadcasts the centers
+    as a relation and takes ``groupBy(vec_id).min`` — the min over the
+    identical per-pair fold values, so bit-identical results (min is
+    exact; no accumulation-order sensitivity)."""
+    if method == "literal":
         mind = "least(" + ", ".join(
             _SQDIST.format(b=_lit_array(vec)) for _cid, vec in centers
         ) + ")" if len(centers) > 1 else _SQDIST.format(
             b=_lit_array(centers[0][1]))
+        return emb.withColumn("__d", F.expr(mind))
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centers],
+        "cid long, cvec array<double>")
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.expr(_SQDIST.format(b="cvec")).alias("__pd"),
+    )
+    return emb.join(
+        scored.groupBy("vec_id").agg(F.min("__pd").alias("__d")),
+        "vec_id")
+
+
+def kcenter_select(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", k: int = K,
+                   method: str = "auto") -> DataFrame:
+    """(rank, vec_id, sel_dist): the farthest-first selection
+    sequence. k bounded driver round-trips (one argmax row each).
+
+    ``method``: ``"literal"`` / ``"join"`` select the min-distance
+    plan shape (see ``_min_dist``); ``"auto"`` uses literal folds
+    below ``JOIN_METHOD_THRESHOLD`` centers and the broadcast-join
+    path beyond it. Both proven equal in
+    ``tests/test_kcenter.py::test_kcenter_methods_agree``."""
+    spark = df.sparkSession
+    emb = df.select(F.col(id_col).alias("vec_id"),
+                    F.expr(f"transform({vec_col}, "
+                           f"x -> CAST(x AS DOUBLE))").alias("embedding"))
+    if method == "auto" and k > JOIN_METHOD_THRESHOLD:
+        # the rounds past the threshold dominate; use one shape for all
+        method = "join"
+    elif method == "auto":
+        method = "literal"
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(int(seed["vec_id"]), list(seed["embedding"]))]
+    out = [(1, centers[0][0], None)]
+    for rank in range(2, k + 1):
         pick = (
-            emb.withColumn("__d", F.expr(mind))
+            _min_dist(emb, centers, method)
             .agg(F.max(F.struct(
                 F.col("__d").alias("d"),
                 (-F.col("vec_id")).alias("nid"),

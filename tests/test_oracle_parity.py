@@ -79,8 +79,39 @@ _SLOW_PARITY = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Rotating shard (VERDICT r07 item 4): the full-registry parity net
+# grows linearly with pairs (366 pairs ~ 12-14 min default suite at
+# r07), so each DEFAULT run executes a rotating ~40% of pairs — 2 of 5
+# crc32 buckets, advanced daily — while ``-m slow`` still runs every
+# pair and every round-close driver-contract sweep covers the full
+# registry at sf0.01+. Reproduce any day's selection with
+# ``SPARK_GRAFT_PARITY_SHARD=<n>``; run one name regardless of shard
+# with ``pytest "tests/test_oracle_parity.py::test_query_matches_oracle[<name>]" -m ''``;
+# run everything with ``SPARK_GRAFT_PARITY_SHARD=all``.
+# ---------------------------------------------------------------------------
+
+import datetime
+import os
+import zlib
+
+_N_BUCKETS = 5
+_BUCKETS_PER_RUN = 2
+_shard_env = os.environ.get("SPARK_GRAFT_PARITY_SHARD", "")
+_SHARD_ALL = _shard_env == "all"
+_SHARD = (int(_shard_env) if _shard_env and not _SHARD_ALL
+          else datetime.date.today().toordinal())
+_ACTIVE = {(_SHARD + i) % _N_BUCKETS for i in range(_BUCKETS_PER_RUN)}
+
+
+def _in_shard(name: str) -> bool:
+    return _SHARD_ALL or (zlib.crc32(name.encode()) % _N_BUCKETS
+                          in _ACTIVE)
+
+
 @pytest.mark.parametrize("name", [
-    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY
+    pytest.param(n, marks=pytest.mark.slow)
+    if (n in _SLOW_PARITY or not _in_shard(n))
     else n
     for n in sorted(_QUERIES)
 ])

@@ -123,7 +123,11 @@ def distributed_median(df: DataFrame, value_col: str, group_col: str,
     (pass 1 collects one (min, max, n) row per group) — enforced via
     ``max_groups``. Degenerate groups/buckets (min == max) resolve
     without ranking. Group keys may be any orderable dtype (the
-    broadcast frames reuse the input schema's field types)."""
+    broadcast frames reuse the input schema's field types).
+    For high-cardinality groups past ``max_groups``, use the fully
+    distributed ``qsketch`` path (no driver state, bucket-width
+    error) or pre-aggregate to a coarser key — the failure mode and
+    contract are documented in SCALING.md §"r08 notes"."""
     spark = df.sparkSession
     gfield = df.schema[group_col]
     vfield = df.schema[value_col]

@@ -33,7 +33,12 @@ def median_ci(df: DataFrame, value_col: str, group_col: str,
     """(group, n, ci_lo, median, ci_hi): the exact median (mean of
     the two middle order statistics) with the rank-based ~95% CI
     ``[x_(l), x_(u)]``, l = floor((n - z√n)/2) clamped to 1,
-    u = ceil(1 + (n + z√n)/2) clamped to n."""
+    u = ceil(1 + (n + z√n)/2) clamped to n.
+
+    Scale note (SCALING.md §"r08 notes"): the per-group row_number
+    sort is spill-backed (a hot group is slow, not fatal); for
+    billion-row groups prefer ``quantile2.distributed_median`` and
+    derive the CI ranks from its histogram passes."""
     base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__x"),
         F.col(id_col).alias("__id"))

@@ -151,7 +151,13 @@ def huber_location(df: DataFrame, value_col: str, group_col: str,
     ``m <- sum(w x)/sum(w)`` with w = min(1, t/|x - m|). Weighted
     sums quantize per-term to BIGINT, so each step's location is an
     exact rational — iteration k starts bit-identical everywhere.
-    Degenerate groups (MAD = 0) return the median."""
+    Degenerate groups (MAD = 0) return the median.
+
+    Scale precondition (SCALING.md §"r08 notes"): the exact
+    ``percentile()`` seeds buffer each group's values in aggregate
+    memory — per-group cardinality must fit one task's heap. For
+    billion-row groups use ``qsketch`` registers or
+    ``quantile2.distributed_median`` for the seeds instead."""
     base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__x"))
     med = base.groupBy("__g").agg(

@@ -92,6 +92,26 @@ def test_squantiles_stream_replay_equals_batch(spark, tmp_path):
         ["window_start", "p"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(qs_stream, qs_batch)
 
+    # VERDICT r07 item 7 — reconcile the STREAM state with the batch
+    # mergeable sketch directly: the replayed per-window registers are
+    # partial sketches on the shared grid, so qsketch.merge_sketches
+    # over them must equal qsketch.build_sketch on the full batch
+    # bit-for-bit, and the extracted quantiles must agree.
+    from datafusion_functions_financial_spark.operators import qsketch
+
+    merged = qsketch.merge_sketches(got.select("__b", "__c"), [])
+    bounds = spark.createDataFrame([(LO, HI)],
+                                   "__lo double, __hi double")
+    direct = qsketch.build_sketch(_ticks(spark), "value", [], bounds,
+                                  n_buckets=B)
+    reg = lambda df: sorted((r["__b"], r["__c"]) for r in df.collect())
+    assert reg(merged) == reg(direct)
+    qfrom = lambda sk: sorted(
+        (r["p"], r["est"], r["n"])
+        for r in qsketch.sketch_quantiles(sk, [], PS, bounds,
+                                          n_buckets=B).collect())
+    assert qfrom(merged) == qfrom(direct)
+
 
 def test_windowed_quantiles_are_order_statistics(spark):
     # 0..63 uniformly in one window with the grid aligned to integers:

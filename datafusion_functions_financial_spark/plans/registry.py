@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from . import (
     analytics, analytics2, analytics3, analytics4, analytics5, analytics6,
-    analytics7, analytics8,
+    analytics7, analytics8, analytics9,
     enrich,
     funnel, indicator_queries,
     portfolio, sequences, signals, validate,
@@ -329,6 +329,9 @@ _MODULES = [
     incremental, tfidf, quantize, boilerplate, bm25,
     packing, divergence,
     technical, chunking, _RestVocabR08, histogram, quality, enrich,
+    # --- NEW in r08 (past the window): TPC-H Q5/Q7/Q8/Q10/Q14/Q15/
+    # Q17/Q18/Q22 join shapes — gate in r09. ---
+    analytics9,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -367,6 +370,12 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "text_heaps_law_documents",
     # markov2: stationary distribution
     "q_markov_stationary_events",
+    # analytics9: TPC-H join shapes (added r08, past the window)
+    "q_local_supplier_volume_nations", "q_volume_shipping_nations",
+    "q_market_share_parts", "q_returned_items_customers",
+    "q_promo_revenue_parts", "q_top_supplier_revenue",
+    "q_small_qty_revenue_lineitem", "q_large_volume_customers",
+    "q_lapsed_high_balance_customers",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

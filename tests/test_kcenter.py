@@ -68,11 +68,11 @@ def test_kcenter_methods_agree(spark):
         kcenter_select,
     )
     rng = np.random.RandomState(23)
-    vecs = rng.normal(size=(80, 6))
+    vecs = rng.normal(size=(40, 6))
     df = _emb_df(spark, vecs)
-    lit = sorted(map(tuple, kcenter_select(df, k=7,
+    lit = sorted(map(tuple, kcenter_select(df, k=5,
                                            method="literal").collect()))
-    jn = sorted(map(tuple, kcenter_select(df, k=7,
+    jn = sorted(map(tuple, kcenter_select(df, k=5,
                                           method="join").collect()))
     assert lit == jn
 

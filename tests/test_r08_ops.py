@@ -417,6 +417,8 @@ def test_hapax_profile_manual(spark):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # 22s: the full numpy eigen cross-check; the gate
+# query + parity net keep PC2 covered in the default selection
 def test_pca2_orthogonal_and_matches_numpy(spark):
     """Synthetic corpus with two dominant directions: after enough
     iterations the two loadings align with numpy's top-2 eigenvectors

@@ -153,11 +153,19 @@ def _nearest(vectors: DataFrame, cents: DataFrame, cent_id: str,
     return scored.withColumn("rn", w).filter(F.col("rn") <= keep)
 
 
+# Above this many cells the matrix assignment path (which collects
+# all K centroids driver-side for the vectorized one-pass scorer)
+# stops being a bounded collect; ``ivf_index``/``cosine_topk_ivf_auto``
+# switch to the broadcast-join scorer past it.
+MATRIX_METHOD_MAX_CELLS = 100_000
+
+
 def ivf_index(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_mod: int = IVF_SEED_MOD,
+    method: str = "matrix",
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: returns ``(centroids, cells)``.
 
@@ -166,13 +174,17 @@ def ivf_index(
     components (see module docstring).
     ``cells``: vec_id, embedding, cell_id — the inverted lists (each
     vector assigned to its nearest refined centroid).
+    ``method``: assignment plan shape (see ``_nearest``) — "matrix"
+    collects the K centroids driver-side (bounded while K <=
+    ``MATRIX_METHOD_MAX_CELLS``); "join" stays fully distributed.
     """
     v = vectors.selectExpr(f"{id_col} AS vec_id",
                            f"{vec_col} AS embedding")
     seeds = v.filter(F.col("vec_id") % seed_mod == 0).selectExpr(
         "vec_id AS seed_id", "embedding AS seed_vec"
     )
-    m1 = _nearest(v, seeds, "seed_id", "seed_vec", 1).selectExpr(
+    m1 = _nearest(v, seeds, "seed_id", "seed_vec", 1,
+                  method=method).selectExpr(
         "vec_id", "embedding", "seed_id AS cell_id"
     )
     comp = m1.select(
@@ -201,7 +213,8 @@ def ivf_index(
     # they are K rows — checkpoint so the seed-assignment pipeline
     # does not re-execute per reference.
     cents = cents.localCheckpoint()
-    cells = _nearest(v, cents, "cell_id", "centroid", 1).select(
+    cells = _nearest(v, cents, "cell_id", "centroid", 1,
+                     method=method).select(
         "vec_id", "embedding", F.col("cell_id").alias("cell")
     ).selectExpr("vec_id", "embedding", "cell AS cell_id")
     return cents, cells
@@ -216,6 +229,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     seed_mod: int = IVF_SEED_MOD,
     index: tuple[DataFrame, DataFrame] | None = None,
+    method: str = "matrix",
 ) -> DataFrame:
     """ANN top-k: candidates restricted to each query's ``nprobe``
     nearest IVF cells, ranked by exact cosine.
@@ -225,10 +239,11 @@ def cosine_topk_ivf(
     production shape (build once, persist cells partitioned by
     cell_id, probe many times)."""
     cents, cells = index if index is not None else ivf_index(
-        vectors, id_col, vec_col, seed_mod)
+        vectors, id_col, vec_col, seed_mod, method)
     q = queries.selectExpr(f"{id_col} AS vec_id",
                            f"{vec_col} AS embedding")
-    probes = _nearest(q, cents, "cell_id", "centroid", nprobe).selectExpr(
+    probes = _nearest(q, cents, "cell_id", "centroid", nprobe,
+                      method=method).selectExpr(
         "vec_id AS q_id", "embedding AS q_vec", "cell_id"
     )
     cand = cells.join(F.broadcast(probes), "cell_id").filter(
@@ -267,11 +282,17 @@ def cosine_topk_ivf_auto(
     if n is None:
         n = vectors.count()
     seed_mod, nprobe = ivf_params(n, target_recall)
+    # K ~ sqrt(n): past MATRIX_METHOD_MAX_CELLS cells the driver-side
+    # centroid collect stops being bounded — build fully distributed.
+    method = ("matrix" if n // seed_mod <= MATRIX_METHOD_MAX_CELLS
+              else "join")
+    index = ivf_index(vectors, id_col, vec_col, seed_mod, method)
     out = cosine_topk_ivf(vectors, queries, k=k, nprobe=nprobe,
                           id_col=id_col, vec_col=vec_col,
-                          seed_mod=seed_mod)
+                          seed_mod=seed_mod, index=index,
+                          method=method)
     return out, {"n": n, "seed_mod": seed_mod, "nprobe": nprobe,
-                 "target_recall": target_recall}
+                 "target_recall": target_recall, "method": method}
 
 
 # --------------------------------------------------------------------------

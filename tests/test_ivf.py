@@ -80,3 +80,16 @@ def test_matrix_nearest_equals_join_path(spark, emb):
             .select("vec_id", "cell_id", "cs", "rn").collect()
         )
         assert a == b and len(a) > 0
+
+
+def test_auto_method_switch_is_bounded():
+    # pure arithmetic: the auto path must stay on the bounded matrix
+    # collect for K <= MATRIX_METHOD_MAX_CELLS cells and go fully
+    # distributed past it (K ~ sqrt(n) crosses 1e5 at n ~ 1e10).
+    from datafusion_functions_financial_spark.operators.ivf import (
+        MATRIX_METHOD_MAX_CELLS, ivf_params,
+    )
+    for n, want_join in ((100_000, False), (10_000_000_000, False),
+                         (1_000_000_000_000, True)):
+        seed_mod, _ = ivf_params(n)
+        assert (n // seed_mod > MATRIX_METHOD_MAX_CELLS) == want_join, n

@@ -34,7 +34,8 @@ from ..operators import (
     incremental, interval, ivf, kcenter, keywords, kmeans,
     linkage, markov2, microstructure, micro4, mlmetrics, mmd,
     multimodal,
-    micro2, micro3, micro5, outliers, packing, pipeline, profile, qsketch,
+    micro2, micro3, micro5, outliers, packing, pipeline, ppjoin,
+    profile, qsketch,
     quality,
     quantile2, quantile3, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, simpson,
@@ -330,8 +331,9 @@ _MODULES = [
     packing, divergence,
     technical, chunking, _RestVocabR08, histogram, quality, enrich,
     # --- NEW in r08 (past the window): TPC-H Q5/Q7/Q8/Q10/Q14/Q15/
-    # Q17/Q18/Q22 join shapes — gate in r09. ---
-    analytics9,
+    # Q17/Q18/Q22 join shapes + the exact prefix-filter similarity
+    # join — gate in r09. ---
+    analytics9, ppjoin,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -376,6 +378,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_promo_revenue_parts", "q_top_supplier_revenue",
     "q_small_qty_revenue_lineitem", "q_large_volume_customers",
     "q_lapsed_high_balance_customers",
+    # ppjoin: exact prefix-filter threshold similarity join (r08)
+    "dedup_ppjoin_pairs_documents", "dedup_ppjoin_stats_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -1,0 +1,79 @@
+"""Prefix-filter threshold similarity join: COMPLETENESS against the
+naive all-pairs ground truth (the contract — no false negatives),
+exact threshold boundary semantics, and pruning sanity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_functions_financial_spark.operators import ppjoin
+from datafusion_functions_financial_spark.operators.dedup import (
+    _shingles_spark,
+)
+from datafusion_functions_financial_spark.sources.tables import load
+
+
+def _naive_pairs(docs, t_num, t_den):
+    """All-pairs shingle Jaccard >= t, via the token equi-join (no
+    prefix filter) — the ground truth the operator must equal."""
+    tok = docs.selectExpr(
+        "doc_id", f"explode({_shingles_spark('text')}) AS w")
+    sz = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"))
+    inter = (
+        tok.selectExpr("doc_id AS id_a", "w")
+        .join(tok.selectExpr("doc_id AS id_b", "w"), "w")
+        .filter("id_a < id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    j = (
+        inter.join(sz.selectExpr("doc_id AS id_a", "m AS m_a"), "id_a")
+        .join(sz.selectExpr("doc_id AS id_b", "m AS m_b"), "id_b")
+        .filter(F.expr(
+            f"({t_den} + {t_num}) * inter >= {t_num} * (m_a + m_b)"))
+    )
+    return sorted((r["id_a"], r["id_b"], r["inter"])
+                  for r in j.collect())
+
+
+def test_ppjoin_equals_naive_ground_truth(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    got = sorted((r["id_a"], r["id_b"], r["inter"])
+                 for r in ppjoin.ppjoin_pairs(docs).collect())
+    want = _naive_pairs(docs, ppjoin.T_NUM, ppjoin.T_DEN)
+    assert got == want
+    assert len(got) > 0  # the corpus has real near-dups
+
+
+def test_ppjoin_threshold_boundary_exact(spark):
+    # a={x,y,z,p,q}, b={x,y,z,p,r}: inter=4, union=6, J=2/3.
+    # t=2/3 must INCLUDE it ((3+2)*4 >= 2*10); t=7/10 must not.
+    docs = spark.createDataFrame(
+        [(1, "abcde fghij klmno pqrst uvwxy"),
+         (2, "abcde fghij klmno pqrst zzzzz")],
+        "doc_id long, text string")
+    inc = ppjoin.ppjoin_pairs(docs, t_num=2, t_den=3).collect()
+    assert [(r["id_a"], r["id_b"]) for r in inc] == [(1, 2)]
+    exc = ppjoin.ppjoin_pairs(docs, t_num=7, t_den=10).collect()
+    assert exc == []
+
+
+def test_ppjoin_prefix_length_never_floats(spark):
+    # m=5, t=3/5: ceil(3*5/5)=3 exactly -> prefix length 3. A float
+    # ceil(0.6*5)=ceil(3.0000000000000004)=4 would over-keep; the
+    # integer DIV formula must give 3.
+    docs = spark.createDataFrame(
+        [(1, "abcde fghij klmno")], "doc_id long, text string")
+    tok = ppjoin._tokens(docs, "doc_id", "text")
+    m = tok.count()
+    pref = ppjoin._prefixes(tok, 3, 5).count()
+    assert pref == m - ((3 * m + 4) // 5) + 1
+
+
+def test_ppjoin_stats_pruning(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    row = ppjoin.ppjoin_candidate_stats(docs).collect()[0]
+    assert row["n_pairs"] <= row["n_candidates"]
+    total = row["n_docs"] * (row["n_docs"] - 1) // 2
+    assert row["n_candidates"] < total  # the filter actually prunes
+    assert 0.0 < row["candidate_share"] < 1.0

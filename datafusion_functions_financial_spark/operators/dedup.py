@@ -821,7 +821,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 # edge set) to the large-star/small-star alternation (O(log^2 n)
 # rounds regardless of diameter; ``operators/cc.py``, Kiveris et al.
 # SoCC'14). Proven equal on both branches in
-# ``tests/test_dedup.py::test_dedup_clusters_strategies_agree``.
+# ``tests/test_dedup_clusters_strategy.py::
+# test_dedup_clusters_strategies_agree``.
 CC_EDGE_THRESHOLD = 100_000
 
 

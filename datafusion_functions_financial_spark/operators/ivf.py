@@ -166,6 +166,7 @@ def ivf_index(
     vec_col: str = "embedding",
     seed_mod: int = IVF_SEED_MOD,
     method: str = "matrix",
+    seed_hash: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: returns ``(centroids, cells)``.
 
@@ -177,10 +178,19 @@ def ivf_index(
     ``method``: assignment plan shape (see ``_nearest``) — "matrix"
     collects the K centroids driver-side (bounded while K <=
     ``MATRIX_METHOD_MAX_CELLS``); "join" stays fully distributed.
+    ``seed_hash``: seed via ``pmod(xxhash64(vec_id), seed_mod) == 0``
+    instead of ``vec_id % seed_mod == 0``. The plain-modulo default
+    assumes DENSE 0..n-1 ids (the frozen gate-query contract); sparse
+    or offset id spaces make it under-seed — possibly to zero cells —
+    so any caller with an arbitrary id distribution should pass
+    ``seed_hash=True`` (``cosine_topk_ivf_auto`` does).
     """
     v = vectors.selectExpr(f"{id_col} AS vec_id",
                            f"{vec_col} AS embedding")
-    seeds = v.filter(F.col("vec_id") % seed_mod == 0).selectExpr(
+    seed_pred = (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(seed_mod))
+                 == 0) if seed_hash else (
+        F.col("vec_id") % seed_mod == 0)
+    seeds = v.filter(seed_pred).selectExpr(
         "vec_id AS seed_id", "embedding AS seed_vec"
     )
     m1 = _nearest(v, seeds, "seed_id", "seed_vec", 1,
@@ -278,6 +288,11 @@ def cosine_topk_ivf_auto(
     where ``params`` records the derived sizing for audit logs.
 
     ``n``: pass the known corpus size to skip the count job.
+
+    Seeds are hash-derived (``seed_hash=True``) so the K ~ sqrt(n)
+    sizing holds for ANY id distribution — sparse or offset id spaces
+    would starve the plain ``vec_id % seed_mod`` sample (possibly to
+    zero cells) and silently miss the recall target.
     """
     if n is None:
         n = vectors.count()
@@ -286,7 +301,8 @@ def cosine_topk_ivf_auto(
     # centroid collect stops being bounded — build fully distributed.
     method = ("matrix" if n // seed_mod <= MATRIX_METHOD_MAX_CELLS
               else "join")
-    index = ivf_index(vectors, id_col, vec_col, seed_mod, method)
+    index = ivf_index(vectors, id_col, vec_col, seed_mod, method,
+                      seed_hash=True)
     out = cosine_topk_ivf(vectors, queries, k=k, nprobe=nprobe,
                           id_col=id_col, vec_col=vec_col,
                           seed_mod=seed_mod, index=index,

@@ -151,10 +151,10 @@ def ppjoin_candidate_stats(docs: DataFrame, id_col: str = "doc_id",
     n_docs = docs.select(F.col(id_col)).distinct().count()
     agg = scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-        F.sum(F.expr(
+        F.coalesce(F.sum(F.expr(
             f"CASE WHEN ({t_den} + {t_num}) * inter "
             f">= {t_num} * (m_a + m_b) THEN 1 ELSE 0 END"
-        )).cast("bigint").alias("n_pairs"),
+        )), F.lit(0)).cast("bigint").alias("n_pairs"),
     )
     total = n_docs * (n_docs - 1) // 2
     return agg.select(
@@ -232,17 +232,22 @@ _ORACLE_PPJOIN_STATS = f"""
 WITH {_duck_scored(T_NUM, T_DEN)}, nd AS (
   SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
   FROM docs
+), agg AS (
+  -- global agg FIRST (always exactly 1 row, even on a degenerate
+  -- corpus with zero candidates — the Spark side's .agg() likewise),
+  -- then the 1x1 cross join to nd
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+    CAST(coalesce(sum(CASE WHEN ({T_DEN} + {T_NUM}) * inter
+      >= {T_NUM} * (m_a + m_b) THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS n_pairs
+  FROM scored
 )
-SELECT nd.n_docs,
-  CAST(count(*) AS BIGINT) AS n_candidates,
-  CAST(sum(CASE WHEN ({T_DEN} + {T_NUM}) * inter
-    >= {T_NUM} * (m_a + m_b) THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+SELECT nd.n_docs, agg.n_candidates, agg.n_pairs,
   {round_portable_duck(
-      "CAST(count(*) AS DOUBLE) "
+      "CAST(agg.n_candidates AS DOUBLE) "
       "/ CAST(nd.n_docs * (nd.n_docs - 1) // 2 AS DOUBLE)", 6)}
     AS candidate_share
-FROM scored, nd
-GROUP BY nd.n_docs
+FROM agg, nd
 """
 
 

@@ -266,9 +266,16 @@ def small_qty_revenue(spark_tables: dict,
     per_part = bl.groupBy("l_partkey").agg(
         F.sum("__qty").alias("__qsum"),
         F.count(F.lit(1)).cast("bigint").alias("__qcnt"))
+    # NO broadcast hint on per_part: it is one row per distinct brand
+    # part (~1/25 of the part table), which GROWS with scale factor —
+    # at 100 TB it is far past broadcastable. Both sides hash-partition
+    # on l_partkey (the aggregate's shuffle already produces that
+    # clustering), and AQE may still choose a broadcast when the
+    # filtered side measures small. Plan-asserted in
+    # tests/test_analytics9.py::test_q17_no_forced_broadcast.
     return (
-        bl.join(F.broadcast(per_part.withColumnRenamed(
-            "l_partkey", "__pk")), F.col("l_partkey") == F.col("__pk"))
+        bl.join(per_part.withColumnRenamed("l_partkey", "__pk"),
+                F.col("l_partkey") == F.col("__pk"))
         .filter(F.expr("5 * __qty * __qcnt < __qsum"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
              F.sum("__cents").alias("__rev"))

@@ -34,6 +34,33 @@ def test_q5_pushes_date_filter_to_orders_scan(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan
 
 
+def test_q17_no_forced_broadcast(spark, sf_dir):
+    # VERDICT r08 item 2: the per-part (sum, count) aggregate is one
+    # row per distinct brand part — it GROWS with scale factor, so no
+    # broadcast hint may survive anywhere in Q17 (AQE may still pick a
+    # broadcast when the filtered side measures small; a hint would
+    # force it at any size).
+    from tests.test_plans import _Q
+    df = _Q["q_small_qty_revenue_lineitem"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+
+
+def test_q5_q7_q8_dimension_broadcasts_and_pushdown(spark, sf_dir):
+    # VERDICT r08 item 6: bounded dimensions (nation/region) must stay
+    # broadcast and the selective filters must reach the parquet scans
+    # — catches optimizer/plan regressions the value oracle can't.
+    from tests.test_plans import plan_of
+    plan5 = plan_of(spark, sf_dir, "q_local_supplier_volume_nations")
+    assert plan5.count("BroadcastHashJoin") >= 1, plan5
+    plan7 = plan_of(spark, sf_dir, "q_volume_shipping_nations")
+    assert plan7.count("BroadcastHashJoin") >= 2, plan7
+    assert "GreaterThanOrEqual(l_shipdate" in plan7, plan7
+    plan8 = plan_of(spark, sf_dir, "q_market_share_parts")
+    assert plan8.count("BroadcastHashJoin") >= 1, plan8
+    assert "EqualTo(p_type,PROMO)" in plan8, plan8
+
+
 def test_q10_and_q18_topk_take_ordered(spark, sf_dir):
     from tests.test_plans import plan_of
     for name in ("q_returned_items_customers",

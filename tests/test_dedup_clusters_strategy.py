@@ -53,7 +53,7 @@ def test_dedup_clusters_auto_picks_by_edge_count(spark):
     big = dedup_clusters(docs, pairs, strategy="auto",
                          cc_edge_threshold=0)
     assert _collect(small) == _collect(big)
-    # isolated docs are their own singleton clusters on both branches
-    assert sum(1 for _, c, _ in _collect(big) if c >= 5) == 0 or True
+    # every cluster roots at its min member (0..4) — no id >= 5 leaks
+    assert sum(1 for _, c, _ in _collect(big) if c >= 5) == 0
     kept = [k for _, _, k in _collect(big)]
     assert kept.count(True) == 5

@@ -151,7 +151,12 @@ def lsh_params(n: int, target_bucket: int = 256) -> int:
     Sizing planes = log2(n / target_bucket) keeps the expected bucket
     near ``target_bucket`` rows at any corpus size; recall is then
     recovered with multi-probe (``cosine_topk_lsh(multiprobe=True)``)
-    rather than by letting buckets bloat."""
+    rather than by letting buckets bloat.
+
+    Even sized-and-multiprobed, this tier only performs on CLUSTERED
+    corpora — see the tier-routing note on ``cosine_topk_lsh``
+    (uniform/unclustered embeddings -> ``ivf.cosine_topk_ivf_auto``).
+    """
     import math
 
     return max(4, int(round(math.log2(max(2.0, n / float(target_bucket))))))
@@ -218,7 +223,18 @@ def cosine_topk_lsh(
     bucket (each single-plane sign flip), the standard multi-probe LSH
     move (Lv et al., VLDB'07): (planes + 1)x the candidates for a
     recall jump without rebuilding the index. The probe relation stays
-    query-side and broadcast — corpus rows still hash once."""
+    query-side and broadcast — corpus rows still hash once.
+
+    TIER ROUTING (measured, asserted in tests/test_ann_recall.py):
+    sign-random-projection recall is a property of the CORPUS
+    GEOMETRY. On clustered embeddings (real-model output) this tier
+    clears recall@5 ~ 0.74; on UNIFORM/unclustered corpora there is
+    no geometry for a bucket hash to exploit and recall@5 is
+    structurally poor — measured 0.05 plain / 0.14 multiprobe at
+    100K vectors, versus 0.725 for the IVF tier with the same
+    budget. If the embedding distribution is unknown or unclustered,
+    use ``ivf.cosine_topk_ivf_auto`` instead; this mirrors
+    ``ppjoin``'s adversarial-corpus LSH-first routing note."""
     v = lsh_buckets(vectors, id_col, vec_col, use_arrow, planes).selectExpr(
         "vec_id AS n_id", "embedding AS n_vec", "bucket"
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from . import (
     analytics, analytics2, analytics3, analytics4, analytics5, analytics6,
-    analytics7, analytics8, analytics9,
+    analytics7, analytics8, analytics9, analytics10,
     enrich,
     funnel, indicator_queries,
     portfolio, sequences, signals, validate,
@@ -20,6 +20,7 @@ from ..functions import (
     rollstats2,
     technical, technical2, technical3, technical4, technical5, technical6,
 )
+from ._gated import DRIVER_GREEN
 from ..operators import (
     abtest, anomaly2, anomaly3, asof, binseg, blocking, bm25,
     boilerplate, bootstrap, cc,
@@ -31,8 +32,9 @@ from ..operators import (
     embstats2,
     graph2, graph3, graph4,
     histogram,
-    incremental, interval, ivf, kcenter, keywords, kmeans,
-    linkage, markov2, microstructure, micro4, mlmetrics, mmd,
+    incremental, inequality, interval, ivf, kcenter, keywords, kmeans,
+    linkage, markov2, microstructure, micro4, mlmetrics, mlmetrics2,
+    mmd,
     multimodal,
     micro2, micro3, micro5, outliers, packing, pipeline, ppjoin,
     profile, qsketch,
@@ -40,7 +42,7 @@ from ..operators import (
     quantile2, quantile3, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, simpson,
     spectral, stats2,
-    stats3, stats4, stats5, stats6, stats7, stats8, strsim,
+    stats3, stats4, stats5, stats6, stats7, stats8, stats9, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
@@ -103,150 +105,14 @@ _RestDedupCS = _rest(dedup, "dedup_cluster_sizes_documents",
 # query sits inside the window.
 GATE_WINDOW = 50
 
-# Queries with a green driver CORRECTNESS row in a prior round
-# (CORRECTNESS_r01 ⊂ r02's 50, plus r03's 49 greens, plus r04's 49
-# greens — r04's only red, emb_projection_embeddings, was a driver
-# canonicalizer TypeError on its array column; it re-gates in r05 with
-# a scalar posexplode shape).
-PRIOR_GATED = frozenset({
-    # --- green in CORRECTNESS_r04 ---
-    "profile_columns_documents", "vocab_remove_stopwords_documents",
-    "emb_normalize_embeddings", "micro_twap_events",
-    "dedup_rate_by_source_documents", "quality_winsorize_lineitem",
-    "q_conversion_latency_events", "roll_drawdown_orders",
-    "ind_williams_r_events", "ind_cci_events", "ind_keltner_events",
-    "ind_vwma_lineitem", "ind_mfi_lineitem", "ind_zscore_events",
-    "roll_beta_lineitem", "roll_sharpe_orders", "roll_moments_orders",
-    "roll_ols_slope_orders", "roll_time_since_high_orders",
-    "ret_autocorr_lineitem", "q_user_activity_1h_events",
-    "q_event_streaks_events", "q_latest_order_per_customer",
-    "q_customer_deciles", "q_orders_cube", "q_mode_event_type_events",
-    "q_orders_mad", "q_orders_exists_bigitem", "q_session_stats_events",
-    "q_topk_events_per_user", "q_orders_above_cust_avg",
-    "text_lexical_stats_documents", "text_unigram_xent_documents",
-    "text_oov_rate_documents", "text_pmi_bigrams_documents",
-    "text_stats_by_group_documents", "text_composite_quality_documents",
-    "text_top_terms_per_source_documents", "emb_norm_hist_embeddings",
-    "emb_label_cohesion_embeddings", "knn_label_vote_embeddings",
-    "ind_candles_events", "resample_interp_events",
-    # --- green in r01-r03 ---
-    "ind_sma_native_orders", "ind_sma_native_events", "ind_sma_kernel_events",
-    "ind_ema_events", "ind_ema_orders", "ind_rsi_events", "ind_macd_events",
-    "ind_combined_events", "ind_ema_events_segmented", "ind_multicol_lineitem",
-    "signals_rsi_events", "signals_ma_crossover_events",
-    "signals_ma_crossover_lineitem_2050",
-    "validate_events_gaps", "validate_events_gaps_keyed",
-    "validate_lineitem_values", "validate_orders_weekend",
-    "q_events_sessionize", "q_orders_value_bands", "q_events_pivot",
-    "q_set_ops_customers", "q_rollup_orders", "q_events_ohlc_daily",
-    "q_quantiles_lineitem", "q_overview_orders", "q_revenue_by_nation",
-    "q_lineitem_order_revenue", "q_pricing_summary_lineitem",
-    "q_top_customers", "q_events_hourly",
-    "text_stats_documents", "text_token_bpe_documents",
-    "text_langid_documents", "text_fingerprint_documents",
-    "text_repetition_documents", "text_redact_documents",
-    "dedup_exact_documents", "dedup_clusters_documents",
-    "dedup_ngram_jaccard_documents", "dedup_minhash_signatures_documents",
-    "dedup_minhash_lsh_documents", "dedup_simhash_documents",
-    "dedup_simhash_pairs_documents",
-    "knn_bruteforce_embeddings", "knn_lsh_embeddings",
-    "embedding_neardup_pairs", "asof_events_snapshots",
-    "knn_ivf_embeddings", "pipeline_clean_corpus_documents",
-    "sample_hash_split_documents",
-    # --- green in CORRECTNESS_r03 ---
-    "sample_stratified_documents", "sample_mix_proportions_documents",
-    "sample_k_per_group_documents", "sample_weighted_documents",
-    "micro_vwap_events", "micro_sign_trades_events", "micro_spread_events",
-    "skew_salted_overview_lineitem", "multimodal_features_documents",
-    "rollup_incremental_events",
-    "decontam_report_documents", "decontam_clean_documents",
-    "dedup_incremental_neardup_documents", "dedup_incremental_exact_documents",
-    "text_tfidf_topk_documents", "text_docfreq_documents",
-    "sketch_hll_users_events", "sketch_hll_parts_lineitem",
-    "emb_quantize_embeddings", "knn_quantized_embeddings",
-    "roll_bollinger_orders", "roll_volatility_orders", "roll_corr_lineitem",
-    "text_boilerplate_segments_documents", "text_boilerplate_clean_documents",
-    "bm25_topk_documents", "pack_sequences_documents", "pack_summary_documents",
-    "resample_ffill_events", "text_entropy_documents",
-    "text_kl_corpus_documents",
-    "ind_atr_events", "ind_stochastic_events", "ind_obv_lineitem",
-    "ind_logret_events", "ind_roc_events", "ind_donchian_events",
-    "text_chunk_documents", "vocab_top_tokens_documents",
-    "vocab_stats_documents",
-    "hist_value_events", "hist_doclen_documents", "hist_value_cdf_events",
-    "quality_percentile_filter_documents",
-    "q_events_props_extract", "q_customers_no_orders",
-    "q_funnel_events", "q_retention_events",
-    # --- green in CORRECTNESS_r05 (50/50) ---
-    "emb_projection_embeddings", "wq_weighted_median_lineitem",
-    "wq_weighted_iqr_lineitem", "diff_snapshots_orders",
-    "validate_fk_orphans_orders", "q_yoy_growth_orders",
-    "risk_var_cvar_events", "risk_sortino_events", "risk_ulcer_events",
-    "risk_dd_episodes_events", "ind_trix_events", "ind_ppo_events",
-    "ind_adx_events", "ind_aroon_events", "ind_ichimoku_events",
-    "ind_pivots_events", "ind_cmo_events", "ind_stochrsi_events",
-    "cms_token_counts_documents", "bloom_membership_customers",
-    "barvol_events", "dq_benford_orders", "dq_unique_keys_lineitem",
-    "q_market_share_orders", "q_custdist_orders", "q_seasonality_events",
-    "q_cohort_ltv_orders", "text_rake_keywords_documents",
-    "q_portfolio_returns_events", "q_market_beta_events",
-    "q_pairwise_corr_events", "link_customers_fuzzy",
-    "semantic_neardup_verified", "ind_heikin_ashi_events",
-    "asof_events_snapshots_fwd", "text_lang_confusion_documents",
-    "dedup_representatives_documents", "dedup_containment_documents",
-    "micro_flow_imbalance_events", "micro_roll_spread_events",
-    "micro_amihud_events", "micro_volume_poc_events", "q_wau_hll_events",
-    "q_gini_orders", "q_lorenz_deciles_orders", "q_hhi_nation_orders",
-    "q_anomaly_mad_events", "q_changepoint_cusum_events",
-    "q_arrival_burstiness_events", "str_editdist_suppliers",
-    # --- green in CORRECTNESS_r06 (50/50) ---
-    "asof_events_snapshots_nearest", "asof_events_snapshots_tol",
-    "dedup_cluster_sizes_documents", "dq_ks_two_sample_events",
-    "dq_null_profile_orders", "dq_psi_drift_events",
-    "emb_label_separation_embeddings", "emb_pca_power_embeddings",
-    "graph_copurchase_parts", "graph_degree_customers",
-    "graph_pagerank_nations", "hist_equidepth_lineitem",
-    "ind_chandelier_events", "ind_elder_ray_events",
-    "ind_fractals_events", "ind_hull_ma_events", "ind_kama_events",
-    "ind_vortex_events", "micro_kyle_lambda_events",
-    "micro_variance_ratio_events", "q_acf_events",
-    "q_attribution_events", "q_basket_lift_parts", "q_dow_anova_events",
-    "q_ewma_control_events", "q_gap_survival_events", "q_grubbs_events",
-    "q_holt_forecast_events", "q_interval_overlap_events",
-    "q_joinsize_cms_orders", "q_markov_transitions_events",
-    "q_monthly_streak_orders", "q_mutual_info_events",
-    "q_ols_trend_events", "q_overlap_hll_events",
-    "q_seasonal_hourly_events", "q_skyline_orders", "q_theil_sen_events",
-    "q_topk_with_ties_orders", "q_transition_entropy_events",
-    "q_transition_time_events", "q_twr_events", "q_value_bands_events",
-    "rfm_segment_orders", "sample_temperature_documents",
-    "sample_token_budget_documents", "text_diversity_documents",
-    "text_spearman_len_tokens", "text_zipf_documents",
-    "vol_parkinson_gk_events",
-    # --- green in CORRECTNESS_r07 (50/50) ---
-    "dedup_cc_documents", "dq_cardinality_profile_orders",
-    "dq_fd_violations_lineitem", "dq_key_skew_lineitem",
-    "emb_anisotropy_embeddings", "emb_centroid_geometry_embeddings",
-    "emb_medoid_embeddings", "graph_cc_parts", "graph_cc_sizes_parts",
-    "graph_jaccard_customers_lineitem", "graph_triangles_lineitem",
-    "micro_corwin_schultz_events", "micro_realized_moments_events",
-    "micro_rv_bipower_events", "micro_sign_pacf_events",
-    "micro_trade_runs_events", "micro_vpin_events",
-    "micro_yang_zhang_events", "q_adf_events", "q_ar1_halflife_events",
-    "q_ccf_events", "q_chi2_dow_events", "q_chi2_drift_events",
-    "q_distributed_median_lineitem", "q_ewma_cov_events",
-    "q_hurst_events", "q_jarque_bera_events", "q_kalman_level_events",
-    "q_kruskal_events", "q_mannwhitney_events", "q_newey_west_events",
-    "q_pacf_events", "q_periodogram_events", "q_perm_entropy_events",
-    "q_runs_test_events", "q_seasonal_residual_anomalies_events",
-    "q_top_trigrams_events", "q_trimmed_mean_orders",
-    "q_welch_ttest_orders", "qs_error_audit_lineitem",
-    "qs_kl_drift_orders", "qs_merge_by_month_orders",
-    "qs_quantiles_lineitem", "roll_median_events",
-    "sample_neyman_orders", "sample_systematic_orders",
-    "text_ngram_novelty_documents", "text_winnow_documents",
-    "text_winnow_pairs_documents", "vocab_coverage_documents",
-})
+# Queries with a green driver CORRECTNESS row in a prior round:
+# DERIVED from the CORRECTNESS_r*.json files themselves (latest row
+# per name must be fully green) — regenerate with
+# ``python tools/gen_gated.py`` after each round's file lands
+# (VERDICT r08 item 7: the set was hand-maintained through r08; a
+# typo could silently re-gate or orphan a pair).
+PRIOR_GATED = DRIVER_GREEN
+
 
 _PickSkewR07 = _pick(skew, "dq_key_skew_lineitem")
 _RestSkewR07 = _rest(skew, "dq_key_skew_lineitem")
@@ -282,29 +148,30 @@ _RestMlmR08 = _rest(mlmetrics, "q_auc_events", "q_calibration_events",
                     "q_bh_fdr_events")
 
 _MODULES = [
-    # --- r08 must-gate block (exactly 50 ungated queries, per the
-    # COVERAGE.md rotation plan): the 32 second-window survivors
-    # (stats4 pairs/tail econometrics, JL distortion, Hampel,
-    # Kaplan-Meier + Nelson-Aalen, Poisson bootstrap, TextRank,
-    # detector agreement, risk2 ratios, Lee-Ready + effective spread,
-    # assortativity + k-core, readability/bigram-xent/hapax, value
-    # patterns + daily completeness, analytics8 reconciliation +
-    # TPC-H shapes, deflated PC2, theta forecast, BPE pairs, the
-    # LSH-candidate Jaccard histogram) + 18 of the third window
-    # (mlmetrics AUC/calibration/gains/thresholds/BH-FDR, Merkle
-    # digests, stats5 dependence, k-means, bottom-k sketch + merge,
-    # correlation matrix, TF-IDF cosine near-dup, k-center coreset,
-    # median CI). Every entry builder-verified at sf0.001+0.01+0.1 on
-    # landing; judge-sampled 12/12 in the r07 VERDICT. ---
+    # --- r09 must-gate block (exactly 50 ungated queries): the full
+    # 36-entry r08 queue (mlmetrics WoE/stump, stats6 x4, stats7 x2,
+    # mmd, stats8 x2, Kish ESS, simpson x2, binseg, CUPED, abtest x4,
+    # modularity, text7 x2, Heaps, Markov stationary, the 9 TPC-H
+    # Q5/Q7/Q8/Q10/Q14/Q15/Q17/Q18/Q22 shapes, ppjoin x2 — every one
+    # judge-verified value-exact in the r08 VERDICT session) + the 14
+    # NEW r09 pairs (TPC-H Q2/Q4/Q9/Q11/Q12/Q19/Q20/Q21 adaptations,
+    # PR-AUC, Brier decomposition, Levene, Cochran-Armitage trend,
+    # Cohen's kappa, Theil+Atkinson — each builder-verified at
+    # sf0.001 + sf0.01 + sf0.1 through tools/verify_driver_contract
+    # on landing). ---
+    _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
+    simpson, binseg, cuped, abtest, graph4, text7, text8, markov2,
+    analytics9, ppjoin,
+    analytics10, mlmetrics2, stats9, inequality,
+    # --- past the window: everything driver-green in r01-r08
+    # (PRIOR_GATED is derived from the CORRECTNESS files; the local
+    # parity suite keeps running ALL pairs every round). r08 window
+    # modules first, then r07, then older. ---
     stats4, embproj, anomaly3, survival, bootstrap, text5, blocking,
     risk2, micro5, graph3, text6, dq4, analytics8,
     _PickEmbpcaR08, _PickForecastR08, _PickVocabR08, _PickJaccHistR08,
     _PickMlmR08, digest, stats5, kmeans, sketch4, corrmatrix,
     cosinedup, kcenter, quantile3,
-    # --- past the window: the 25-entry r09 queue (NEXT_ROUND_QUEUE),
-    # then everything driver-green in r01-r07. ---
-    _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
-    simpson, binseg, cuped, abtest, graph4, text7, text8, markov2,
     # r07 window modules, all green in CORRECTNESS_r07.
     stats2, spectral, micro3, graph2, quantile2, analytics7,
     _PickSkewR07,
@@ -330,57 +197,14 @@ _MODULES = [
     incremental, tfidf, quantize, boilerplate, bm25,
     packing, divergence,
     technical, chunking, _RestVocabR08, histogram, quality, enrich,
-    # --- NEW in r08 (past the window): TPC-H Q5/Q7/Q8/Q10/Q14/Q15/
-    # Q17/Q18/Q22 join shapes + the exact prefix-filter similarity
-    # join — gate in r09. ---
-    analytics9, ppjoin,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
-# round's gate. The r08 window is the 32 second-window survivors plus
-# 18 of the third build window; these 25 (fourth through seventh
-# windows) gate in r09 — each already proven at sf0.001 + sf0.01 +
-# sf0.1 through the driver contract on landing.
-NEXT_ROUND_QUEUE: frozenset = frozenset({
-    # mlmetrics: weight of evidence / information value + stump split
-    "q_woe_iv_events", "q_stump_split_events",
-    # stats6: MK trend, Huber location, Ljung-Box, seasonal eta2
-    "q_mann_kendall_events", "q_huber_mean_orders",
-    "q_ljung_box_events", "q_seasonal_strength_events",
-    # stats7: nonlinear dependence / two-sample energy
-    "q_distance_corr_events", "q_energy_distance_events",
-    # mmd: kernel two-sample shift test over embeddings
-    "emb_mmd_labels_embeddings",
-    # stats8: Wilson rate CI + effect-size panel
-    "dq_wilson_ci_events", "q_effect_sizes_events",
-    # sampling3: Kish effective sample size
-    "sample_ess_documents",
-    # simpson: aggregation-trap audit + partial correlation
-    "dq_simpson_lineitem", "q_partial_corr_lineitem",
-    # binseg: exact least-squares changepoint
-    "q_best_changepoint_events",
-    # cuped: experimentation variance reduction
-    "q_cuped_events",
-    # abtest: jackknife ratio SE + two-proportion z + design + SRM
-    "q_jackknife_ratio_events", "q_two_proportion_events",
-    "q_sample_size_events", "dq_srm_events",
-    # graph4: attribute-partition modularity
-    "graph_modularity_parts",
-    # text7: burstiness + Dunning keyness
-    "text_burstiness_documents", "text_keyness_documents",
-    # text8: Heaps'-law fit
-    "text_heaps_law_documents",
-    # markov2: stationary distribution
-    "q_markov_stationary_events",
-    # analytics9: TPC-H join shapes (added r08, past the window)
-    "q_local_supplier_volume_nations", "q_volume_shipping_nations",
-    "q_market_share_parts", "q_returned_items_customers",
-    "q_promo_revenue_parts", "q_top_supplier_revenue",
-    "q_small_qty_revenue_lineitem", "q_large_volume_customers",
-    "q_lapsed_high_balance_customers",
-    # ppjoin: exact prefix-filter threshold similarity join (r08)
-    "dedup_ppjoin_pairs_documents", "dedup_ppjoin_stats_documents",
-})
+# round's gate. EMPTY for r09: the full r08 queue plus all 14 new
+# pairs fit the 50-slot window exactly, so every registered query is
+# either driver-green or in this round's window — the scheduling debt
+# from r07/r08 is cleared.
+NEXT_ROUND_QUEUE: frozenset = frozenset()
 
 # Backwards-compatible aliases (earlier rounds referred to the queue
 # by round number; R07 is the round any queued queries would gate in).

@@ -80,12 +80,14 @@ _SLOW_PARITY = {
 
 
 # ---------------------------------------------------------------------------
-# Rotating shard (VERDICT r07 item 4): the full-registry parity net
-# grows linearly with pairs (366 pairs ~ 12-14 min default suite at
-# r07), so each DEFAULT run executes a rotating ~40% of pairs — 2 of 5
-# crc32 buckets, advanced daily — while ``-m slow`` still runs every
-# pair and every round-close driver-contract sweep covers the full
-# registry at sf0.01+. Reproduce any day's selection with
+# Rotating shard (VERDICT r07 item 4; tightened r09 per VERDICT r08
+# item 3): the full-registry parity net grows linearly with pairs
+# (366 pairs ~ 12-14 min default suite at r07), so each DEFAULT run
+# executes a rotating ~1/3 of pairs — 1 of 3 crc32 buckets, advanced
+# daily (every pair still runs within any 3 consecutive days) — while
+# ``-m slow`` still runs every pair and every round-close
+# driver-contract sweep covers the full registry at sf0.01+.
+# Reproduce any day's selection with
 # ``SPARK_GRAFT_PARITY_SHARD=<n>``; run one name regardless of shard
 # with ``pytest "tests/test_oracle_parity.py::test_query_matches_oracle[<name>]" -m ''``;
 # run everything with ``SPARK_GRAFT_PARITY_SHARD=all``.
@@ -95,8 +97,8 @@ import datetime
 import os
 import zlib
 
-_N_BUCKETS = 5
-_BUCKETS_PER_RUN = 2
+_N_BUCKETS = 3
+_BUCKETS_PER_RUN = 1
 _shard_env = os.environ.get("SPARK_GRAFT_PARITY_SHARD", "")
 _SHARD_ALL = _shard_env == "all"
 _SHARD = (int(_shard_env) if _shard_env and not _SHARD_ALL

@@ -45,6 +45,28 @@ def test_queue_names_exist_and_pending_fit_window():
     )
 
 
+def test_prior_gated_derived_from_correctness():
+    """VERDICT r08 item 7: PRIOR_GATED must be the set derived from
+    the driver's own CORRECTNESS_r*.json files (latest row per name
+    fully green), not a hand-typed list — regenerate the checked-in
+    ``plans/_gated.py`` with ``python tools/gen_gated.py``."""
+    import importlib.util
+    import pathlib
+
+    tool = pathlib.Path(__file__).parent.parent / "tools" / "gen_gated.py"
+    spec = importlib.util.spec_from_file_location("gen_gated", tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    latest, _files = mod.compute()
+    derived = frozenset(n for n, (_r, g) in latest.items() if g)
+    assert registry.PRIOR_GATED == derived, (
+        "plans/_gated.py is stale vs the CORRECTNESS files — run "
+        "python tools/gen_gated.py "
+        f"(missing: {sorted(derived - registry.PRIOR_GATED)[:5]}, "
+        f"extra: {sorted(registry.PRIOR_GATED - derived)[:5]})"
+    )
+
+
 def test_prior_gated_names_exist():
     # PRIOR_GATED must track real registry names (catches renames that
     # would silently mark a query as already-gated).

@@ -380,6 +380,49 @@ def main() -> None:
         "lsh": int((lsh_cand - ANN_NQ) // ANN_NQ),
         "ivf": int((ivf_cand - ANN_NQ) // ANN_NQ),
     }
+    # --- IVF sizing-curve audit (VERDICT r08 item 8): recall@5 of the
+    # scale-aware AUTO path at a second corpus size in EVERY bench run
+    # (10K by default; SPARK_GRAFT_ANN_DEEP=1 adds the 1M deep audit —
+    # a multi-minute cartesian recall baseline), alongside the 100K
+    # figure above. A regression in ivf_params now shows up as a
+    # decayed curve in bench_detail, not a one-off SCALING.md note.
+    from datafusion_functions_financial_spark.operators.ivf import (
+        cosine_topk_ivf_auto,
+    )
+
+    def _uniform_corpus(n: int):
+        v = spark.range(n).repartition(2 * int(cpus)).selectExpr(
+            "id AS vec_id",
+            f"transform(sequence(0, {DIM - 1}), i -> "
+            f"CAST(pmod(xxhash64(id * {DIM} + i), 1000003) AS DOUBLE) "
+            "/ 500001.5 - 1.0) AS embedding",
+        ).localCheckpoint()
+        return v, v.filter(f"vec_id < {ANN_NQ}").localCheckpoint()
+
+    curve: dict = {}
+    extra_ns = [10_000]
+    if os.environ.get("SPARK_GRAFT_ANN_DEEP") == "1":
+        extra_ns.append(1_000_000)
+    for n2 in extra_ns:
+        t0 = time.perf_counter()
+        v2, q2 = _uniform_corpus(n2)
+        bf2 = _top5(cosine_topk(v2, q2).localCheckpoint())
+        out2, p2 = cosine_topk_ivf_auto(v2, q2, n=n2,
+                                        target_recall=0.75)
+        t5 = _top5(out2.localCheckpoint())
+        hits = sum(len(t5.get(q, set()) & bf2[q]) for q in bf2)
+        curve[str(n2)] = {
+            "recall": round(hits / (5.0 * len(bf2)), 4),
+            "seed_mod": p2["seed_mod"], "nprobe": p2["nprobe"],
+            "method": p2["method"],
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+    # the 100K point reuses the main audit's result (same sizing rule)
+    curve[str(ANN_N)] = {"recall": ann["recall_at_5"]["ivf"],
+                         "seed_mod": ANN_SEED_MOD,
+                         "nprobe": ANN_NPROBE}
+    ann["ivf_auto_recall_curve"] = curve
+
     ann["timings"] = ann_timings
     for key, sec in ann_timings.items():
         rows_per_sec[key] = int(ANN_N / sec) if sec else 0
@@ -425,6 +468,9 @@ def main() -> None:
         # marks a host transient; recorded time is best/median.
         "spread": {k: round(spreads[k], 1) for k in slowest
                    if spreads.get(k, 1.0) > 1.5},
+        # scale-aware IVF recall@5 at >= 2 corpus sizes per run
+        # (VERDICT r08 item 8) — full params in bench_detail.json
+        "ivf_recall_at_5": {k: v["recall"] for k, v in curve.items()},
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1800:  # hard cap: drop spread, then truncate queries

@@ -44,7 +44,10 @@ of documents and the prefix filter prunes poorly (candidate_share
 ~0.86 at 500 docs — the `dedup_ppjoin_stats` gate query measures it
 rather than hiding it). That is precisely the adversarial case the
 paragraph above routes to LSH-first; on natural-text corpora the
-rare-token prefix is what makes this join practical. The GATE
+rare-token prefix is what makes this join practical — measured
+candidate_share 0.046 on a zipf-sampled 5000-word corpus with
+completeness intact (``tests/test_ppjoin.py::
+test_ppjoin_prunes_on_zipfian_vocabulary``). The GATE
 queries therefore run on the deterministic ``doc_id % GATE_MOD = 0``
 subsample so the mirrored all-candidate oracle stays tractable at
 sf0.1; the completeness pytest runs the operator on the FULL corpus.

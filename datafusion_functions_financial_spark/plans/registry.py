@@ -28,9 +28,10 @@ from ..operators import (
     concentration, corrmatrix, cosinedup, cuped,
     crossmodal,
     decontam, dedup, diff, digest, divergence,
-    dq, dq2, dq3, dq4, embgeo, embnorm, embpca, embproj, embstats,
+    dq, dq2, dq3, dq4, embgeo, embgeo2, embnorm, embpca, embproj,
+    embstats,
     embstats2,
-    graph2, graph3, graph4,
+    graph2, graph3, graph4, graph5,
     histogram,
     incremental, inequality, interval, ivf, kcenter, keywords, kmeans,
     linkage, markov2, microstructure, micro4, mlmetrics, mlmetrics2,
@@ -42,11 +43,12 @@ from ..operators import (
     quantile2, quantile3, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, simpson,
     spectral, stats2,
-    stats3, stats4, stats5, stats6, stats7, stats8, stats9, strsim,
+    stats3, stats4, stats5, stats6, stats7, stats8, stats9, stats10,
+    strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
-    text4, text5, text6, text7, text8, tfidf,
+    text4, text5, text6, text7, text8, text9, tfidf,
     vocab,
     wquantile,
 )
@@ -197,14 +199,28 @@ _MODULES = [
     incremental, tfidf, quantize, boilerplate, bm25,
     packing, divergence,
     technical, chunking, _RestVocabR08, histogram, quality, enrich,
+    # --- NEW in r09 (past the window): regression diagnostics +
+    # Mood's median, per-source JS divergence, local clustering
+    # coefficient, centroid silhouette — gate in r10. ---
+    stats10, text9, graph5, embgeo2,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
-# round's gate. EMPTY for r09: the full r08 queue plus all 14 new
-# pairs fit the 50-slot window exactly, so every registered query is
-# either driver-green or in this round's window — the scheduling debt
-# from r07/r08 is cleared.
-NEXT_ROUND_QUEUE: frozenset = frozenset()
+# round's gate. The r09 window carries the full r08 queue plus the 14
+# new-in-r09 pairs (exactly 50); these 6 landed after the window was
+# sealed — each proven at sf0.001 + sf0.01 + sf0.1 through the driver
+# contract on landing.
+NEXT_ROUND_QUEUE: frozenset = frozenset({
+    # stats10: Breusch-Pagan, Durbin-Watson, Mood's median
+    "q_breusch_pagan_events", "q_durbin_watson_events",
+    "q_mood_median_events",
+    # text9: per-source Jensen-Shannon divergence
+    "text_js_sources_documents",
+    # graph5: local clustering coefficient
+    "graph_lcc_parts",
+    # embgeo2: centroid-based silhouette
+    "emb_silhouette_embeddings",
+})
 
 # Backwards-compatible aliases (earlier rounds referred to the queue
 # by round number; R07 is the round any queued queries would gate in).

@@ -9,6 +9,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from pyspark.sql import SparkSession
 
+    # local[4] is MEASURED-fastest for this suite: the wall clock is
+    # dominated by thousands of tiny Spark jobs, so more threads mean
+    # more tasks per stage (defaultParallelism) and more scheduling
+    # overhead, not more throughput — local[16] ran 802 s vs local[4]
+    # 621 s on the identical r09 suite.
     s = (
         SparkSession.builder.master("local[4]")
         .appName("dffs-tests")

@@ -13,6 +13,7 @@ def _events_df(spark, rows):
         rows, "user_id long, event_type string, value double")
 
 
+@pytest.mark.slow
 def test_jackknife_matches_naive_replicates(spark):
     from datafusion_functions_financial_spark.operators.abtest import (
         N_BUCKETS, A, C, P, jackknife_ratio_se,

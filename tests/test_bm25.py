@@ -50,6 +50,7 @@ def test_multi_term_scores_sum(spark):
     assert all(s > 0 for s in rows.values())
 
 
+@pytest.mark.slow
 def test_query_tf_clamped_to_one(spark):
     once = bm25_topk(_corpus(spark), _queries(spark, [(10, "spark")]), k=10)
     twice = bm25_topk(_corpus(spark),

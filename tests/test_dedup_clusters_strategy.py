@@ -29,6 +29,7 @@ def test_dedup_clusters_strategies_agree(spark, sf_dir):
     assert _collect(lp) == _collect(cc)
 
 
+@pytest.mark.slow
 def test_dedup_clusters_cc_deep_chain(spark):
     # A 12-node path graph: diameter 11 — the shape that makes
     # label-prop pay O(diameter) rounds and cc O(log^2 n). Both must

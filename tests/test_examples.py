@@ -23,6 +23,7 @@ pytestmark = pytest.mark.slow
     "examples/data_audit_demo.py",
     "examples/distribution_health_demo.py",
     "examples/experimentation_demo.py",
+    "examples/tpch_demo.py",
 ])
 def test_example_runs(script):
     proc = subprocess.run(

@@ -38,6 +38,7 @@ def skew_docs(spark):
     )
 
 
+@pytest.mark.slow
 def test_minhash_cap_noop_when_large(spark, skew_docs):
     base = _rows(dedup.minhash_lsh_pairs(skew_docs),
                  ["id_a", "id_b"])
@@ -59,6 +60,7 @@ def test_minhash_cap_drops_hot_keeps_cold(spark, skew_docs):
     assert not any(a < 40 and b < 40 for a, b in capped)  # hot dropped
 
 
+@pytest.mark.slow
 def test_neardup_cap_noop_when_large(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = _rows(similarity.embedding_neardup_pairs(emb),
@@ -69,6 +71,7 @@ def test_neardup_cap_noop_when_large(spark, sf_dir):
     assert capped == base and len(base) > 0
 
 
+@pytest.mark.slow
 def test_neardup_tiny_cap_is_subset(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = set(_rows(similarity.embedding_neardup_pairs(emb),

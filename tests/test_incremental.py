@@ -69,6 +69,7 @@ def test_exact_dup_picks_min_corpus_id(spark, shard):
     assert dups[10] == 4
 
 
+@pytest.mark.slow
 def test_incremental_matches_batch_decision(spark):
     """Screening a shard against the rest-of-corpus index must find
     exactly the cross-split pairs the batch LSH path finds."""

@@ -23,6 +23,7 @@ def _rows(df):
     )
 
 
+@pytest.mark.slow
 def test_persisted_index_matches_inmemory(spark, emb, tmp_path):
     index = ivf.ivf_index(emb)
     ivf.save_index(index, str(tmp_path / "ivfidx"))

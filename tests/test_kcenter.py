@@ -63,6 +63,7 @@ def test_kcenter_gate_shape(spark, sf_dir):
     assert len({r["vec_id"] for r in rows}) == 8
 
 
+@pytest.mark.slow
 def test_kcenter_methods_agree(spark):
     from datafusion_functions_financial_spark.operators.kcenter import (
         kcenter_select,

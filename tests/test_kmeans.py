@@ -12,6 +12,7 @@ def _emb_df(spark, vecs):
         "vec_id long, embedding array<double>")
 
 
+@pytest.mark.slow
 def test_kmeans_recovers_separated_blobs(spark):
     from datafusion_functions_financial_spark.operators.kmeans import (
         kmeans,
@@ -63,6 +64,7 @@ def test_kmeans_argmin_tie_breaks_low_cid(spark):
     assert rows[2] == 0  # the tied midpoint goes to the lower cid
 
 
+@pytest.mark.slow
 def test_kmeans_iterations_do_not_increase_inertia(spark):
     from datafusion_functions_financial_spark.operators.kmeans import (
         kmeans,

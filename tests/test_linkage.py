@@ -1,6 +1,8 @@
 """Fuzzy record linkage (operators/linkage.py): trigram sets,
 blocking, cap behavior, and threshold semantics."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datafusion_functions_financial_spark.operators.linkage import (
@@ -36,6 +38,7 @@ def test_small_typo_links_above_threshold(spark):
     assert len(out) == 1 and out[0]["jaccard"] > 0.8
 
 
+@pytest.mark.slow
 def test_block_cap_drops_degenerate_blocks(spark):
     # 30 names all sharing one block under a tiny cap -> no pairs
     rows = [(i, f"same prefix {i}") for i in range(30)]

@@ -7,6 +7,7 @@ import pytest
 US_DAY = 86_400_000_000
 
 
+@pytest.mark.slow
 def test_stationary_matches_numpy_power_iteration(spark):
     from datafusion_functions_financial_spark.operators.markov2 import (
         ITERS, stationary_distribution,

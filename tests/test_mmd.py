@@ -21,6 +21,7 @@ def _naive_mmd2(xa, xb, sigma):
             - 2 * k(xa, xb).mean())
 
 
+@pytest.mark.slow
 def test_mmd_shift_vs_identical(spark):
     from datafusion_functions_financial_spark.operators.mmd import (
         mmd_rbf,
@@ -59,6 +60,7 @@ def test_mmd_matches_naive_when_unsampled(spark):
         _naive_mmd2(xa, xb, 3.0), abs=1e-5)
 
 
+@pytest.mark.slow
 def test_mmd_subsample_is_deterministic(spark):
     from datafusion_functions_financial_spark.operators.mmd import (
         mmd_rbf,

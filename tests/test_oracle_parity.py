@@ -76,6 +76,10 @@ _SLOW_PARITY = {
     "dq_key_skew_lineitem", "dq_cardinality_profile_orders",
     "dq_fd_violations_lineitem", "dq_null_profile_orders",
     "dq_psi_drift_events", "dq_benford_orders",
+    # r09 rebalance (VERDICT r08 item 3): the three heaviest
+    # remaining pairs by measured duration (8.6 s, 5.2 s, 2.7 s).
+    "dedup_jaccard_hist_documents", "dedup_ppjoin_pairs_documents",
+    "graph_cc_parts",
 }
 
 
@@ -83,8 +87,8 @@ _SLOW_PARITY = {
 # Rotating shard (VERDICT r07 item 4; tightened r09 per VERDICT r08
 # item 3): the full-registry parity net grows linearly with pairs
 # (366 pairs ~ 12-14 min default suite at r07), so each DEFAULT run
-# executes a rotating ~1/3 of pairs — 1 of 3 crc32 buckets, advanced
-# daily (every pair still runs within any 3 consecutive days) — while
+# executes a rotating ~1/4 of pairs — 1 of 4 crc32 buckets, advanced
+# daily (every pair still runs within any 4 consecutive days) — while
 # ``-m slow`` still runs every pair and every round-close
 # driver-contract sweep covers the full registry at sf0.01+.
 # Reproduce any day's selection with
@@ -97,7 +101,7 @@ import datetime
 import os
 import zlib
 
-_N_BUCKETS = 3
+_N_BUCKETS = 4
 _BUCKETS_PER_RUN = 1
 _shard_env = os.environ.get("SPARK_GRAFT_PARITY_SHARD", "")
 _SHARD_ALL = _shard_env == "all"

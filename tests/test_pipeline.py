@@ -1,12 +1,15 @@
 """Composed corpus-curation pipeline invariants (the oracle-parity
 gate covers value correctness; these check structural contracts)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datafusion_functions_financial_spark.operators import dedup, pipeline
 from datafusion_functions_financial_spark.sources.tables import load
 
 
+@pytest.mark.slow
 def test_survivors_are_filtered_and_exact_deduped(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     out = pipeline.clean_corpus(docs).cache()
@@ -30,6 +33,7 @@ def test_survivors_are_filtered_and_exact_deduped(spark, sf_dir):
     assert labels <= ids
 
 
+@pytest.mark.slow
 def test_every_cluster_has_exactly_one_canonical(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     out = pipeline.clean_corpus(docs)

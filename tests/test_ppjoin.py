@@ -36,6 +36,7 @@ def _naive_pairs(docs, t_num, t_den):
                   for r in j.collect())
 
 
+@pytest.mark.slow
 def test_ppjoin_equals_naive_ground_truth(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     got = sorted((r["id_a"], r["id_b"], r["inter"])
@@ -68,6 +69,46 @@ def test_ppjoin_prefix_length_never_floats(spark):
     m = tok.count()
     pref = ppjoin._prefixes(tok, 3, 5).count()
     assert pref == m - ((3 * m + 4) // 5) + 1
+
+
+@pytest.mark.slow
+def test_ppjoin_prunes_on_zipfian_vocabulary(spark):
+    """VERDICT r08 item 5: the testdata corpus is the adversarial
+    no-rare-token case (31-word vocabulary, candidate_share ~0.86);
+    the operator's value proposition is NATURAL text, where rare
+    tokens make prefixes selective. A deterministic zipf-sampled
+    5000-word corpus (400 docs incl. planted near-dup twins) must
+    prune to candidate_share <= 0.2 (measured 0.046) while
+    completeness vs the naive ground truth still holds."""
+    import random
+
+    def word(r):
+        s = ""
+        r += 1
+        for _ in range(6):
+            s += chr(97 + r % 26)
+            r //= 26
+        return s
+
+    rng = random.Random(42)
+    V = 5000
+    rows, i = [], 0
+    while len(rows) < 400:
+        ws = [word(int(V ** rng.random())) for _ in range(8)]
+        rows.append((i, " ".join(ws)))
+        i += 1
+        if i % 10 == 1:  # near-dup twin: change only the last word
+            ws2 = ws[:-1] + [word(int(V ** rng.random()))]
+            rows.append((i, " ".join(ws2)))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stat = ppjoin.ppjoin_candidate_stats(docs).collect()[0]
+    assert stat["candidate_share"] <= 0.2, stat.asDict()
+    assert stat["n_pairs"] >= 30  # the planted twins are found
+    got = sorted((r["id_a"], r["id_b"], r["inter"])
+                 for r in ppjoin.ppjoin_pairs(docs).collect())
+    want = _naive_pairs(docs, ppjoin.T_NUM, ppjoin.T_DEN)
+    assert got == want
 
 
 def test_ppjoin_stats_pruning(spark, sf_dir):

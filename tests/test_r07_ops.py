@@ -140,6 +140,7 @@ def _run_cc(spark, nodes, edges):
     return {r["node"]: r["component"] for r in got}
 
 
+@pytest.mark.slow
 def test_cc_matches_union_find_on_random_graph(spark):
     rng = np.random.RandomState(5)
     nodes = list(range(60))
@@ -148,6 +149,7 @@ def test_cc_matches_union_find_on_random_graph(spark):
     assert _run_cc(spark, nodes, edges) == _naive_cc(nodes, edges)
 
 
+@pytest.mark.slow
 def test_cc_long_chain_converges_in_log_rounds(spark):
     # a 200-node chain has diameter 199; label propagation would need
     # ~200 rounds — large-star/small-star must finish inside the

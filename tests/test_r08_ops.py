@@ -288,6 +288,7 @@ def test_assortativity_matches_numpy(spark):
     _approx(out["assortativity"], expect, 1e-5)
 
 
+@pytest.mark.slow
 def test_kcore_peels_to_triangle(spark):
     """Triangle + a pendant chain: the 2-core is exactly the
     triangle (the chain peels over two rounds)."""
@@ -328,6 +329,7 @@ def test_kcore_early_exit_equals_fixed_rounds(spark):
     assert fast == slow
 
 
+@pytest.mark.slow
 def test_kcore_gate_config_converges(spark, sf_dir):
     """The unrolled-oracle equivalence needs the gate configuration
     to reach its fixpoint within KCORE_ROUNDS: one extra round must

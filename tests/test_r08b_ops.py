@@ -19,6 +19,7 @@ def _labeled_df(spark, scores, labels):
         "v double, y int, id long")
 
 
+@pytest.mark.slow
 def test_woe_iv_informative_beats_noise(spark):
     from datafusion_functions_financial_spark.operators.mlmetrics import (
         woe_iv,

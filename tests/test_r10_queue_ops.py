@@ -1,0 +1,110 @@
+"""Hand-checkable semantics for the r10-queued operators (stats10,
+text9, graph5, embgeo2). Engine parity is covered by the oracle net
+and the on-landing 3-SF driver-contract verification."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from datafusion_functions_financial_spark.operators.embgeo2 import (
+    label_silhouette,
+)
+from datafusion_functions_financial_spark.operators.graph5 import (
+    local_clustering,
+)
+from datafusion_functions_financial_spark.operators.stats10 import (
+    breusch_pagan_daily, durbin_watson_daily, mood_median_test,
+)
+from datafusion_functions_financial_spark.operators.text9 import (
+    js_by_source,
+)
+
+US_DAY = 86_400_000_000
+
+
+def _events(spark, rows):
+    # (key, day, value) -> one event per day at microsecond epoch
+    return spark.createDataFrame(
+        [(k, d * US_DAY, float(v)) for k, d, v in rows],
+        "k string, us long, value double")
+
+
+def test_residual_diagnostics_trend_invariant(spark):
+    # adding a linear-in-day trend leaves OLS residuals unchanged,
+    # so BP and DW must be identical on base vs trended series.
+    base = [("a", d, v) for d, v in enumerate(
+        [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0])]
+    trended = [(k, d, v + 7.0 * d + 11.0) for k, d, v in base]
+    dw0 = durbin_watson_daily(_events(spark, base), "value", "k",
+                              "us").collect()[0]
+    dw1 = durbin_watson_daily(_events(spark, trended), "value", "k",
+                              "us").collect()[0]
+    assert dw0["dw"] == dw1["dw"]
+    bp0 = breusch_pagan_daily(_events(spark, base), "value", "k",
+                              "us").collect()[0]
+    bp1 = breusch_pagan_daily(_events(spark, trended), "value", "k",
+                              "us").collect()[0]
+    assert bp0["bp_lm"] == bp1["bp_lm"]
+    assert dw0["n_days"] == 8 and bp0["n_days"] == 8
+
+
+def test_mood_median_fully_separated_groups(spark):
+    # group a entirely below the median, group b entirely above:
+    # chi2 of the 2x2 equals n.
+    df = spark.createDataFrame(
+        [("a", 1.0)] * 4 + [("b", 10.0)] * 4, "g string, v double")
+    row = mood_median_test(df, "v", "g").collect()[0]
+    assert row["n"] == 8 and row["k"] == 2
+    assert row["chi2"] == 8.0
+
+
+def test_js_identical_sources_zero_disjoint_ln2(spark):
+    same = spark.createDataFrame(
+        [("s1", "aa bb cc"), ("s2", "aa bb cc")],
+        "source string, text string")
+    rows = {r["source"]: r["js"]
+            for r in js_by_source(same).collect()}
+    assert rows == {"s1": 0.0, "s2": 0.0}
+    disjoint = spark.createDataFrame(
+        [("s1", "aa bb cc"), ("s2", "dd ee ff")],
+        "source string, text string")
+    for r in js_by_source(disjoint).collect():
+        assert abs(r["js"] - math.log(2)) < 1e-6
+
+
+def test_local_clustering_triangle_with_pendant(spark):
+    # triangle 1-2-3 plus pendant edge 1-4: lcc(2)=lcc(3)=1,
+    # lcc(1)=1/3 (one closed pair of three), node 4 excluded (d=1).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "a long, b long")
+    out = local_clustering(edges, "a", "b").collect()
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["lcc"])
+           for r in out}
+    assert got[2] == (2, 1, 1.0) and got[3] == (2, 1, 1.0)
+    assert got[1] == (3, 1, round(round(1 / 3 * 1e6) / 1e6, 6))
+    assert 4 not in got
+    # ordered by lcc desc then node asc
+    assert [r["node"] for r in out] == [2, 3, 1]
+
+
+def test_silhouette_perfectly_separated_labels(spark):
+    df = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (1, 0, [1.0, 0.0]),
+         (2, 1, [0.0, 1.0]), (3, 1, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<double>")
+    out = {r["label"]: r["silhouette"]
+           for r in label_silhouette(df, "embedding", "label").collect()}
+    assert out == {0: 1.0, 1: 1.0}
+
+
+def test_silhouette_boundary_vector_is_zero_mean(spark):
+    # a vector exactly between two centroids has s ~ 0; with one such
+    # vector per label plus a tight core, the mean sits in (0, 1).
+    df = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0]), (1, 0, [0.0, 0.0]), (2, 1, [2.0, 0.0]),
+         (3, 1, [2.0, 0.0]), (4, 0, [1.0, 0.0])],
+        "vec_id long, label int, embedding array<double>")
+    out = {r["label"]: r["silhouette"]
+           for r in label_silhouette(df, "embedding", "label").collect()}
+    assert out[1] == 1.0
+    assert 0.0 < out[0] < 1.0

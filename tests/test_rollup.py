@@ -1,6 +1,8 @@
 """Incremental rollup: algebraic-merge correctness and delta-scaled
 plan shape (operators/rollup.py)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datafusion_functions_financial_spark.operators.rollup import (
@@ -57,6 +59,7 @@ def test_incremental_plan_never_reaggregates_history(spark, sf_dir):
     assert "LeftSemi, BuildRight" in plan.replace("  ", " "), plan
 
 
+@pytest.mark.slow
 def test_partitioned_maintenance_rewrites_only_touched_dates(
     spark, sf_dir, tmp_path
 ):

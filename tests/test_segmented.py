@@ -77,6 +77,7 @@ def test_segmented_rsi_requires_seed_in_first_bucket(spark):
         ).collect()
 
 
+@pytest.mark.slow
 def test_max_rows_per_task_splits_hot_series(spark):
     """Hot-key splitting (SCALING.md): one giant series routes through
     the segmented path and matches the unsplit serial kernels; a small

@@ -31,6 +31,7 @@ def _naive_dcor(xs, ys):
     return float(np.sqrt(dcov2 / np.sqrt(dvx * dvy)))
 
 
+@pytest.mark.slow
 def test_dcor_matches_naive(spark):
     from datafusion_functions_financial_spark.operators.stats7 import (
         distance_correlation,
@@ -43,6 +44,7 @@ def test_dcor_matches_naive(spark):
     assert row["dcor"] == pytest.approx(_naive_dcor(xs, ys), abs=1e-4)
 
 
+@pytest.mark.slow
 def test_dcor_detects_nonlinear_dependence(spark):
     from datafusion_functions_financial_spark.operators.stats7 import (
         distance_correlation,
@@ -55,6 +57,7 @@ def test_dcor_detects_nonlinear_dependence(spark):
     assert row["dcor"] > 0.4
 
 
+@pytest.mark.slow
 def test_dcor_near_zero_when_independent(spark):
     from datafusion_functions_financial_spark.operators.stats7 import (
         distance_correlation,

@@ -106,6 +106,7 @@ def test_replay_across_microbatches_matches_batch_funnel(
         assert all(b > a for a, b in zip(ds, ds[1:])), ds
 
 
+@pytest.mark.slow
 def test_min_merge_is_order_free(spark, tmp_path):
     """An out-of-order replay (later file carries earlier rows) must
     still land on the batch depth — firsts are min-merged."""

@@ -31,6 +31,7 @@ def _cells(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_and_updates(spark, tmp_path):
     src = str(tmp_path / "cms_src")
     rows1 = [(i % 13, "view") for i in range(300)]
@@ -66,6 +67,7 @@ def test_state_bounded_by_cell_count(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_cells_merge_with_batch_shard(spark, tmp_path):
     src = str(tmp_path / "cms_merge")
     live = [(i % 7, "view") for i in range(100)]

@@ -31,6 +31,7 @@ def _start(spark, src, name):
     )
 
 
+@pytest.mark.slow
 def test_streaming_equals_batch_and_updates(spark, stream_dir):
     rows1 = [(i % 37, "view") for i in range(200)] + \
             [(i % 11, "click") for i in range(50)]
@@ -75,6 +76,7 @@ def test_state_is_bounded_by_register_count(spark, stream_dir):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_sketch_merges_with_batch_shard(spark, stream_dir):
     live = [(i, "view") for i in range(300)]
     hist = [(i + 150, "view") for i in range(300)]  # overlapping shard

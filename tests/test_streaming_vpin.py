@@ -67,6 +67,7 @@ def test_fold_kernel_basic():
     assert cur == 1 and buy == 12 * micro3.QV and sell == 10 * micro3.QV
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_single_batch(spark, tmp_path):
     rows = _tape("a", 120) + _tape("b", 77, start=50.0)
     got = _stream_buckets(spark, tmp_path, [rows], "vpin_s1")

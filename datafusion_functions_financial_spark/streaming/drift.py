@@ -38,7 +38,7 @@ from ..plans.series import round_portable
 
 __all__ = ["bin_expr", "baseline_edges", "baseline_shares",
            "binned_window_stream", "binned_window_batch",
-           "psi_from_counts", "chi2_from_counts"]
+           "psi_from_counts", "chi2_from_counts", "js_from_counts"]
 
 PSI_Q = 10 ** 8
 
@@ -144,6 +144,61 @@ def psi_from_counts(counts: DataFrame, ref: DataFrame) -> DataFrame:
             round_portable(F.expr(
                 f"CAST(__psi_q AS DOUBLE) / {float(PSI_Q)!r}"), 6
             ).alias("psi"),
+        )
+    )
+
+
+def js_from_counts(counts: DataFrame, ref: DataFrame) -> DataFrame:
+    """(window_start, window_end, n, js): Jensen-Shannon divergence of
+    each window's bin distribution vs the baseline — the symmetric,
+    BOUNDED ([0, ln 2]) companion to PSI over the SAME (window, bin,
+    n) state relation (PSI explodes when a bin's observed share -> 0;
+    JS saturates instead, so it ranks windows even under total
+    distribution collapse).
+
+    Baseline bins a window never observed need no (window x bin)
+    grid: with p = 0 the integrand collapses to ``0.5 * q * ln 2``,
+    so JS = 0.5 * sum_present[p ln(p/m) + q ln(q/m)]
+    + 0.5 ln(2) * (1 - sum_present q) — the ``operators/text9``
+    absent-mass identity, keeping the plan identical to PSI's (one
+    broadcast join on bin, one window sum, one reduction). Terms
+    quantize to BIGINT before the fold."""
+    from pyspark.sql import Window
+
+    ln2 = 0.6931471805599453
+    tot_ref = ref.agg(F.sum("ref_n").alias("__tr"))
+    po = "(CAST(n AS DOUBLE) / CAST(__tw AS DOUBLE))"
+    pr = "(CAST(ref_n AS DOUBLE) / CAST(__tr AS DOUBLE))"
+    m = f"(({po} + {pr}) / 2.0)"
+    term = (
+        f"CASE WHEN ref_n > 0 THEN "
+        f"CAST(round(({po} * ln({po} / {m}) "
+        f"+ {pr} * ln({pr} / {m})) * {PSI_Q}) AS BIGINT) "
+        # bin absent from the BASELINE: q = 0, integrand = p ln 2
+        f"ELSE CAST(round({po} * {ln2!r} * {PSI_Q}) AS BIGINT) END"
+    )
+    qref = (f"CASE WHEN ref_n > 0 THEN "
+            f"CAST(round({pr} * {PSI_Q}) AS BIGINT) ELSE 0 END")
+    joined = (
+        counts.join(F.broadcast(ref), "bin", "left")
+        .crossJoin(F.broadcast(tot_ref))
+        .withColumn("__tw", F.sum("n").over(Window.partitionBy("window")))
+        .withColumn("__t", F.expr(term))
+        .withColumn("__q", F.expr(qref))
+    )
+    return (
+        joined.groupBy("window")
+        .agg(F.sum("n").cast("bigint").alias("n"),
+             F.sum("__t").alias("__js_q"),
+             F.sum("__q").alias("__qr_q"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            round_portable(F.expr(
+                f"0.5 * CAST(__js_q AS DOUBLE) / {float(PSI_Q)!r} "
+                f"+ 0.5 * {ln2!r} * (1.0 - CAST(__qr_q AS DOUBLE) "
+                f"/ {float(PSI_Q)!r})"), 6).alias("js"),
         )
     )
 

@@ -14,10 +14,22 @@ def spark():
     # more tasks per stage (defaultParallelism) and more scheduling
     # overhead, not more throughput — local[16] ran 802 s vs local[4]
     # 621 s on the identical r09 suite.
+    # shuffle.partitions=4 (was 8): every groupBy/join stage schedules
+    # half the tasks; at sf0.001 each task is micro-sized, so task
+    # scheduling — not data — is the cost. Results are partition-count
+    # independent by design (order-free quantized sums, deterministic
+    # tie-breaks); partition-sensitive tests pin their own counts.
+    # AQE OFF in tests only: the suite is ~850 micro-queries where
+    # adaptive re-planning adds latency per query and decides nothing
+    # (sf0.001 inputs) — measured 513 s -> 481 s. Results and asserted
+    # static plan shapes are AQE-independent; the perf surfaces
+    # (bench.py, tools/verify_driver_contract.py, production configs)
+    # keep AQE ON.
     s = (
         SparkSession.builder.master("local[4]")
         .appName("dffs-tests")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

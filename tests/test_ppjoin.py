@@ -111,6 +111,7 @@ def test_ppjoin_prunes_on_zipfian_vocabulary(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_ppjoin_stats_pruning(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     row = ppjoin.ppjoin_candidate_stats(docs).collect()[0]

@@ -47,6 +47,26 @@ def test_psi_zero_on_identical_distribution(spark):
     assert row.psi == 0.0 and row.n == df.count()
 
 
+def test_js_zero_on_identical_and_ln2_on_disjoint(spark):
+    import math
+
+    df = _ticks(spark)
+    edges = drift.baseline_edges(df, "value", n_bins=8)
+    ref = drift.baseline_shares(df, "value", edges)
+    whole = ref.select(
+        F.expr("named_struct('start', timestamp'2000-01-01', "
+               "'end', timestamp'2000-01-02')").alias("window"),
+        F.col("bin"), F.col("ref_n").alias("n"))
+    [row] = drift.js_from_counts(whole, ref).collect()
+    assert row.js == 0.0 and row.n == df.count()
+    # a window concentrated in a bin the baseline never saw -> the
+    # bounded maximum ln 2 (PSI would be undefined/unbounded here)
+    alien = whole.select("window", F.lit(9999).alias("bin"),
+                         F.lit(100).alias("n"))
+    [arow] = drift.js_from_counts(alien, ref).collect()
+    assert abs(arow.js - math.log(2)) < 1e-6
+
+
 @pytest.mark.slow
 def test_drift_stream_replay_sf001_equals_batch(spark, tmp_path):
     ticks = _ticks(spark)
@@ -105,6 +125,14 @@ def test_drift_stream_replay_sf001_equals_batch(spark, tmp_path):
     c_batch = drift.chi2_from_counts(want, ref).toPandas().sort_values(
         "window_start").reset_index(drop=True)
     pd.testing.assert_frame_equal(c_stream, c_batch)
+
+    # JS scored from the stream's sink contents == batch, and bounded.
+    j_stream = drift.js_from_counts(got, ref).toPandas().sort_values(
+        "window_start").reset_index(drop=True)
+    j_batch = drift.js_from_counts(want, ref).toPandas().sort_values(
+        "window_start").reset_index(drop=True)
+    pd.testing.assert_frame_equal(j_stream, j_batch)
+    assert ((j_batch["js"] >= 0) & (j_batch["js"] <= 0.6932)).all()
     # Sanity: every full window scored, PSI finite and >= 0 is not
     # guaranteed (PSI terms can be negative only if... they can't:
     # (a-b)*ln(a/b) >= 0), so assert non-negative.

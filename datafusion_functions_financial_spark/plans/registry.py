@@ -25,13 +25,13 @@ from ..operators import (
     abtest, anomaly2, anomaly3, asof, binseg, blocking, bm25,
     boilerplate, bootstrap, cc,
     chunking,
-    concentration, corrmatrix, cosinedup, cuped,
+    concentration, concentration2, corrmatrix, cosinedup, cuped,
     crossmodal,
     decontam, dedup, diff, digest, divergence,
     dq, dq2, dq3, dq4, embgeo, embgeo2, embnorm, embpca, embproj,
     embstats,
     embstats2,
-    graph2, graph3, graph4, graph5,
+    graph2, graph3, graph4, graph5, graph6,
     histogram,
     incremental, inequality, interval, ivf, kcenter, keywords, kmeans,
     linkage, markov2, microstructure, micro4, mlmetrics, mlmetrics2,
@@ -41,10 +41,11 @@ from ..operators import (
     profile, qsketch,
     quality,
     quantile2, quantile3, quantize, rfm,
-    robustfit, rollup, sampling, sampling2, sampling3, simpson,
+    robustfit, rollup, sampling, sampling2, sampling3, sampling4,
+    simpson,
     spectral, stats2,
     stats3, stats4, stats5, stats6, stats7, stats8, stats9, stats10,
-    strsim,
+    stats11, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
@@ -201,8 +202,10 @@ _MODULES = [
     technical, chunking, _RestVocabR08, histogram, quality, enrich,
     # --- NEW in r09 (past the window): regression diagnostics +
     # Mood's median, per-source JS divergence, local clustering
-    # coefficient, centroid silhouette — gate in r10. ---
+    # coefficient, centroid silhouette, balanced class sampling,
+    # gamma/Somers' D, rich club, Pareto cutpoint — gate in r10. ---
     stats10, text9, graph5, embgeo2,
+    sampling4, stats11, graph6, concentration2,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -220,6 +223,14 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "graph_lcc_parts",
     # embgeo2: centroid-based silhouette
     "emb_silhouette_embeddings",
+    # sampling4: balanced class downsampling
+    "sample_balanced_events",
+    # stats11: Goodman-Kruskal gamma + Somers' D
+    "q_ordinal_assoc_events",
+    # graph6: rich-club coefficient
+    "graph_richclub_parts",
+    # concentration2: Pareto cutpoint
+    "q_pareto_cutpoint_orders",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

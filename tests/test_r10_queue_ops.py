@@ -97,6 +97,68 @@ def test_silhouette_perfectly_separated_labels(spark):
     assert out == {0: 1.0, 1: 1.0}
 
 
+def test_sample_balanced_keeps_min_class_count(spark):
+    from datafusion_functions_financial_spark.operators.sampling4 import (
+        sample_balanced,
+    )
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")],
+        "event_id long, event_type string")
+    kept = sample_balanced(df, "event_type", "event_id").collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r["event_type"], []).append(r["event_id"])
+    assert len(by["a"]) == 1 and len(by["b"]) == 1
+    # deterministic: a replay picks the identical rows
+    again = sample_balanced(df, "event_type", "event_id").collect()
+    assert sorted(r["event_id"] for r in kept) == sorted(
+        r["event_id"] for r in again)
+
+
+def test_ordinal_association_perfect_concordance(spark):
+    from datafusion_functions_financial_spark.operators.stats11 import (
+        ordinal_association,
+    )
+    # (0,0)-(1,0): tied on y (TY); the other two pairs concordant.
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1)], "x int, y int")
+    row = ordinal_association(df, "x", "y").collect()[0]
+    assert row["c_pairs"] == 2 and row["d_pairs"] == 0
+    assert row["ty_pairs"] == 1
+    assert row["gamma"] == 1.0
+    assert row["somers_d"] == round(round(2 / 3 * 1e6) / 1e6, 6)
+
+
+def test_rich_club_triangle_with_pendant(spark):
+    from datafusion_functions_financial_spark.operators.graph6 import (
+        rich_club,
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "a long, b long")
+    out = {r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+           for r in rich_club(edges, "a", "b",
+                              thresholds=(1, 2)).collect()}
+    # deg: 1->3, 2->2, 3->2, 4->1. k=1: {1,2,3} fully connected.
+    assert out[1] == (3, 3, 1.0)
+    # k=2: only node 1 qualifies -> degenerate phi = 0
+    assert out[2] == (1, 0, 0.0)
+
+
+def test_pareto_cutpoint_hand_computed(spark):
+    from datafusion_functions_financial_spark.operators import (
+        concentration2,
+    )
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, 30.0), (3, 10.0), (4, 10.0)],
+        "o_custkey long, o_totalprice double")
+    row = concentration2.pareto_cutpoint(
+        df, "o_custkey", "o_totalprice").collect()[0]
+    # desc cum shares: 0.5 (1 cust), 0.8 (2) -> 2 customers reach 4/5
+    assert row["n_keys"] == 4
+    assert row["top_keys"] == 2
+    assert row["top_share"] == 0.8
+
+
 def test_silhouette_boundary_vector_is_zero_mean(spark):
     # a vector exactly between two centroids has s ~ 0; with one such
     # vector per label plus a tight core, the mean sits in (0, 1).

@@ -48,11 +48,20 @@ def rich_club(edges: DataFrame, a_col: str, b_col: str,
         F.count(F.lit(1)).cast("bigint").alias("__d"))
     ks = ", ".join(str(int(k)) for k in thresholds)
     kdf = (f"explode(array({ks})) AS k",)
+    # every threshold emits a row even when its club is empty (an SF
+    # change must not change the result-set SHAPE, only its values)
+    krel = edges.sparkSession.range(1).selectExpr(kdf[0])
     nodes_k = (
         deg.select(F.expr(kdf[0]), "__v", "__d")
         .filter(F.col("__d") > F.col("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    nodes_k = (
+        krel.join(nodes_k, "k", "left")
+        .withColumn("n_nodes",
+                    F.coalesce(F.col("n_nodes"), F.lit(0))
+                    .cast("bigint"))
     )
     withdeg = (
         e.join(deg.withColumnRenamed("__v", "__x")
@@ -112,8 +121,9 @@ WITH b AS (
   SELECT v, CAST(count(*) AS BIGINT) AS d FROM ends GROUP BY 1
 ), ks AS (SELECT unnest([{_KS_SQL}]) AS k),
 nodes_k AS (
-  SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes
-  FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1
+  SELECT ks.k,
+    CAST(count(deg.v) AS BIGINT) AS n_nodes
+  FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY 1
 ), edges_k AS (
   SELECT ks.k, CAST(count(*) AS BIGINT) AS n_edges
   FROM ks, e

@@ -88,9 +88,11 @@ def pareto_cutpoint(df: DataFrame, key_col: str, value_expr: str,
         .groupBy("__k")
         .agg(F.sum("__cents").alias("__rev"))
     )
+    # materialize: per_val feeds the grand total AND the prefix chain
+    # (otherwise the per-key aggregate re-scans the input twice)
     per_val = per_key.groupBy(F.col("__rev").alias("__v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("__c"),
-    ).withColumn("__w", F.expr("__v * __c"))
+    ).withColumn("__w", F.expr("__v * __c")).localCheckpoint()
     tot = per_val.agg(F.sum("__c").cast("bigint").alias("__tc"),
                       F.sum("__w").cast("bigint").alias("__tw"))
     pre = _prefixed(per_val)

@@ -77,6 +77,36 @@ Q19_BRANCHES = (("Brand#12", 1, 15, 1, 11),
 Q20_PREFIX, Q20_LO, Q20_HI, Q20_MIN_QTY = ("red", "1997-01-01",
                                            "1998-01-01", 300)
 Q21_LATE_DAYS, Q21_STATUS, Q21_TOPK = 90, "F", 10
+Q6_LO, Q6_HI = "1997-01-01", "1998-01-01"
+Q6_DISC_LO, Q6_DISC_HI, Q6_MAX_QTY = 0.05, 0.07, 24
+
+
+def forecast_revenue(spark_tables: dict, lo: str = Q6_LO,
+                     hi: str = Q6_HI) -> DataFrame:
+    """TPC-H Q6 shape: one row (n_lines, revenue_delta) — the revenue
+    change from eliminating small discounts on low-quantity lines in
+    one year (pure filter + aggregate; every predicate must reach the
+    parquet scan). The discount band compares exactly: discounts are
+    hundredths by construction, so ``round(l_discount * 100)`` is an
+    integer on both engines."""
+    li = spark_tables["lineitem"]
+    f = li.filter(F.expr(
+        f"l_shipdate >= TIMESTAMP '{lo}' "
+        f"AND l_shipdate < TIMESTAMP '{hi}' "
+        f"AND CAST(round(l_discount * 100) AS BIGINT) "
+        f"BETWEEN {round(Q6_DISC_LO * 100)} "
+        f"AND {round(Q6_DISC_HI * 100)} "
+        f"AND l_quantity < {Q6_MAX_QTY}"))
+    return f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.coalesce(F.sum(F.expr(
+            "CAST(round(l_extendedprice * l_discount * 100) "
+            "AS BIGINT)")), F.lit(0)).alias("__rev"),
+    ).select(
+        "n_lines",
+        round_portable(F.expr("__rev / 100.0"), 2)
+        .alias("revenue_delta"),
+    )
 
 
 def min_price_suppliers(spark_tables: dict, ptype: str = Q2_TYPE,
@@ -494,7 +524,23 @@ LIMIT {Q21_TOPK}
 """
 
 
+_ORACLE_Q6 = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+  {round_portable_duck(
+      "CAST(coalesce(sum(CAST(round(l_extendedprice * l_discount "
+      "* 100) AS BIGINT)), 0) AS BIGINT) / 100.0", 2)}
+    AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_LO}'
+  AND l_shipdate < TIMESTAMP '{Q6_HI}'
+  AND CAST(round(l_discount * 100) AS BIGINT)
+    BETWEEN {round(Q6_DISC_LO * 100)} AND {round(Q6_DISC_HI * 100)}
+  AND l_quantity < {Q6_MAX_QTY}
+"""
+
+
 QUERIES: dict = {
+    "q_forecast_revenue_lineitem": (_q(forecast_revenue), _ORACLE_Q6),
     "q_min_price_suppliers_parts": (_q(min_price_suppliers),
                                     _ORACLE_Q2),
     "q_priority_late_orders": (_q(priority_late_orders), _ORACLE_Q4),

@@ -150,6 +150,16 @@ _RestMlmR08 = _rest(mlmetrics, "q_auc_events", "q_calibration_events",
                     "q_gains_lift_events", "q_threshold_metrics_events",
                     "q_bh_fdr_events")
 
+# analytics10 sits inside the frozen r09 window; its late Q6 addition
+# (q_forecast_revenue_lineitem) must register PAST the window (r10
+# queue) without moving the 8 window entries.
+_A10_WINDOW = ("q_min_price_suppliers_parts", "q_priority_late_orders",
+               "q_profit_nation_year", "q_important_parts_lineitem",
+               "q_late_lines_by_status", "q_disjunctive_revenue_parts",
+               "q_excess_qty_suppliers", "q_waiting_suppliers")
+_PickA10R09 = _pick(analytics10, *_A10_WINDOW)
+_RestA10R09 = _rest(analytics10, *_A10_WINDOW)
+
 _MODULES = [
     # --- r09 must-gate block (exactly 50 ungated queries): the full
     # 36-entry r08 queue (mlmetrics WoE/stump, stats6 x4, stats7 x2,
@@ -165,7 +175,7 @@ _MODULES = [
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
     simpson, binseg, cuped, abtest, graph4, text7, text8, markov2,
     analytics9, ppjoin,
-    analytics10, mlmetrics2, stats9, inequality,
+    _PickA10R09, mlmetrics2, stats9, inequality,
     # --- past the window: everything driver-green in r01-r08
     # (PRIOR_GATED is derived from the CORRECTNESS files; the local
     # parity suite keeps running ALL pairs every round). r08 window
@@ -205,7 +215,7 @@ _MODULES = [
     # coefficient, centroid silhouette, balanced class sampling,
     # gamma/Somers' D, rich club, Pareto cutpoint — gate in r10. ---
     stats10, text9, graph5, embgeo2,
-    sampling4, stats11, graph6, concentration2,
+    sampling4, stats11, graph6, concentration2, _RestA10R09,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -231,6 +241,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "graph_richclub_parts",
     # concentration2: Pareto cutpoint
     "q_pareto_cutpoint_orders",
+    # analytics10 (late addition): TPC-H Q6 filter-aggregate
+    "q_forecast_revenue_lineitem",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -60,6 +60,8 @@ def main() -> None:
          analytics9.large_volume_customers(tables, k=5)),
         ("Q22 lapsed high-balance accounts",
          analytics9.lapsed_high_balance(tables)),
+        ("Q6 forecast revenue delta",
+         analytics10.forecast_revenue(tables)),
         ("Q2 min-price suppliers (top 5)",
          analytics10.min_price_suppliers(tables, k=5)),
         ("Q4 priority late orders",

@@ -159,6 +159,17 @@ def test_pareto_cutpoint_hand_computed(spark):
     assert row["top_share"] == 0.8
 
 
+def test_graph_ops_exchange_budget(spark, sf_dir):
+    # The multi-consumer edge relations are materialized once; without
+    # the checkpoints the copurchase aggregate re-executes per
+    # consumer (measured 79 exchanges for LCC, 43 for rich club).
+    from tests.test_plans import count_exchanges, plan_of
+    assert count_exchanges(plan_of(spark, sf_dir,
+                                   "graph_lcc_parts")) <= 8
+    assert count_exchanges(plan_of(spark, sf_dir,
+                                   "graph_richclub_parts")) <= 8
+
+
 def test_silhouette_boundary_vector_is_zero_mean(spark):
     # a vector exactly between two centroids has s ~ 0; with one such
     # vector per label plus a tight core, the mean sits in (0, 1).

@@ -35,7 +35,7 @@ from ..operators import (
     histogram,
     incremental, inequality, interval, ivf, kcenter, keywords, kmeans,
     linkage, markov2, microstructure, micro4, mlmetrics, mlmetrics2,
-    mmd,
+    mlmetrics3, mmd,
     multimodal,
     micro2, micro3, micro5, outliers, packing, pipeline, ppjoin,
     profile, qsketch,
@@ -50,7 +50,7 @@ from ..operators import (
     text2,
     text3,
     text4, text5, text6, text7, text8, text9, tfidf,
-    vocab,
+    vocab, vocab2,
     wquantile,
 )
 
@@ -216,6 +216,7 @@ _MODULES = [
     # gamma/Somers' D, rich club, Pareto cutpoint — gate in r10. ---
     stats10, text9, graph5, embgeo2,
     sampling4, stats11, graph6, concentration2, _RestA10R09,
+    mlmetrics3, vocab2,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
@@ -243,6 +244,10 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_pareto_cutpoint_orders",
     # analytics10 (late addition): TPC-H Q6 filter-aggregate
     "q_forecast_revenue_lineitem",
+    # mlmetrics3: KS separation + expected calibration error
+    "q_ks_separation_events", "q_ece_events",
+    # vocab2: Good-Turing unseen mass + Chao1 richness
+    "vocab_richness_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -159,6 +159,48 @@ def test_pareto_cutpoint_hand_computed(spark):
     assert row["top_share"] == 0.8
 
 
+def test_ks_perfect_classifier_is_one(spark):
+    from datafusion_functions_financial_spark.operators.mlmetrics3 import (
+        ks_separation,
+    )
+    df = spark.createDataFrame(
+        [(3.0, 1), (4.0, 1), (1.0, 0), (2.0, 0)], "s double, y int")
+    row = ks_separation(df, "s", "y = 1").collect()[0]
+    assert row["ks"] == 1.0
+    # random (identical score) -> the single block has diff 0
+    df2 = spark.createDataFrame(
+        [(1.0, 1), (1.0, 0)] * 3, "s double, y int")
+    assert ks_separation(df2, "s", "y = 1").collect()[0]["ks"] == 0.0
+
+
+def test_ece_perfectly_calibrated_is_zero(spark):
+    from datafusion_functions_financial_spark.operators.mlmetrics3 import (
+        expected_calibration_error,
+    )
+    df = spark.createDataFrame([(0.5, 1), (0.5, 0)] * 4,
+                               "p double, y int")
+    row = expected_calibration_error(df, "p", "y = 1").collect()[0]
+    assert row["ece"] == 0.0 and row["max_ce"] == 0.0
+    # constant p=0.5 but all-positive labels -> gap 0.5 everywhere
+    df2 = spark.createDataFrame([(0.5, 1)] * 4, "p double, y int")
+    r2 = expected_calibration_error(df2, "p", "y = 1").collect()[0]
+    assert r2["ece"] == 0.5 and r2["max_ce"] == 0.5
+
+
+def test_vocab_richness_hand_computed(spark):
+    from datafusion_functions_financial_spark.operators.vocab2 import (
+        vocab_richness,
+    )
+    # tokens: aa x3, bb x2, cc x1, dd x1 -> N=7, V=4, n1=2, n2=1
+    df = spark.createDataFrame(
+        [("aa aa aa bb",), ("bb cc dd",)], "text string")
+    row = vocab_richness(df).collect()[0]
+    assert (row["n_tokens"], row["v_distinct"], row["n1"],
+            row["n2"]) == (7, 4, 2, 1)
+    assert row["unseen_mass"] == round(round(2 / 7 * 1e6) / 1e6, 6)
+    assert row["chao1"] == 4.5  # 4 + 2*1/(2*2)
+
+
 def test_graph_ops_exchange_budget(spark, sf_dir):
     # The multi-consumer edge relations are materialized once; without
     # the checkpoints the copurchase aggregate re-executes per

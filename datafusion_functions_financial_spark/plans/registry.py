@@ -161,22 +161,24 @@ _PickA10R09 = _pick(analytics10, *_A10_WINDOW)
 _RestA10R09 = _rest(analytics10, *_A10_WINDOW)
 
 _MODULES = [
-    # --- r09 must-gate block (exactly 50 ungated queries): the full
-    # 36-entry r08 queue (mlmetrics WoE/stump, stats6 x4, stats7 x2,
-    # mmd, stats8 x2, Kish ESS, simpson x2, binseg, CUPED, abtest x4,
-    # modularity, text7 x2, Heaps, Markov stationary, the 9 TPC-H
-    # Q5/Q7/Q8/Q10/Q14/Q15/Q17/Q18/Q22 shapes, ppjoin x2 — every one
-    # judge-verified value-exact in the r08 VERDICT session) + the 14
-    # NEW r09 pairs (TPC-H Q2/Q4/Q9/Q11/Q12/Q19/Q20/Q21 adaptations,
-    # PR-AUC, Brier decomposition, Levene, Cochran-Armitage trend,
-    # Cohen's kappa, Theil+Atkinson — each builder-verified at
-    # sf0.001 + sf0.01 + sf0.1 through tools/verify_driver_contract
-    # on landing). ---
+    # --- r10 must-gate block: the 14-entry r09 queue first (every one
+    # judge-verified value-exact in the r09 VERDICT session —
+    # Breusch-Pagan/Durbin-Watson/Mood, per-source JS, LCC, centroid
+    # silhouette, balanced sampling, gamma/Somers' D, rich club,
+    # Pareto cutpoint, TPC-H Q6, KS separation, ECE,
+    # Good-Turing/Chao1), then the new-in-r10 pairs — each
+    # builder-verified at sf0.001 + sf0.01 + sf0.1 through
+    # tools/verify_driver_contract on landing. ---
+    stats10, text9, graph5, embgeo2,
+    sampling4, stats11, graph6, concentration2, _RestA10R09,
+    mlmetrics3, vocab2,
+    # --- past the window: everything driver-green in r01-r09
+    # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
     simpson, binseg, cuped, abtest, graph4, text7, text8, markov2,
     analytics9, ppjoin,
     _PickA10R09, mlmetrics2, stats9, inequality,
-    # --- past the window: everything driver-green in r01-r08
+    # --- everything driver-green in r01-r08
     # (PRIOR_GATED is derived from the CORRECTNESS files; the local
     # parity suite keeps running ALL pairs every round). r08 window
     # modules first, then r07, then older. ---
@@ -210,45 +212,14 @@ _MODULES = [
     incremental, tfidf, quantize, boilerplate, bm25,
     packing, divergence,
     technical, chunking, _RestVocabR08, histogram, quality, enrich,
-    # --- NEW in r09 (past the window): regression diagnostics +
-    # Mood's median, per-source JS divergence, local clustering
-    # coefficient, centroid silhouette, balanced class sampling,
-    # gamma/Somers' D, rich club, Pareto cutpoint — gate in r10. ---
-    stats10, text9, graph5, embgeo2,
-    sampling4, stats11, graph6, concentration2, _RestA10R09,
-    mlmetrics3, vocab2,
 ]
 
 # Queries registered past the gate window, scheduled for the NEXT
-# round's gate. The r09 window carries the full r08 queue plus the 14
-# new-in-r09 pairs (exactly 50); these 6 landed after the window was
-# sealed — each proven at sf0.001 + sf0.01 + sf0.1 through the driver
-# contract on landing.
-NEXT_ROUND_QUEUE: frozenset = frozenset({
-    # stats10: Breusch-Pagan, Durbin-Watson, Mood's median
-    "q_breusch_pagan_events", "q_durbin_watson_events",
-    "q_mood_median_events",
-    # text9: per-source Jensen-Shannon divergence
-    "text_js_sources_documents",
-    # graph5: local clustering coefficient
-    "graph_lcc_parts",
-    # embgeo2: centroid-based silhouette
-    "emb_silhouette_embeddings",
-    # sampling4: balanced class downsampling
-    "sample_balanced_events",
-    # stats11: Goodman-Kruskal gamma + Somers' D
-    "q_ordinal_assoc_events",
-    # graph6: rich-club coefficient
-    "graph_richclub_parts",
-    # concentration2: Pareto cutpoint
-    "q_pareto_cutpoint_orders",
-    # analytics10 (late addition): TPC-H Q6 filter-aggregate
-    "q_forecast_revenue_lineitem",
-    # mlmetrics3: KS separation + expected calibration error
-    "q_ks_separation_events", "q_ece_events",
-    # vocab2: Good-Turing unseen mass + Chao1 richness
-    "vocab_richness_documents",
-})
+# round's gate. The r10 window opens with the 14-entry r09 queue at
+# its head and 36 free slots for new-in-r10 pairs; anything landing
+# after the window fills goes here (each proven at sf0.001 + sf0.01 +
+# sf0.1 through the driver contract on landing).
+NEXT_ROUND_QUEUE: frozenset = frozenset()
 
 # Backwards-compatible aliases (earlier rounds referred to the queue
 # by round number; R07 is the round any queued queries would gate in).

@@ -131,10 +131,12 @@ def trend_test(df: DataFrame, score_expr: str,
         F.col("__nt").alias("n"),
         F.col("__rt").alias("n_pos"),
         round_portable(F.expr(
-            "CAST(__a * __nt - __rt * __b AS DOUBLE) "
+            "(CAST(__a AS DOUBLE) * CAST(__nt AS DOUBLE) "
+            " - CAST(__rt AS DOUBLE) * CAST(__b AS DOUBLE)) "
             "* sqrt(CAST(__nt AS DOUBLE)) "
             "/ sqrt(CAST(__rt AS DOUBLE) * CAST(__nt - __rt AS DOUBLE)"
-            " * CAST(__c * __nt - __b * __b AS DOUBLE))"), 6
+            " * (CAST(__c AS DOUBLE) * CAST(__nt AS DOUBLE)"
+            "    - CAST(__b AS DOUBLE) * CAST(__b AS DOUBLE)))"), 6
         ).alias("z_trend"),
     )
 
@@ -254,9 +256,12 @@ WITH rows_l AS (
 )
 SELECT nt AS n, rt AS n_pos,
   {round_portable_duck(
-      "CAST(a * nt - rt * b AS DOUBLE) * sqrt(CAST(nt AS DOUBLE)) "
+      "(CAST(a AS DOUBLE) * CAST(nt AS DOUBLE) "
+      " - CAST(rt AS DOUBLE) * CAST(b AS DOUBLE)) "
+      "* sqrt(CAST(nt AS DOUBLE)) "
       "/ sqrt(CAST(rt AS DOUBLE) * CAST(nt - rt AS DOUBLE) "
-      "* CAST(c * nt - b * b AS DOUBLE))", 6)} AS z_trend
+      "* (CAST(c AS DOUBLE) * CAST(nt AS DOUBLE) "
+      "   - CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))", 6)} AS z_trend
 FROM red
 """
 

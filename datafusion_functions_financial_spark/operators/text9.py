@@ -68,23 +68,34 @@ def js_by_source(df: DataFrame, text_col: str = "text",
     q = ("(CAST(__ct - __c AS DOUBLE) "
          "/ CAST(__nt - __ns AS DOUBLE))")
     m = f"(({p} + {q}) / 2.0)"
-    # q = 0 (source-exclusive term) zeroes the q-side integrand
-    pair = (f"({p} * ln({p} / {m}) + CASE WHEN __ct > __c "
-            f"THEN {q} * ln({q} / {m}) ELSE 0.0 END)")
+    # q = 0 (source-exclusive term) zeroes the q-side integrand; the
+    # __nt > __ns guard short-circuits the single-source corpus (one
+    # source holds ALL tokens -> the "rest" distribution is empty and
+    # q divides by zero): such a source gets js = 0 by contract — the
+    # rich_club empty-club convention. Unreachable on the gate corpus
+    # but the function is public.
+    pair = (f"(CASE WHEN __nt > __ns THEN {p} * ln({p} / {m}) "
+            f"+ CASE WHEN __ct > __c "
+            f"THEN {q} * ln({q} / {m}) ELSE 0.0 END "
+            f"ELSE 0.0 END)")
+    qterm = f"(CASE WHEN __nt > __ns THEN {q} ELSE 0.0 END)"
     red = j.groupBy("__g").agg(
         F.max("__ns").alias("__n"),
+        F.max("__nt").alias("__ntot"),
         F.sum(F.expr(
             f"CAST(round(({pair}) * {Q}) AS BIGINT)")).alias("__sp"),
         F.sum(F.expr(
-            f"CAST(round(({q}) * {Q}) AS BIGINT)")).alias("__sq"),
+            f"CAST(round(({qterm}) * {Q}) AS BIGINT)")).alias("__sq"),
     )
     return red.select(
         F.col("__g").alias(group_col),
         F.col("__n").cast("bigint").alias("n_tokens"),
         round_portable(F.expr(
+            f"CASE WHEN __ntot > __n THEN "
             f"0.5 * CAST(__sp AS DOUBLE) / {QF!r} "
             f"+ 0.5 * {LN2!r} "
-            f"* (1.0 - CAST(__sq AS DOUBLE) / {QF!r})"), 6)
+            f"* (1.0 - CAST(__sq AS DOUBLE) / {QF!r}) "
+            f"ELSE 0.0 END"), 6)
         .alias("js"),
     )
 
@@ -101,8 +112,11 @@ def _q_js(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D_P = "(CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))"
 _D_Q = "(CAST(ct - c AS DOUBLE) / CAST(nt - ns AS DOUBLE))"
 _D_M = f"(({_D_P} + {_D_Q}) / 2.0)"
-_D_PAIR = (f"({_D_P} * ln({_D_P} / {_D_M}) + CASE WHEN ct > c "
-           f"THEN {_D_Q} * ln({_D_Q} / {_D_M}) ELSE 0.0 END)")
+_D_PAIR = (f"(CASE WHEN nt > ns THEN {_D_P} * ln({_D_P} / {_D_M}) "
+           f"+ CASE WHEN ct > c "
+           f"THEN {_D_Q} * ln({_D_Q} / {_D_M}) ELSE 0.0 END "
+           f"ELSE 0.0 END)")
+_D_QTERM = f"(CASE WHEN nt > ns THEN {_D_Q} ELSE 0.0 END)"
 
 _ORACLE_JS = f"""
 WITH st AS (
@@ -118,15 +132,18 @@ j AS (
   FROM stc JOIN tt ON stc.t = tt.t JOIN gt ON stc.g = gt.g, nt
 ), red AS (
   SELECT g, CAST(max(ns) AS BIGINT) AS n_tokens,
+    CAST(max(nt) AS BIGINT) AS ntot,
     CAST(sum(CAST(round(({_D_PAIR}) * {Q}) AS BIGINT)) AS BIGINT)
       AS sp,
-    CAST(sum(CAST(round(({_D_Q}) * {Q}) AS BIGINT)) AS BIGINT) AS sq
+    CAST(sum(CAST(round(({_D_QTERM}) * {Q}) AS BIGINT)) AS BIGINT)
+      AS sq
   FROM j GROUP BY 1
 )
 SELECT g AS source, n_tokens,
   {round_portable_duck(
+      f"CASE WHEN ntot > n_tokens THEN "
       f"0.5 * CAST(sp AS DOUBLE) / {QF!r} + 0.5 * {LN2!r} "
-      f"* (1.0 - CAST(sq AS DOUBLE) / {QF!r})", 6)} AS js
+      f"* (1.0 - CAST(sq AS DOUBLE) / {QF!r}) ELSE 0.0 END", 6)} AS js
 FROM red
 """
 

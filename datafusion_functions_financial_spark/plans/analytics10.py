@@ -211,8 +211,12 @@ def important_parts(spark_tables: dict,
                     avg_den: int = Q11_AVG_DEN) -> DataFrame:
     """TPC-H Q11 shape: parts whose undiscounted revenue from
     even-nation suppliers exceeds ``avg_num/avg_den`` times the mean
-    part value (scalar-subquery HAVING; the threshold compares as the
-    integer cross-multiplication ``val * n * den > num * total`` —
+    part value (scalar-subquery HAVING; the threshold compares the
+    cross-multiplication ``val * n * den > num * total`` in DOUBLE
+    with one-factor-at-a-time casts — at 100 TB the BIGINT triple
+    product (hot-part cents ~1e9 x ~1e10 parts) would pass int64 and
+    Spark wraps silently with ANSI off while DuckDB errors; the gate
+    is selectivity, not exactness, so DOUBLE is the right contract —
     scale-invariant selectivity, see the constants' comment)."""
     li, s = spark_tables["lineitem"], spark_tables["supplier"]
     pv = (
@@ -229,7 +233,9 @@ def important_parts(spark_tables: dict,
                  F.count(F.lit(1)).cast("bigint").alias("__n"))
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(F.expr(f"__pv * __n * {avg_den} > {avg_num} * __tot"))
+        .filter(F.expr(
+            f"CAST(__pv AS DOUBLE) * CAST(__n AS DOUBLE) * {avg_den} "
+            f"> {avg_num} * CAST(__tot AS DOUBLE)"))
         .select(F.col("l_partkey").alias("p_partkey"),
                 round_portable(F.expr("__pv / 100.0"), 2)
                 .alias("value"))
@@ -452,7 +458,8 @@ WITH pv AS (
 SELECT pv.l_partkey AS p_partkey,
   {round_portable_duck("pv.pvv / 100.0", 2)} AS value
 FROM pv, tot
-WHERE pv.pvv * tot.n * {Q11_AVG_DEN} > {Q11_AVG_NUM} * tot.t
+WHERE CAST(pv.pvv AS DOUBLE) * CAST(tot.n AS DOUBLE) * {Q11_AVG_DEN}
+  > {Q11_AVG_NUM} * CAST(tot.t AS DOUBLE)
 """
 
 _Q12_HI_LIST = ", ".join(f"'{x}'" for x in Q12_HIGH)

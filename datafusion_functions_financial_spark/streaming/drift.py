@@ -170,14 +170,24 @@ def js_from_counts(counts: DataFrame, ref: DataFrame) -> DataFrame:
     po = "(CAST(n AS DOUBLE) / CAST(__tw AS DOUBLE))"
     pr = "(CAST(ref_n AS DOUBLE) / CAST(__tr AS DOUBLE))"
     m = f"(({po} + {pr}) / 2.0)"
+    # n > 0 guard mirrors psi_from_counts (unreachable via
+    # binned_window_* which only emits counts >= 1, but the function
+    # is public): without it a zero-count row's 0*ln(0) goes NULL and
+    # is silently dropped while its baseline share was still removed
+    # from the absent-mass remainder, undercounting JS by
+    # 0.5*q*ln2 per such bin. With n = 0 the bin IS absent from the
+    # window, so its whole contribution belongs to the remainder:
+    # term = 0 and q stays OUT of __q.
     term = (
-        f"CASE WHEN ref_n > 0 THEN "
+        f"CASE WHEN n > 0 AND ref_n > 0 THEN "
         f"CAST(round(({po} * ln({po} / {m}) "
         f"+ {pr} * ln({pr} / {m})) * {PSI_Q}) AS BIGINT) "
         # bin absent from the BASELINE: q = 0, integrand = p ln 2
-        f"ELSE CAST(round({po} * {ln2!r} * {PSI_Q}) AS BIGINT) END"
+        f"WHEN n > 0 THEN "
+        f"CAST(round({po} * {ln2!r} * {PSI_Q}) AS BIGINT) "
+        f"ELSE 0 END"
     )
-    qref = (f"CASE WHEN ref_n > 0 THEN "
+    qref = (f"CASE WHEN n > 0 AND ref_n > 0 THEN "
             f"CAST(round({pr} * {PSI_Q}) AS BIGINT) ELSE 0 END")
     joined = (
         counts.join(F.broadcast(ref), "bin", "left")

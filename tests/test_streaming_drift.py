@@ -133,10 +133,78 @@ def test_drift_stream_replay_sf001_equals_batch(spark, tmp_path):
         "window_start").reset_index(drop=True)
     pd.testing.assert_frame_equal(j_stream, j_batch)
     assert ((j_batch["js"] >= 0) & (j_batch["js"] <= 0.6932)).all()
+
+    # VERDICT r09 item 7: the risky branch is a window bin ABSENT
+    # from the baseline (the p·ln2 / absent-mass identity). Score the
+    # same stream/batch counts against a TRUNCATED baseline (top two
+    # bins dropped) so every window holding those bins exercises it;
+    # stream == batch must still hold bit-for-bit.
+    ref_trunc = ref.filter(F.col("bin") <= 8)
+    jt_stream = drift.js_from_counts(got, ref_trunc).toPandas()\
+        .sort_values("window_start").reset_index(drop=True)
+    jt_batch = drift.js_from_counts(want, ref_trunc).toPandas()\
+        .sort_values("window_start").reset_index(drop=True)
+    pd.testing.assert_frame_equal(jt_stream, jt_batch)
+    assert ((jt_batch["js"] >= 0) & (jt_batch["js"] <= 0.6932)).all()
+    # the truncation must actually bite (no monotonic claim: dropping
+    # bins also renormalizes the remaining baseline shares)
+    assert (jt_batch["js"] - j_batch["js"]).abs().max() > 1e-6
     # Sanity: every full window scored, PSI finite and >= 0 is not
     # guaranteed (PSI terms can be negative only if... they can't:
     # (a-b)*ln(a/b) >= 0), so assert non-negative.
     assert (p_batch["psi"] >= 0).all()
+
+
+def test_js_matches_naive_formula_all_branches(spark):
+    """Hand-built counts exercising every js_from_counts branch in one
+    window: present pair, window bin absent from baseline (p·ln2),
+    baseline bin absent from window (absent-mass remainder), and a
+    ZERO-COUNT bin row (ADVICE r09: without the n > 0 guard the
+    0·ln(0) term went NULL while its baseline share was still pulled
+    out of the remainder, undercounting JS by 0.5·q·ln2)."""
+    import math
+
+    ref = spark.createDataFrame(
+        [(0, 10), (1, 30), (2, 60)], "bin int, ref_n long")
+    # window: bin0 present, bin1 ZERO-count row, bin3 alien, bin2 absent
+    counts = spark.createDataFrame(
+        [(0, 12), (1, 0), (3, 8)], "bin int, n long").select(
+        F.expr("named_struct('start', timestamp'2000-01-01', "
+               "'end', timestamp'2000-01-02')").alias("window"),
+        "bin", "n")
+    [row] = drift.js_from_counts(counts, ref).collect()
+
+    def js(p_vec, q_vec):
+        tot = 0.0
+        for p, q in zip(p_vec, q_vec):
+            m = (p + q) / 2.0
+            if p > 0:
+                tot += 0.5 * p * math.log(p / m)
+            if q > 0:
+                tot += 0.5 * q * math.log(q / m)
+        return tot
+
+    n_w = 20.0
+    want = js([12 / n_w, 0.0, 0.0, 8 / n_w],
+              [0.1, 0.3, 0.6, 0.0])
+    assert row.n == 20
+    assert abs(row.js - want) < 1e-6
+
+
+def test_js_by_source_single_source_is_zero(spark):
+    """ADVICE r09: a single-source corpus made the q-side divide by
+    zero (NULL/NaN js); the contract is now js = 0 for a source that
+    holds the whole corpus."""
+    from datafusion_functions_financial_spark.operators.text9 import (
+        js_by_source,
+    )
+
+    df = spark.createDataFrame(
+        [("only", "alpha beta gamma alpha"),
+         ("only", "beta beta delta")],
+        "source string, text string")
+    [row] = js_by_source(df).collect()
+    assert row.source == "only" and row.js == 0.0 and row.n_tokens == 7
 
 
 def test_chi2_zero_on_identical_distribution(spark):

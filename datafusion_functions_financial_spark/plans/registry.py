@@ -38,6 +38,7 @@ from ..operators import (
     mlmetrics3, mmd,
     multimodal,
     micro2, micro3, micro5, outliers, packing, pipeline, ppjoin,
+    ppjoin2,
     profile, qsketch,
     quality,
     quantile2, quantile3, quantize, rfm,
@@ -172,6 +173,8 @@ _MODULES = [
     stats10, text9, graph5, embgeo2,
     sampling4, stats11, graph6, concentration2, _RestA10R09,
     mlmetrics3, vocab2,
+    # --- new in r10 (inside the window) ---
+    ppjoin2,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,

@@ -109,8 +109,36 @@ def test_recall_floor_100k_uniform_scale_aware(spark):
     ivf_df, params = cosine_topk_ivf_auto(vecs, qs, n=n,
                                           target_recall=0.75)
     ivf = recall(_top5(ivf_df))
-    assert ivf >= 0.6, (ivf, params)  # measured 0.725
+    # r10 recalibration (K-dependent curve constant): measured 0.775
+    # with nprobe 74/316 — the floor is target - 0.05.
+    assert ivf >= 0.7, (ivf, params)
     planes = lsh_params(n)
     lshm = recall(_top5(cosine_topk_lsh(
         vecs, qs, use_arrow=True, planes=planes, multiprobe=True)))
     assert lshm >= 0.08, (lshm, planes)  # measured 0.138
+
+
+@pytest.mark.slow
+def test_recall_floor_10k_uniform_scale_aware(spark):
+    """VERDICT r09 item 4: ivf_params under-delivered its named
+    target_recall at small K (0.66 @10K vs the 0.75 parameter). The
+    K-dependent curve constant must hold a 10K floor beside the 100K
+    one: measured 0.775 with nprobe 28/100 after recalibration."""
+    from datafusion_functions_financial_spark.operators.ivf import (
+        cosine_topk_ivf_auto, ivf_params,
+    )
+    from datafusion_functions_financial_spark.operators.similarity import (
+        cosine_topk,
+    )
+    n = 10_000
+    vecs, qs = _corpus(spark, n, clustered=False)
+    bf = _top5(cosine_topk(vecs, qs))
+    ivf_df, params = cosine_topk_ivf_auto(vecs, qs, n=n,
+                                          target_recall=0.75)
+    t5 = _top5(ivf_df)
+    ivf = sum(len(t5.get(q, set()) & bf[q])
+              for q in bf) / (5.0 * len(bf))
+    assert ivf >= 0.7, (ivf, params)
+    # the sizing itself must probe harder at small K than the old
+    # flat-constant curve (nprobe 20 @K=100 -> 0.66 measured)
+    assert ivf_params(n, 0.75)[1] >= 25, ivf_params(n, 0.75)

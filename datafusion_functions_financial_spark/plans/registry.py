@@ -28,14 +28,14 @@ from ..operators import (
     concentration, concentration2, corrmatrix, cosinedup, cuped,
     crossmodal,
     decontam, dedup, diff, digest, divergence,
-    dq, dq2, dq3, dq4, embgeo, embgeo2, embnorm, embpca, embproj,
+    dq, dq2, dq3, dq4, dq5, embgeo, embgeo2, embnorm, embpca, embproj,
     embstats,
-    embstats2,
-    graph2, graph3, graph4, graph5, graph6,
+    embstats2, embeval,
+    graph2, graph3, graph4, graph5, graph6, graph7,
     histogram,
     incremental, inequality, interval, ivf, kcenter, keywords, kmeans,
     linkage, markov2, microstructure, micro4, mlmetrics, mlmetrics2,
-    mlmetrics3, mmd,
+    mlmetrics3, mlmetrics4, mmd,
     multimodal,
     micro2, micro3, micro5, outliers, packing, pipeline, ppjoin,
     ppjoin2,
@@ -46,7 +46,7 @@ from ..operators import (
     simpson,
     spectral, stats2,
     stats3, stats4, stats5, stats6, stats7, stats8, stats9, stats10,
-    stats11, strsim,
+    stats11, stats12, stats13, stats14, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
@@ -174,7 +174,8 @@ _MODULES = [
     sampling4, stats11, graph6, concentration2, _RestA10R09,
     mlmetrics3, vocab2,
     # --- new in r10 (inside the window) ---
-    ppjoin2,
+    ppjoin2, stats12, graph7, mlmetrics4, dq5, stats13, stats14,
+    embeval,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,

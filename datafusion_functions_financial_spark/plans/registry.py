@@ -22,6 +22,7 @@ from ..functions import (
 )
 from ._gated import DRIVER_GREEN
 from ..operators import (
+    countfit, experiment2, spectral2,
     abtest, anomaly2, anomaly3, asof, binseg, blocking, bm25,
     boilerplate, bootstrap, cc,
     chunking,
@@ -43,14 +44,15 @@ from ..operators import (
     quality,
     quantile2, quantile3, quantize, rfm,
     robustfit, rollup, sampling, sampling2, sampling3, sampling4,
+    sampling5,
     simpson,
-    spectral, stats2,
+    spectral, stats2, survival2,
     stats3, stats4, stats5, stats6, stats7, stats8, stats9, stats10,
     stats11, stats12, stats13, stats14, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
-    text4, text5, text6, text7, text8, text9, tfidf,
+    text4, text5, text6, text7, text8, text9, text10, tfidf,
     vocab, vocab2,
     wquantile,
 )
@@ -175,7 +177,8 @@ _MODULES = [
     mlmetrics3, vocab2,
     # --- new in r10 (inside the window) ---
     ppjoin2, stats12, graph7, mlmetrics4, dq5, stats13, stats14,
-    embeval,
+    embeval, text10, sampling5, survival2, spectral2, experiment2,
+    countfit,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,

@@ -72,26 +72,44 @@ def segment(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def boilerplate_segments(df: DataFrame, min_docs: int = 3,
+def boilerplate_segments(df: DataFrame, min_docs: int | None = 3,
                          text_col: str = "text", id_col: str = "doc_id",
                          mode: str = "chunk", n: int = 3,
-                         delim: str = "\\n") -> DataFrame:
-    """(seg, n_docs): segments appearing in >= ``min_docs`` distinct docs.
+                         delim: str = "\\n",
+                         min_share_den: int = 250) -> DataFrame:
+    """(seg, n_docs): segments appearing in >= ``min_docs`` distinct
+    docs — or, with ``min_docs=None``, in >= max(3, corpus_docs /
+    min_share_den) docs (a SHARE-based threshold).
+
+    The r10 shape sweep caught the fixed-absolute default as a
+    Q11-style degenerate gate: at 10x the corpus, "appears in >= 3
+    docs" stops meaning boilerplate (17,082 qualifying segments at
+    sf0.1 vs 231 at sf0.01). Boilerplate is a share-of-corpus
+    property; the share threshold keeps the result set scale-stable.
 
     Distinct (seg, doc) first — map-side combinable — then one count
     per segment; never a count-distinct over the raw segment stream.
     """
-    return (
+    counted = (
         segment(df, text_col, id_col, mode, n, delim)
         .select("seg", id_col)
         .distinct()
         .groupBy("seg")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
+    )
+    if min_docs is not None:
+        return counted.filter(F.col("n_docs") >= min_docs)
+    tot = df.select(id_col).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nd"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .filter(F.expr(
+            f"n_docs >= greatest(3, __nd DIV {min_share_den})"))
+        .drop("__nd")
     )
 
 
-def remove_boilerplate(df: DataFrame, min_docs: int = 3,
+def remove_boilerplate(df: DataFrame, min_docs: int | None = 3,
                        text_col: str = "text", id_col: str = "doc_id",
                        mode: str = "chunk", n: int = 3,
                        delim: str = "\\n") -> DataFrame:
@@ -132,17 +150,23 @@ def remove_boilerplate(df: DataFrame, min_docs: int = 3,
 # Gate queries
 # --------------------------------------------------------------------------
 
-_MIN_DOCS, _CHUNK = 3, 3
+_CHUNK = 3
+# share-based threshold (r10 shape sweep): max(3, n_docs / 250) —
+# measured multiplicity spectrum: >=3 covers 248/231 segments at
+# 500 docs, n/250 = 20 covers 31 at 5000 docs (nonzero and
+# boilerplate-meaning-preserving at every SF)
+_MIN_DOCS_DUCK = ("greatest(3, (SELECT count(DISTINCT doc_id) "
+                  "FROM documents) // 250)")
 
 
 def _q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_segments(load(spark, sf_dir, "documents"),
-                                min_docs=_MIN_DOCS, n=_CHUNK)
+                                min_docs=None, n=_CHUNK)
 
 
 def _q_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate(load(spark, sf_dir, "documents"),
-                              min_docs=_MIN_DOCS, n=_CHUNK)
+                              min_docs=None, n=_CHUNK)
 
 
 _SEGS_DUCK = f"""
@@ -163,7 +187,7 @@ _SEGS_DUCK = f"""
   ), common AS (
     SELECT seg FROM (
       SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY 1
-    ) WHERE n_docs >= {_MIN_DOCS}
+    ) WHERE n_docs >= {_MIN_DOCS_DUCK}
   )
 """
 
@@ -171,7 +195,7 @@ _ORACLE_SEGMENTS = f"""
 WITH {_SEGS_DUCK}
 SELECT seg, n_docs FROM (
   SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY 1
-) WHERE n_docs >= {_MIN_DOCS}
+) WHERE n_docs >= {_MIN_DOCS_DUCK}
 """
 
 _ORACLE_CLEAN = f"""

@@ -51,24 +51,30 @@ def burrows_delta(df: DataFrame, text_col: str = "text",
                   top_words: int = TOP_WORDS) -> DataFrame:
     """(source_a, source_b, n_words, delta): Burrows' Delta between
     every source pair (a < b)."""
-    tok = df.select(
-        F.col(group_col).alias("__g"),
-        F.explode(F.expr(_TOKENS.format(col=text_col))).alias("__t"),
-    )
+    # ONE corpus scan: the (source, token) count relation feeds the
+    # top-K selection, the per-source totals, and the grid counts
+    # (localCheckpointed — the graph5 exchange-budget discipline; the
+    # relation is vocabulary x sources, far smaller than the stream)
+    st = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(F.expr(_TOKENS.format(col=text_col)))
+            .alias("__t"),
+        )
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    ).localCheckpoint()
     top = (
-        tok.groupBy("__t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__ct"))
+        st.groupBy("__t")
+        .agg(F.sum("__c").cast("bigint").alias("__ct"))
         .orderBy(F.col("__ct").desc(), F.col("__t").asc())
         .limit(top_words)
         .select("__t")
     ).localCheckpoint()
-    totals = tok.groupBy("__g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__nt"))
-    counts = (
-        tok.join(F.broadcast(top), "__t")
-        .groupBy("__g", "__t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
-    )
+    totals = st.groupBy("__g").agg(
+        F.sum("__c").cast("bigint").alias("__nt"))
+    counts = st.join(F.broadcast(top), "__t").select(
+        "__g", "__t", "__c")
     # sources x top-tokens grid with zero cells, freq quantized
     grid = (
         totals.crossJoin(F.broadcast(top))
@@ -85,6 +91,8 @@ def burrows_delta(df: DataFrame, text_col: str = "text",
     mean = "(CAST(__sf AS DOUBLE) / CAST(__k AS DOUBLE))"
     var = (f"(CAST(__sf2 AS DOUBLE) / CAST(__k AS DOUBLE) "
            f"- {mean} * {mean})")
+    # sources x K rows; checkpointed because BOTH sides of the pair
+    # join consume it (otherwise the grid/moment lineage runs twice)
     z = (
         grid.join(F.broadcast(mom), "__t")
         .withColumn("__z", F.expr(
@@ -92,7 +100,7 @@ def burrows_delta(df: DataFrame, text_col: str = "text",
             f"(CAST(__fq AS DOUBLE) - {mean}) / sqrt({var}) "
             f"ELSE 0.0 END"))
         .select("__g", "__t", "__z")
-    )
+    ).localCheckpoint()
     pairs = (
         z.selectExpr("__g AS source_a", "__t", "__z AS __za")
         .join(z.selectExpr("__g AS source_b", "__t", "__z AS __zb"),
@@ -116,10 +124,12 @@ def vocab_overlap(df: DataFrame, text_col: str = "text",
                   group_col: str = "source") -> DataFrame:
     """(source_a, source_b, n_a, n_b, inter, jaccard): distinct-token
     overlap per source pair (a < b)."""
+    # distinct (source, token) feeds sizes AND both sides of the
+    # pair join — materialize once
     vocab = df.select(
         F.col(group_col).alias("__g"),
         F.explode(F.expr(_TOKENS.format(col=text_col))).alias("__t"),
-    ).distinct()
+    ).distinct().localCheckpoint()
     sizes = vocab.groupBy("__g").agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"))
     inter = (

@@ -48,7 +48,7 @@ from ..operators import (
     simpson,
     spectral, stats2, survival2,
     stats3, stats4, stats5, stats6, stats7, stats8, stats9, stats10,
-    stats11, stats12, stats13, stats14, strsim,
+    stats11, stats12, stats13, stats14, stats15, stats16, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
@@ -178,7 +178,7 @@ _MODULES = [
     # --- new in r10 (inside the window) ---
     ppjoin2, stats12, graph7, mlmetrics4, dq5, stats13, stats14,
     embeval, text10, sampling5, survival2, spectral2, experiment2,
-    countfit,
+    countfit, stats15, stats16,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,

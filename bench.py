@@ -176,6 +176,15 @@ def main() -> None:
         "graph_lcc_parts",                 # per-node wedge-join LCC
         "emb_silhouette_embeddings",       # centroid silhouette
         "q_mood_median_events",            # narrowing median + chi2
+        # --- r10 additions ---
+        # decontam_ppjoin_* excluded for the dedup_ppjoin precedent:
+        # same adversarial 31-word corpus, near-all-pairs candidates.
+        "q_cvm_two_sample_events",         # bucketed ECDF prefix sums
+        "text_burrows_delta_documents",    # one-scan stylometry grid
+        "graph_knn_parts",                 # edge-degree join profile
+        "q_logrank_events",                # risk-set suffix windows
+        "emb_davies_bouldin_embeddings",   # centroid validity index
+        "dq_orphans_lineitem",             # 6-FK anti-join audit
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings",
@@ -235,6 +244,9 @@ def main() -> None:
         "dq_digest": table_rows["orders"],
         "q_kendall": table_rows["events"],
         "q_huber": table_rows["orders"],
+        "q_cvm": table_rows["events"],
+        "q_logrank": table_rows["events"],
+        "dq_orphans": table_rows["lineitem"],
     }
 
     def run(name: str) -> float:

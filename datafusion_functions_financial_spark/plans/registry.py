@@ -16,13 +16,14 @@ from . import (
     portfolio, sequences, signals, validate,
 )
 from ..functions import (
+    forecast2,
     barvol, candles, forecast, resample, risk, risk2, rollstats,
     rollstats2,
     technical, technical2, technical3, technical4, technical5, technical6,
 )
 from ._gated import DRIVER_GREEN
 from ..operators import (
-    countfit, experiment2, spectral2,
+    countfit, experiment2, ivfeval, spectral2,
     abtest, anomaly2, anomaly3, asof, binseg, blocking, bm25,
     boilerplate, bootstrap, cc,
     chunking,
@@ -178,7 +179,7 @@ _MODULES = [
     # --- new in r10 (inside the window) ---
     ppjoin2, stats12, graph7, mlmetrics4, dq5, stats13, stats14,
     embeval, text10, sampling5, survival2, spectral2, experiment2,
-    countfit, stats15, stats16,
+    countfit, stats15, stats16, forecast2, ivfeval,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,

@@ -69,9 +69,18 @@ def _counts_for(args):
             capture_output=True, text=True, timeout=1800)
         if r.returncode != 0:
             return name, [f"ERR:KILLED_rc{r.returncode}"] * len(SFS)
-        return name, json.loads(r.stdout.strip().splitlines()[-1])
+        # scan from the end for the result line (a DuckDB progress
+        # artifact can share the last line with, or follow, the JSON)
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                return name, json.loads(line[line.index("["):])
+            except (ValueError, json.JSONDecodeError):
+                continue
+        return name, ["ERR:NO_JSON"] * len(SFS)
     except subprocess.TimeoutExpired:
         return name, ["ERR:TIMEOUT"] * len(SFS)
+    except Exception as e:  # noqa: BLE001 - record, don't kill pool
+        return name, [f"ERR:{type(e).__name__}"] * len(SFS)
 
 
 def main() -> int:

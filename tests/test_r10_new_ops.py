@@ -256,3 +256,71 @@ def test_graph_knn_and_hill_on_star_graph(spark):
     assert h.n_nodes == 11 and h.k_tail == 5
     # top-5 degrees are 10,1,1,1,1 -> d_k = 1, sl = ln(10) -> alpha
     assert abs(h.hill_alpha - (1.0 + 5.0 / math.log(10.0))) < 1e-4
+
+
+def test_jonckheere_perfect_monotone_trend(spark):
+    from datafusion_functions_financial_spark.operators.stats16 import (
+        jonckheere,
+    )
+    # groups 0/1/2 with strictly increasing bands -> every cross-
+    # group pair is concordant: JT = total pairs, z > 0
+    rows = [(g, g * 10 + i) for g in range(3) for i in range(5)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    [r] = jonckheere(df, "g", "v").collect()
+    assert (r.n, r.k) == (15, 3)
+    assert r.jt == 75.0  # 3 group pairs x 5 x 5
+    assert r.z_jt > 3.0
+
+
+def test_page_trend_perfect_order(spark):
+    from datafusion_functions_financial_spark.operators.stats16 import (
+        page_trend,
+    )
+    # 4 blocks, 3 treatments whose values follow the hypothesized
+    # order -> L = n * sum j*j = 4 * 14 = 56, max possible
+    rows = [(b, j, float(j)) for b in range(4) for j in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "blk long, j long, v double")
+    [r] = page_trend(df, "blk", "j", "v").collect()
+    assert (r.n_blocks, r.k) == (4, 3)
+    assert r.l_stat == 56
+    assert r.z_page > 2.0
+
+
+def test_seasonal_naive_mase_on_perfect_seasonal_series(spark):
+    from datafusion_functions_financial_spark.functions.forecast2 import (
+        seasonal_naive_eval,
+    )
+    # a pure 24h-periodic series: seasonal-naive is PERFECT
+    # (mae_seasonal = 0, mase = 0) while naive-1 errs
+    us_per_hour = 3_600_000_000
+    rows = [(0, h * us_per_hour, float(h % 24))
+            for h in range(24 * 4)]
+    df = spark.createDataFrame(rows, "k long, us long, v double")
+    [r] = seasonal_naive_eval(df, "k", "us", "v").collect()
+    assert r.n_eval == 24 * 3
+    assert r.mae_seasonal == 0.0 and r.mase == 0.0
+    assert r.mae_naive1 > 0.0
+    assert r.smape == 0.0
+
+
+def test_cell_purity_bounds_and_separated_clusters(spark):
+    from datafusion_functions_financial_spark.operators.ivfeval import (
+        cell_label_purity,
+    )
+    from datafusion_functions_financial_spark.operators.similarity import (
+        DIM,
+    )
+    # two opposite-direction clusters, labels follow geometry ->
+    # cells are label-pure
+    rows = []
+    for i in range(64):
+        lab = i % 2
+        sign = 1.0 if lab else -1.0
+        vec = [sign * (1.0 + 0.001 * ((i + j) % 7))
+               for j in range(DIM)]
+        rows.append((i, vec, lab))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    [r] = cell_label_purity(df, seed_mod=16).collect()
+    assert r.n_vectors == 64
+    assert r.weighted_purity == 1.0 and r.macro_purity == 1.0

@@ -43,8 +43,8 @@ sql = sys.stdin.read()
 out = []
 for sf in %(sfs)r:
     con = duckdb.connect()
-    con.execute("SET memory_limit='20GB'")
-    con.execute("SET threads=4")
+    con.execute("SET memory_limit='12GB'")
+    con.execute("SET threads=2")
     for t in %(tables)r:
         con.execute(
             f"CREATE VIEW {t} AS "
@@ -86,7 +86,7 @@ def _counts_for(args):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
-    ap.add_argument("--jobs", type=int, default=8)
+    ap.add_argument("--jobs", type=int, default=6)
     args = ap.parse_args()
 
     from datafusion_functions_financial_spark.plans import registry

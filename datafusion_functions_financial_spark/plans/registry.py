@@ -44,6 +44,7 @@ from ..operators import (
     profile, qsketch,
     quality,
     quantile2, quantile3, quantize, rfm,
+    risk3,
     robustfit, rollup, sampling, sampling2, sampling3, sampling4,
     sampling5,
     simpson,
@@ -179,7 +180,7 @@ _MODULES = [
     # --- new in r10 (inside the window) ---
     ppjoin2, stats12, graph7, mlmetrics4, dq5, stats13, stats14,
     embeval, text10, sampling5, survival2, spectral2, experiment2,
-    countfit, stats15, stats16, forecast2, ivfeval,
+    countfit, stats15, stats16, forecast2, ivfeval, risk3,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,

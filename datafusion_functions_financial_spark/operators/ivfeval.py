@@ -83,7 +83,11 @@ def _q_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_label_purity(load(spark, sf_dir, "embeddings"))
 
 
-_ORACLE_PURITY = f"""
+# Shared oracle prefix: the full engine-exact IVF construction chain
+# ending at the (cell_id, label, n) contingency ``cl`` — reused by the
+# clustering-agreement metrics in ``embeval2`` so the two gate oracles
+# can never drift from the ``knn_ivf_embeddings`` assignment.
+ORACLE_CL_PREFIX = f"""
 WITH v AS (
   SELECT vec_id, embedding, label FROM embeddings
 ), seeds AS (
@@ -122,7 +126,9 @@ WITH v AS (
 ), cl AS (
   SELECT cell_id, label, CAST(count(*) AS BIGINT) AS n
   FROM cells GROUP BY 1, 2
-), per_cell AS (
+)"""
+
+_ORACLE_PURITY = ORACLE_CL_PREFIX + f""", per_cell AS (
   SELECT cell_id, CAST(sum(n) AS BIGINT) AS sz,
     CAST(max(n) AS BIGINT) AS maj
   FROM cl GROUP BY 1

@@ -20,10 +20,11 @@ from ..functions import (
     barvol, candles, forecast, resample, risk, risk2, rollstats,
     rollstats2,
     technical, technical2, technical3, technical4, technical5, technical6,
+    technical7,
 )
 from ._gated import DRIVER_GREEN
 from ..operators import (
-    countfit, experiment2, ivfeval, spectral2,
+    countfit, embeval2, experiment2, ivfeval, spectral2, stats17,
     abtest, anomaly2, anomaly3, asof, binseg, blocking, bm25,
     boilerplate, bootstrap, cc,
     chunking,
@@ -181,6 +182,10 @@ _MODULES = [
     ppjoin2, stats12, graph7, mlmetrics4, dq5, stats13, stats14,
     embeval, text10, sampling5, survival2, spectral2, experiment2,
     countfit, stats15, stats16, forecast2, ivfeval, risk3,
+    # --- new in r10 AFTER the window froze: queued for the r11 gate
+    # via NEXT_ROUND_QUEUE (each proven at 3 SFs through the driver
+    # contract on landing). ---
+    embeval2, technical7, stats17,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
@@ -228,7 +233,16 @@ _MODULES = [
 # its head and 36 free slots for new-in-r10 pairs; anything landing
 # after the window fills goes here (each proven at sf0.001 + sf0.01 +
 # sf0.1 through the driver contract on landing).
-NEXT_ROUND_QUEUE: frozenset = frozenset()
+NEXT_ROUND_QUEUE: frozenset = frozenset({
+    # clustering agreement over the IVF cells (embeval2)
+    "emb_ari_embeddings", "emb_nmi_embeddings",
+    # tier-7 indicators (technical7)
+    "ind_cmf_events", "ind_adl_events", "ind_ultimate_events",
+    "ind_bop_events", "ind_kst_events",
+    # stationarity + distribution-free two-sample tier (stats17)
+    "q_kpss_events", "q_anderson_darling_events",
+    "q_cliffs_delta_events",
+})
 
 # Backwards-compatible aliases (earlier rounds referred to the queue
 # by round number; R07 is the round any queued queries would gate in).

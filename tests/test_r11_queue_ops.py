@@ -1,0 +1,221 @@
+"""Hand-checkable semantics for the r11-queued operators (embeval2,
+technical7, stats17). Engine parity is covered by the oracle net and
+the on-landing 3-SF driver-contract verification."""
+
+import math
+
+from datafusion_functions_financial_spark.functions.technical7 import (
+    adl, balance_of_power, cmf, kst, ultimate_oscillator,
+)
+from datafusion_functions_financial_spark.operators.stats17 import (
+    anderson_darling_2s, cliffs_delta, kpss_level,
+)
+
+US_HOUR = 3_600_000_000
+
+
+def _ticks(spark, rows):
+    # (key, hour, tick-in-hour, value) -> microsecond-epoch ticks
+    return spark.createDataFrame(
+        [(k, h * US_HOUR + i, float(v)) for k, h, i, v in rows],
+        "k string, us long, value double")
+
+
+def test_cliffs_delta_full_dominance(spark):
+    # every a above every b: delta = +1, A = 1, large.
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 11.0), ("b", 1.0), ("b", 2.0)],
+        "g string, v double")
+    row = cliffs_delta(df, "v", "g", "a", "b").collect()[0]
+    assert row["cliffs_delta"] == 1.0 and row["vd_a"] == 1.0
+    assert row["magnitude"] == "large"
+
+
+def test_cliffs_delta_ties_cancel(spark):
+    # identical distributions: delta = 0, A = 1/2, negligible.
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)],
+        "g string, v double")
+    row = cliffs_delta(df, "v", "g", "a", "b").collect()[0]
+    assert row["cliffs_delta"] == 0.0 and row["vd_a"] == 0.5
+    assert row["magnitude"] == "negligible"
+
+
+def test_anderson_darling_identical_samples_small(spark):
+    # same values in both groups: every (N*m2 - n_i*b2) term is 0,
+    # so A^2 = 0 exactly.
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)],
+        "g string, v double")
+    row = anderson_darling_2s(df, "v", "g", "a", "b").collect()[0]
+    assert row["n_a"] == 2 and row["n_b"] == 2
+    assert row["ad_stat"] == 0.0
+
+
+def test_anderson_darling_separated_exceeds_mixed(spark):
+    sep = spark.createDataFrame(
+        [("a", float(i)) for i in range(8)]
+        + [("b", float(i + 100)) for i in range(8)],
+        "g string, v double")
+    mixed = spark.createDataFrame(
+        [("a", float(i)) for i in range(8)]
+        + [("b", float(i) + 0.5) for i in range(8)],
+        "g string, v double")
+    s = anderson_darling_2s(sep, "v", "g", "a", "b").collect()[0]
+    m = anderson_darling_2s(mixed, "v", "g", "a", "b").collect()[0]
+    assert s["ad_stat"] > m["ad_stat"] > 0.0
+
+
+def test_kpss_constant_series_null(spark):
+    # constant series: eta = 0 and lrv = 0 -> kpss NULL by contract.
+    df = _ticks(spark, [("k", h, 0, 5.0) for h in range(20)])
+    row = kpss_level(df, f"us DIV {US_HOUR}", "value").collect()[0]
+    assert row["t"] == 20 and row["eta"] == 0.0 and row["lrv"] == 0.0
+    assert row["kpss"] is None
+
+
+def test_kpss_random_walk_exceeds_white_noise(spark):
+    # a deterministic "walk" accumulates partial sums; alternating
+    # noise does not — KPSS(walk) >> KPSS(noise).
+    vals = [((h * 2654435761) % 97) - 48 for h in range(60)]
+    noise = _ticks(spark, [("k", h, 0, v) for h, v in enumerate(vals)])
+    acc, walk = 0.0, []
+    for v in vals:
+        acc += v
+        walk.append(acc)
+    walkdf = _ticks(spark, [("k", h, 0, v) for h, v in enumerate(walk)])
+    expr = f"us DIV {US_HOUR}"
+    kn = kpss_level(noise, expr, "value").collect()[0]["kpss"]
+    kw = kpss_level(walkdf, expr, "value").collect()[0]["kpss"]
+    assert kw > 3 * kn
+
+
+def _flat_hours(spark, closes):
+    # one tick per hour -> open=high=low=close
+    return _ticks(spark, [("k", h, 0, c) for h, c in enumerate(closes)])
+
+
+def test_adl_flat_bars_zero(spark):
+    # single-tick bars are flat (high == low) -> multiplier 0 by
+    # contract -> ADL stays 0.
+    df = _flat_hours(spark, [5.0, 6.0, 7.0])
+    rows = adl(df, "us", "value", ["k"]).collect()
+    assert [r["adl"] for r in rows] == [0.0, 0.0, 0.0]
+
+
+def test_cmf_all_closes_at_high(spark):
+    # two ticks per hour, close = high > open: multiplier = +1 every
+    # bar -> CMF = +1 once the window fills.
+    rows = []
+    for h in range(25):
+        rows += [("k", h, 0, 1.0), ("k", h, 1, 2.0)]
+    out = cmf(_ticks(spark, rows), "us", "value", ["k"]).collect()
+    vals = [r["cmf"] for r in sorted(out, key=lambda r: r["bar_start"])]
+    assert vals[:19] == [None] * 19
+    assert all(v == 1.0 for v in vals[19:])
+
+
+def test_bop_sign_and_sma(spark):
+    # close > open every bar -> bop = +1; SMA of a constant is 1.
+    rows = []
+    for h in range(15):
+        rows += [("k", h, 0, 1.0), ("k", h, 1, 3.0), ("k", h, 2, 2.0)]
+    out = balance_of_power(_ticks(spark, rows), "us", "value",
+                           ["k"]).collect()
+    out = sorted(out, key=lambda r: r["bar_start"])
+    assert all(r["bop"] == 0.5 for r in out)  # (2-1)/(3-1)
+    assert out[-1]["bop_sma"] == 0.5 and out[12]["bop_sma"] is None
+
+
+def test_ultimate_oscillator_steady_rise(spark):
+    # monotone close-at-high bars: bp == tr every bar -> UO = 100.
+    rows = []
+    for h in range(40):
+        rows += [("k", h, 0, float(h)), ("k", h, 1, float(h) + 1.0)]
+    out = ultimate_oscillator(_ticks(spark, rows), "us", "value",
+                              ["k"]).collect()
+    out = sorted(out, key=lambda r: r["bar_start"])
+    assert out[27]["uo"] is None  # warmup gate (rn >= 29)
+    assert all(r["uo"] == 100.0 for r in out[28:])
+
+
+def test_kst_constant_price_zero(spark):
+    # constant closes: every ROC = 0 -> KST = 0 after warmup (45).
+    df = _flat_hours(spark, [7.0] * 50)
+    out = sorted(kst(df, "us", "value", ["k"]).collect(),
+                 key=lambda r: r["bar_start"])
+    assert out[43]["kst"] is None
+    assert all(r["kst"] == 0.0 for r in out[44:])
+
+
+def test_kst_zero_close_poisons_window(spark):
+    # a zero close makes every ROC that LAGS onto it undefined; the
+    # full-window count gate must hold KST at NULL until the zero
+    # leaves every component window (not silently shrink the SMA).
+    closes = [7.0] * 100
+    closes[44] = 0.0
+    df = _flat_hours(spark, closes)
+    out = sorted(kst(df, "us", "value", ["k"]).collect(),
+                 key=lambda r: r["bar_start"])
+    # row 44 itself is fine (its lags are all nonzero); the poisoned
+    # span is the union of the component windows that contain an
+    # undefined ROC: rows 54..63 (roc10/sma10) through 74..88
+    # (roc30/sma15) = 54..88 inclusive.
+    assert out[53]["kst"] is not None
+    assert out[54]["kst"] is None and out[88]["kst"] is None
+    assert out[89]["kst"] is not None
+
+
+def test_cluster_agreement_identical_partitions(spark):
+    # labels equal to the IVF cell ids: ARI = 1 and NMI = 1 by
+    # construction (run on a tiny deterministic corpus).
+    import numpy as np
+
+    from datafusion_functions_financial_spark.operators.embeval2 import (
+        cluster_ari, cluster_nmi,
+    )
+    from datafusion_functions_financial_spark.operators.ivf import (
+        ivf_index,
+    )
+    from datafusion_functions_financial_spark.operators.similarity import (
+        DIM,
+    )
+
+    rng = [(i, [float((i * 31 + j * 7) % 13 - 6) / 6.0
+                for j in range(DIM)]) for i in range(40)]
+    base = spark.createDataFrame(
+        rng, "vec_id long, embedding array<float>")
+    _c, cells = ivf_index(base, seed_mod=8)
+    labeled = base.join(
+        cells.select("vec_id", "cell_id"), "vec_id").selectExpr(
+        "vec_id", "embedding", "CAST(cell_id AS INT) AS label")
+    ari = cluster_ari(labeled, seed_mod=8).collect()[0]
+    nmi = cluster_nmi(labeled, seed_mod=8).collect()[0]
+    assert ari["ari"] == 1.0
+    assert ari["n_cells"] == ari["n_labels"]
+    assert abs(nmi["nmi"] - 1.0) < 1e-6
+    assert abs(nmi["mi"] - nmi["h_cells"]) < 1e-6
+
+
+def test_new_ops_exchange_budget(spark, sf_dir):
+    # shared-relation reuse discipline (the graph5/6 lesson): the
+    # bar-staged indicators and the contingency metrics must not
+    # recompute their shared input per consumer.
+    from tests.test_plans import count_exchanges, plan_of
+    assert count_exchanges(plan_of(spark, sf_dir,
+                                   "ind_kst_events")) <= 6
+    assert count_exchanges(plan_of(spark, sf_dir,
+                                   "ind_ultimate_events")) <= 6
+    assert count_exchanges(plan_of(spark, sf_dir,
+                                   "q_kpss_events")) <= 8
+    assert count_exchanges(plan_of(spark, sf_dir,
+                                   "q_cliffs_delta_events")) <= 6
+
+
+def test_kpss_bandwidth_appears_in_output(spark):
+    df = _ticks(spark, [("k", h, 0, float(h % 5)) for h in range(30)])
+    row = kpss_level(df, f"us DIV {US_HOUR}", "value",
+                     bandwidth=3).collect()[0]
+    assert row["bandwidth"] == 3
+    assert row["kpss"] is not None and row["kpss"] >= 0.0
+    assert not math.isnan(row["kpss"])

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from ..sources.tables import load
 from .series import round_portable, round_portable_duck
 
-__all__ = ["portfolio_value", "portfolio_returns", "market_beta"]
+__all__ = ["portfolio_value", "portfolio_returns", "market_beta",
+           "key_vs_market_quantized"]
 
 RET_SCALE = 1_000_000  # 1e6 fixed-point for the beta moment sums
 
@@ -121,26 +122,22 @@ def portfolio_returns(df: DataFrame, weights_bp: Mapping[int, int],
     return pv.withColumn("ret", round_portable(ret))
 
 
-def market_beta(df: DataFrame, weights_bp: Mapping[int, int],
-                key_col: str = "user_id", ts_ns_col: str = "ts",
-                value_col: str = "value",
-                bucket_ns: int = BUCKET_NS,
-                min_obs: int = 5) -> DataFrame:
-    """OLS beta of each key's bucket returns against the portfolio's —
-    the cross-sectional "market exposure" screen.
+def key_vs_market_quantized(df: DataFrame,
+                            weights_bp: Mapping[int, int],
+                            key_col: str = "user_id",
+                            ts_ns_col: str = "ts",
+                            value_col: str = "value",
+                            bucket_ns: int = BUCKET_NS) -> DataFrame:
+    """(key, bucket, qx, qy): each key's bucket return (qy) aligned
+    with the portfolio's (qx), both 1e6 fixed-point BIGINTs — the
+    shared staging of ``market_beta`` and the capture-ratio /
+    Jensen-alpha tier (``operators/risk4``).
 
-    Determinism: both return series QUANTIZE to 1e6 fixed-point
-    BIGINTs before any moment sum, so Sx/Sy/Sxy/Sxx are exact integer
-    aggregates (order-free at any scale; magnitudes stay < 2^56 for
-    millions of buckets at |ret| <= ~30). Only the final beta division
-    is floating point. The portfolio series is bucket-count-sized and
-    joins by BROADCAST — each key's ticks shuffle once for the
-    (key, bucket) price aggregation and once for the per-key moment
-    reduction; the corpus never joins the corpus.
+    ONE tick aggregation feeds both the portfolio series and the
+    per-key return series (localCheckpoint: the two consumers would
+    otherwise re-execute the scan+shuffle); the bucket-count-sized
+    market series joins by broadcast.
     """
-    # ONE tick aggregation feeds both the portfolio series and the
-    # per-key return series (localCheckpoint: the two consumers would
-    # otherwise re-execute the scan+shuffle).
     priced = _bucket_prices(df, key_col, ts_ns_col, value_col,
                             bucket_ns).localCheckpoint()
     pv = portfolio_returns(df, weights_bp, key_col, ts_ns_col,
@@ -162,7 +159,28 @@ def market_beta(df: DataFrame, weights_bp: Mapping[int, int],
         .selectExpr("key", "bucket",
                     f"CAST(round(ret * {RET_SCALE}) AS BIGINT) AS qy")
     )
-    joined = rets.join(F.broadcast(mkt), "bucket")
+    return rets.join(F.broadcast(mkt), "bucket")
+
+
+def market_beta(df: DataFrame, weights_bp: Mapping[int, int],
+                key_col: str = "user_id", ts_ns_col: str = "ts",
+                value_col: str = "value",
+                bucket_ns: int = BUCKET_NS,
+                min_obs: int = 5) -> DataFrame:
+    """OLS beta of each key's bucket returns against the portfolio's —
+    the cross-sectional "market exposure" screen.
+
+    Determinism: both return series QUANTIZE to 1e6 fixed-point
+    BIGINTs before any moment sum, so Sx/Sy/Sxy/Sxx are exact integer
+    aggregates (order-free at any scale; magnitudes stay < 2^56 for
+    millions of buckets at |ret| <= ~30). Only the final beta division
+    is floating point. The portfolio series is bucket-count-sized and
+    joins by BROADCAST — each key's ticks shuffle once for the
+    (key, bucket) price aggregation and once for the per-key moment
+    reduction; the corpus never joins the corpus.
+    """
+    joined = key_vs_market_quantized(df, weights_bp, key_col,
+                                     ts_ns_col, value_col, bucket_ns)
     mom = joined.groupBy("key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("qx").cast("bigint").alias("sx"),
@@ -282,7 +300,11 @@ def _q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return market_beta(load(spark, sf_dir, "events"), _WEIGHTS)
 
 
-_ORACLE_MARKET_BETA = f"""
+# Shared oracle prefix: weights -> bucket prices -> quantized market
+# (qx) and per-key (qy) return series — reused by the capture-ratio /
+# Jensen-alpha oracles in ``operators/risk4`` so the staging cannot
+# drift from the gated beta.
+ORACLE_RET_PREFIX = f"""
 WITH w(key, w_bp) AS (VALUES {_W_VALUES}),
 t AS (
   SELECT user_id AS key,
@@ -321,7 +343,9 @@ t AS (
              AS prev
     FROM priced
   ) WHERE prev IS NOT NULL AND prev != 0
-), mom AS (
+)"""
+
+_ORACLE_MARKET_BETA = ORACLE_RET_PREFIX + f""", mom AS (
   SELECT key,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(qx) AS BIGINT) AS sx,

@@ -34,7 +34,7 @@ from ..operators import (
     dq, dq2, dq3, dq4, dq5, embgeo, embgeo2, embnorm, embpca, embproj,
     embstats,
     embstats2, embeval,
-    graph2, graph3, graph4, graph5, graph6, graph7,
+    graph2, graph3, graph4, graph5, graph6, graph7, graph8,
     histogram,
     incremental, inequality, interval, ivf, kcenter, keywords, kmeans,
     linkage, markov2, microstructure, micro4, mlmetrics, mlmetrics2,
@@ -45,7 +45,7 @@ from ..operators import (
     profile, qsketch,
     quality,
     quantile2, quantile3, quantize, rfm,
-    risk3,
+    risk3, risk4,
     robustfit, rollup, sampling, sampling2, sampling3, sampling4,
     sampling5,
     simpson,
@@ -185,7 +185,7 @@ _MODULES = [
     # --- new in r10 AFTER the window froze: queued for the r11 gate
     # via NEXT_ROUND_QUEUE (each proven at 3 SFs through the driver
     # contract on landing). ---
-    embeval2, technical7, stats17,
+    embeval2, technical7, stats17, risk4, graph8,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
@@ -242,6 +242,10 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # stationarity + distribution-free two-sample tier (stats17)
     "q_kpss_events", "q_anderson_darling_events",
     "q_cliffs_delta_events",
+    # market-relative performance (risk4)
+    "risk_capture_events", "risk_jensen_treynor_events",
+    # HITS + k-truss support (graph8)
+    "graph_hits_nations", "graph_truss_support_parts",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

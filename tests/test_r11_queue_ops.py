@@ -212,6 +212,88 @@ def test_new_ops_exchange_budget(spark, sf_dir):
                                    "q_cliffs_delta_events")) <= 6
 
 
+def test_hits_star_graph(spark):
+    # star: node 0 points at 1..3. Only node 0 has hub mass; only
+    # 1..3 have authority mass (1/3 each under L1).
+    from datafusion_functions_financial_spark.operators.graph8 import (
+        hits_scores,
+    )
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 1), (0, 3, 1)],
+        "src long, dst long, w long")
+    nodes = spark.createDataFrame([(i,) for i in range(4)],
+                                  "node long")
+    rows = {r["node"]: (r["hub"], r["authority"])
+            for r in hits_scores(edges, nodes, n_nodes=4).collect()}
+    assert rows[0][0] == 1.0 and rows[0][1] == 0.0
+    for i in (1, 2, 3):
+        assert rows[i][0] == 0.0
+        assert abs(rows[i][1] - 1.0 / 3.0) < 1e-7
+
+
+def test_truss_support_k4_clique_and_pendant(spark):
+    # K4 plus a pendant edge: every clique edge sits in 2 triangles,
+    # the pendant in 0 -> histogram {2: 6, 0: 1}.
+    from datafusion_functions_financial_spark.operators.graph8 import (
+        truss_support_histogram,
+    )
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(0, 9)], "a long, b long")
+    hist = {r["support"]: r["n_edges"]
+            for r in truss_support_histogram(edges, "a", "b").collect()}
+    assert hist == {2: 6, 0: 1}
+
+
+def test_capture_ratios_levered_key(spark):
+    # key 7 moves exactly 2x the market every bucket: both captures 2.
+    from datafusion_functions_financial_spark.operators.risk4 import (
+        capture_ratios,
+    )
+    NS_DAY = 86_400 * 1_000_000_000
+    rows = []
+    mkt_path = [100.0, 110.0, 99.0, 108.9, 103.455]
+    for d, p in enumerate(mkt_path):
+        rows.append((1, d * NS_DAY, p))           # the "market" key
+        # key 7: same RETURNS doubled (price path compounds 2*ret)
+    prices7 = [100.0]
+    for i in range(1, len(mkt_path)):
+        r = mkt_path[i] / mkt_path[i - 1] - 1.0
+        prices7.append(prices7[-1] * (1.0 + 2.0 * r))
+    for d, p in enumerate(prices7):
+        rows.append((7, d * NS_DAY, p))
+    df = spark.createDataFrame(rows,
+                               "user_id long, ts long, value double")
+    out = {r["key"]: r for r in capture_ratios(
+        df, {1: 10000}).collect()}
+    # the market leg is 4-dp-rounded before its 1e6 quantization (the
+    # gated-beta staging), so self-capture is 1 +- 1e-3, not exact
+    assert abs(out[1]["upside_capture"] - 1.0) < 1e-3
+    assert abs(out[1]["downside_capture"] - 1.0) < 1e-3
+    assert abs(out[7]["upside_capture"] - 2.0) < 0.01
+    assert abs(out[7]["downside_capture"] - 2.0) < 0.01
+    assert out[7]["n_up"] == 2 and out[7]["n_down"] == 2
+
+
+def test_jensen_treynor_market_itself(spark):
+    # the market key against itself: beta 1, alpha 0, treynor = mean.
+    from datafusion_functions_financial_spark.operators.risk4 import (
+        jensen_treynor,
+    )
+    NS_DAY = 86_400 * 1_000_000_000
+    path = [100.0, 104.0, 99.0, 106.0, 101.0, 103.0]
+    df = spark.createDataFrame(
+        [(1, d * NS_DAY, p) for d, p in enumerate(path)],
+        "user_id long, ts long, value double")
+    row = jensen_treynor(df, {1: 10000}).collect()[0]
+    assert row["key"] == 1 and row["n"] == 5
+    # same 4-dp market-leg rounding as above: beta/alpha near-exact
+    assert abs(row["beta"] - 1.0) < 1e-3
+    assert abs(row["alpha"]) < 1e-4
+    mean_ret = sum(path[i] / path[i - 1] - 1.0
+                   for i in range(1, len(path))) / 5
+    assert abs(row["treynor"] - mean_ret) < 1e-4
+
+
 def test_kpss_bandwidth_appears_in_output(spark):
     df = _ticks(spark, [("k", h, 0, float(h % 5)) for h in range(30)])
     row = kpss_level(df, f"us DIV {US_HOUR}", "value",

@@ -49,7 +49,7 @@ from ..sources.tables import load
 from .ivf import IVF_SEED_MOD, ivf_index
 from .ivfeval import ORACLE_CL_PREFIX
 
-__all__ = ["cluster_ari", "cluster_nmi"]
+__all__ = ["cluster_ari", "cluster_nmi", "cluster_vmeasure"]
 
 Q = 10 ** 8
 QF = float(Q)
@@ -153,6 +153,62 @@ def cluster_nmi(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def cluster_vmeasure(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label",
+                     seed_mod: int = IVF_SEED_MOD) -> DataFrame:
+    """One row (n_vectors, homogeneity, completeness, v_measure):
+    the Rosenberg-Hirschberg pair and their harmonic mean —
+    homogeneity = 1 - H(labels|cells)/H(labels) (each cell holds one
+    label), completeness = 1 - H(cells|labels)/H(cells) (each label
+    sits in one cell). Degenerate entropies follow the sklearn
+    conventions (a zero marginal entropy scores its side 1; v = 0
+    when h + c = 0)."""
+    cl = _contingency(df, id_col, vec_col, label_col, seed_mod)
+    ra = cl.groupBy("cell_id").agg(F.sum("__n").alias("__a"))
+    rb = cl.groupBy("__lab").agg(F.sum("__n").alias("__b"))
+    nt = cl.agg(F.sum("__n").cast("bigint").alias("__nt"))
+    j = (
+        cl.join(F.broadcast(ra), "cell_id")
+        .join(F.broadcast(rb), "__lab")
+        .crossJoin(F.broadcast(nt))
+    )
+    p = "(CAST(__n AS DOUBLE) / CAST(__nt AS DOUBLE))"
+    # H(L|C) term: -(n/N) ln(n/a); H(C|L) term: -(n/N) ln(n/b)
+    hlc = f"(-{p} * ln(CAST(__n AS DOUBLE) / CAST(__a AS DOUBLE)))"
+    hcl = f"(-{p} * ln(CAST(__n AS DOUBLE) / CAST(__b AS DOUBLE)))"
+    cond = j.agg(
+        F.max("__nt").cast("bigint").alias("n_vectors"),
+        F.sum(F.expr(
+            f"CAST(round(({hlc}) * {Q}) AS BIGINT)")).alias("__shlc"),
+        F.sum(F.expr(
+            f"CAST(round(({hcl}) * {Q}) AS BIGINT)")).alias("__shcl"))
+    ha = "(CAST(__a AS DOUBLE) / CAST(__nt AS DOUBLE))"
+    ha_q = ra.crossJoin(F.broadcast(nt)).agg(F.sum(F.expr(
+        f"CAST(round((-{ha} * ln({ha})) * {Q}) AS BIGINT)"))
+        .alias("__sha"))
+    hb = "(CAST(__b AS DOUBLE) / CAST(__nt AS DOUBLE))"
+    hb_q = rb.crossJoin(F.broadcast(nt)).agg(F.sum(F.expr(
+        f"CAST(round((-{hb} * ln({hb})) * {Q}) AS BIGINT)"))
+        .alias("__shb"))
+    h = (f"(CASE WHEN __shb > 0 THEN 1.0 - CAST(__shlc AS DOUBLE) "
+         f"/ CAST(__shb AS DOUBLE) ELSE 1.0 END)")
+    c = (f"(CASE WHEN __sha > 0 THEN 1.0 - CAST(__shcl AS DOUBLE) "
+         f"/ CAST(__sha AS DOUBLE) ELSE 1.0 END)")
+    return (
+        cond.crossJoin(F.broadcast(ha_q)).crossJoin(F.broadcast(hb_q))
+        .select(
+            "n_vectors",
+            round_portable(F.expr(h), 6).alias("homogeneity"),
+            round_portable(F.expr(c), 6).alias("completeness"),
+            round_portable(F.expr(
+                f"CASE WHEN ({h}) + ({c}) > 0.0 THEN "
+                f"2.0 * ({h}) * ({c}) / (({h}) + ({c})) "
+                f"ELSE 0.0 END"), 6).alias("v_measure"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Gate queries + mirrored oracles (the knn_ivf construction chain —
 # the oracle contingency comes verbatim from ivfeval.ORACLE_CL_PREFIX)
@@ -165,6 +221,10 @@ def _q_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_nmi(load(spark, sf_dir, "embeddings"))
+
+
+def _q_vmeasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_vmeasure(load(spark, sf_dir, "embeddings"))
 
 
 _EXP = ("(CAST(ta2 AS DOUBLE) / (CAST(nv AS DOUBLE) "
@@ -239,7 +299,53 @@ FROM mi_q, ha_q, hb_q
 """
 
 
+_D_VP = "(CAST(cl.n AS DOUBLE) / CAST(nt.nt AS DOUBLE))"
+_D_HLC = (f"(-{_D_VP} * ln(CAST(cl.n AS DOUBLE) "
+          f"/ CAST(ra.a AS DOUBLE)))")
+_D_HCL = (f"(-{_D_VP} * ln(CAST(cl.n AS DOUBLE) "
+          f"/ CAST(rb.b AS DOUBLE)))")
+_D_H = ("(CASE WHEN shb > 0 THEN 1.0 - CAST(shlc AS DOUBLE) "
+        "/ CAST(shb AS DOUBLE) ELSE 1.0 END)")
+_D_C = ("(CASE WHEN sha > 0 THEN 1.0 - CAST(shcl AS DOUBLE) "
+        "/ CAST(sha AS DOUBLE) ELSE 1.0 END)")
+
+_ORACLE_VMEASURE = ORACLE_CL_PREFIX + f""", ra AS (
+  SELECT cell_id, CAST(sum(n) AS BIGINT) AS a FROM cl GROUP BY 1
+), rb AS (
+  SELECT label, CAST(sum(n) AS BIGINT) AS b FROM cl GROUP BY 1
+), nt AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt FROM cl
+), cond AS (
+  SELECT CAST(max(nt.nt) AS BIGINT) AS nv,
+    CAST(sum(CAST(round(({_D_HLC}) * {Q}) AS BIGINT)) AS BIGINT)
+      AS shlc,
+    CAST(sum(CAST(round(({_D_HCL}) * {Q}) AS BIGINT)) AS BIGINT)
+      AS shcl
+  FROM cl
+  JOIN ra ON cl.cell_id = ra.cell_id
+  JOIN rb ON cl.label = rb.label, nt
+), ha_q AS (
+  SELECT CAST(sum(CAST(round((-{_D_HA} * ln({_D_HA})) * {Q})
+    AS BIGINT)) AS BIGINT) AS sha
+  FROM ra, nt
+), hb_q AS (
+  SELECT CAST(sum(CAST(round((-{_D_HB} * ln({_D_HB})) * {Q})
+    AS BIGINT)) AS BIGINT) AS shb
+  FROM rb, nt
+)
+SELECT nv AS n_vectors,
+  {round_portable_duck(_D_H, 6)} AS homogeneity,
+  {round_portable_duck(_D_C, 6)} AS completeness,
+  {round_portable_duck(
+      f"CASE WHEN ({_D_H}) + ({_D_C}) > 0.0 THEN "
+      f"2.0 * ({_D_H}) * ({_D_C}) / (({_D_H}) + ({_D_C})) "
+      f"ELSE 0.0 END", 6)} AS v_measure
+FROM cond, ha_q, hb_q
+"""
+
+
 QUERIES: dict = {
     "emb_ari_embeddings": (_q_ari, _ORACLE_ARI),
     "emb_nmi_embeddings": (_q_nmi, _ORACLE_NMI),
+    "emb_vmeasure_embeddings": (_q_vmeasure, _ORACLE_VMEASURE),
 }

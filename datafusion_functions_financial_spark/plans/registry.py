@@ -38,7 +38,7 @@ from ..operators import (
     histogram,
     incremental, inequality, interval, ivf, kcenter, keywords, kmeans,
     linkage, markov2, microstructure, micro4, mlmetrics, mlmetrics2,
-    mlmetrics3, mlmetrics4, mmd,
+    mlmetrics3, mlmetrics4, mlmetrics5, mmd,
     multimodal,
     micro2, micro3, micro5, outliers, packing, pipeline, ppjoin,
     ppjoin2,
@@ -49,7 +49,7 @@ from ..operators import (
     robustfit, rollup, sampling, sampling2, sampling3, sampling4,
     sampling5,
     simpson,
-    spectral, stats2, survival2,
+    spectral, stats2, survival2, tsa2,
     stats3, stats4, stats5, stats6, stats7, stats8, stats9, stats10,
     stats11, stats12, stats13, stats14, stats15, stats16, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
@@ -185,7 +185,7 @@ _MODULES = [
     # --- new in r10 AFTER the window froze: queued for the r11 gate
     # via NEXT_ROUND_QUEUE (each proven at 3 SFs through the driver
     # contract on landing). ---
-    embeval2, technical7, stats17, risk4, graph8,
+    embeval2, technical7, stats17, risk4, graph8, tsa2, mlmetrics5,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
@@ -246,6 +246,12 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "risk_capture_events", "risk_jensen_treynor_events",
     # HITS + k-truss support (graph8)
     "graph_hits_nations", "graph_truss_support_parts",
+    # clustering agreement, V-measure extension (embeval2)
+    "emb_vmeasure_embeddings",
+    # long-memory + randomness (tsa2)
+    "q_dfa_events", "q_turning_points_events",
+    # ranking quality (mlmetrics5)
+    "q_ndcg_events", "q_mrr_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -301,3 +301,102 @@ def test_kpss_bandwidth_appears_in_output(spark):
     assert row["bandwidth"] == 3
     assert row["kpss"] is not None and row["kpss"] >= 0.0
     assert not math.isnan(row["kpss"])
+
+
+def test_vmeasure_identical_partitions(spark):
+    # labels equal to the IVF cell ids: h = c = v = 1.
+    from datafusion_functions_financial_spark.operators.embeval2 import (
+        cluster_vmeasure,
+    )
+    from datafusion_functions_financial_spark.operators.ivf import (
+        ivf_index,
+    )
+    from datafusion_functions_financial_spark.operators.similarity import (
+        DIM,
+    )
+    rng = [(i, [float((i * 31 + j * 7) % 13 - 6) / 6.0
+                for j in range(DIM)]) for i in range(40)]
+    base = spark.createDataFrame(
+        rng, "vec_id long, embedding array<float>")
+    _c, cells = ivf_index(base, seed_mod=8)
+    labeled = base.join(
+        cells.select("vec_id", "cell_id"), "vec_id").selectExpr(
+        "vec_id", "embedding", "CAST(cell_id AS INT) AS label")
+    row = cluster_vmeasure(labeled, seed_mod=8).collect()[0]
+    assert row["homogeneity"] == 1.0
+    assert row["completeness"] == 1.0
+    assert row["v_measure"] == 1.0
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    # scores aligned with relevance -> ndcg 1; anti-aligned -> < 1.
+    from datafusion_functions_financial_spark.operators.mlmetrics5 import (
+        mrr, ndcg_at_k,
+    )
+    rows = ([("u1", i, float(100 - i), 1 if i < 3 else 0)
+             for i in range(12)]        # top-3 scored items relevant
+            + [("u2", i, float(100 - i), 1 if i >= 9 else 0)
+               for i in range(12)])     # bottom-3 scored relevant
+    df = spark.createDataFrame(
+        rows, "k string, item long, score double, rel int")
+    out = {r["key"]: r for r in ndcg_at_k(
+        df, "k", "score", "rel = 1", "item").collect()}
+    assert out["u1"]["ndcg"] == 1.0
+    assert 0.0 < out["u2"]["ndcg"] < 1.0
+    assert out["u1"]["n_rel"] == 3
+    m = mrr(df, "k", "score", "rel = 1", "item").collect()[0]
+    # u1 first relevant at rank 1; u2 at rank 10 -> (1 + 0.1) / 2
+    assert m["mrr"] == 0.55 and m["n_with_rel"] == 2
+
+
+def test_mrr_user_without_relevant_counts_zero(spark):
+    from datafusion_functions_financial_spark.operators.mlmetrics5 import (
+        mrr,
+    )
+    rows = [("a", 1, 2.0, 1), ("a", 2, 1.0, 0),
+            ("b", 1, 2.0, 0), ("b", 2, 1.0, 0)]
+    df = spark.createDataFrame(
+        rows, "k string, item long, score double, rel int")
+    m = mrr(df, "k", "score", "rel = 1", "item").collect()[0]
+    assert m["n_keys"] == 2 and m["n_with_rel"] == 1
+    assert m["mrr"] == 0.5  # (1 + 0) / 2
+
+
+def test_turning_points_alternating_vs_monotone(spark):
+    # strictly alternating series: every interior point turns;
+    # monotone series: none.
+    from datafusion_functions_financial_spark.operators.tsa2 import (
+        turning_points,
+    )
+    alt = _ticks(spark, [("k", h, 0, 5.0 + (1.0 if h % 2 else -1.0))
+                         for h in range(20)])
+    mono = _ticks(spark, [("k", h, 0, float(h)) for h in range(20)])
+    expr = f"us DIV {US_HOUR}"
+    a = turning_points(alt, expr, "value").collect()[0]
+    m = turning_points(mono, expr, "value").collect()[0]
+    assert a["n_turning"] == 18 and a["t"] == 20
+    assert m["n_turning"] == 0
+    assert a["z"] > 0 > m["z"]
+
+
+def test_dfa_white_noise_alpha_near_half(spark):
+    # deterministic pseudo-noise: DFA alpha lands near 0.5; its
+    # cumulative walk lands near 1.5 (alpha_walk = alpha_noise + 1).
+    from datafusion_functions_financial_spark.operators.tsa2 import (
+        dfa,
+    )
+    import random
+    rng = random.Random(0)
+    vals = [rng.uniform(-50.0, 50.0) for _ in range(512)]
+    noise = _ticks(spark, [("k", h, 0, v) for h, v in enumerate(vals)])
+    acc, walk = 0.0, []
+    for v in vals:
+        acc += v
+        walk.append(acc)
+    walkdf = _ticks(spark, [("k", h, 0, v)
+                            for h, v in enumerate(walk)])
+    expr = f"us DIV {US_HOUR}"
+    an = dfa(noise, expr, "value").collect()[0]["alpha"]
+    aw = dfa(walkdf, expr, "value").collect()[0]["alpha"]
+    assert 0.3 < an < 0.8
+    assert aw > an + 0.6

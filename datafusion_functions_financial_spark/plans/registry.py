@@ -24,7 +24,7 @@ from ..functions import (
 )
 from ._gated import DRIVER_GREEN
 from ..operators import (
-    countfit, embeval2, experiment2, ivfeval, spectral2, stats17,
+    countfit, embeval2, experiment2, ivfeval, spectral2,
     abtest, anomaly2, anomaly3, asof, binseg, blocking, bm25,
     boilerplate, bootstrap, cc,
     chunking,
@@ -49,9 +49,10 @@ from ..operators import (
     robustfit, rollup, sampling, sampling2, sampling3, sampling4,
     sampling5,
     simpson,
-    spectral, stats2, survival2, tsa2,
+    spectral, stats2, survival2, survival3, tsa2,
     stats3, stats4, stats5, stats6, stats7, stats8, stats9, stats10,
-    stats11, stats12, stats13, stats14, stats15, stats16, strsim,
+    stats11, stats12, stats13, stats14, stats15, stats16, stats17,
+    stats18, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
@@ -186,6 +187,7 @@ _MODULES = [
     # via NEXT_ROUND_QUEUE (each proven at 3 SFs through the driver
     # contract on landing). ---
     embeval2, technical7, stats17, risk4, graph8, tsa2, mlmetrics5,
+    stats18, survival3,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
@@ -252,6 +254,10 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_dfa_events", "q_turning_points_events",
     # ranking quality (mlmetrics5)
     "q_ndcg_events", "q_mrr_events",
+    # post-hoc + stratified contingency (stats18)
+    "q_tukey_hsd_events", "q_cmh_events",
+    # survival discrimination (survival3)
+    "q_cindex_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

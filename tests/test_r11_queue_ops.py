@@ -400,3 +400,72 @@ def test_dfa_white_noise_alpha_near_half(spark):
     aw = dfa(walkdf, expr, "value").collect()[0]["alpha"]
     assert 0.3 < an < 0.8
     assert aw > an + 0.6
+
+
+def test_tukey_hsd_separated_groups(spark):
+    # two tight clusters far apart + one overlapping pair: the
+    # separated pair's q dwarfs the near pair's.
+    from datafusion_functions_financial_spark.operators.stats18 import (
+        tukey_hsd,
+    )
+    rows = ([("a", v) for v in (1.0, 2.0, 3.0)]
+            + [("b", v) for v in (1.5, 2.5, 3.5)]
+            + [("c", v) for v in (50.0, 51.0, 52.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g1"], r["g2"]): r for r in tukey_hsd(
+        df, "v", "g").collect()}
+    assert len(out) == 3
+    assert out[("a", "c")]["q_stat"] > 10 * out[("a", "b")]["q_stat"]
+    assert out[("a", "b")]["mean_diff"] == -0.5
+    assert out[("a", "c")]["mean_diff"] == -49.0
+
+
+def test_cmh_simpson_reversal_detected(spark):
+    # two strata, each with NO within-stratum association (odds
+    # ratio 1): pooled counts would suggest association, CMH must
+    # report or_mh = 1 and a tiny chi2.
+    from datafusion_functions_financial_spark.operators.stats18 import (
+        cmh_test,
+    )
+    rows = []
+    # stratum 0: exposure 80/20 split, outcome independent at 50%
+    for e, o, n in ((1, 1, 40), (1, 0, 40), (0, 1, 10), (0, 0, 10)):
+        rows += [(0, e, o)] * n
+    # stratum 1: exposure 20/80 split, outcome independent at 10%
+    for e, o, n in ((1, 1, 2), (1, 0, 18), (0, 1, 8), (0, 0, 72)):
+        rows += [(1, e, o)] * n
+    df = spark.createDataFrame(rows, "s int, e int, o int")
+    row = cmh_test(df, "s", "e", "o").collect()[0]
+    assert row["n_strata"] == 2 and row["n"] == 200
+    assert row["or_mh"] == 1.0
+    assert row["cmh_chi2"] < 0.1
+
+
+def test_cindex_perfect_and_anti_ranking(spark):
+    # subjects with one gap each: higher score <-> shorter gap is
+    # perfect concordance (c = 1); reversed scores give c = 0.
+    from datafusion_functions_financial_spark.operators.survival3 import (
+        concordance_index,
+    )
+    US_MIN = 60_000_000
+
+    def build(scores):
+        rows = []
+        for i, (gap_min, score) in enumerate(scores):
+            rows.append((i, 0, score))
+            rows.append((i, gap_min * US_MIN, score))
+        return spark.createDataFrame(
+            rows, "user_id long, us long, value double")
+
+    # gaps 10 < 20 < 30 minutes; bands 9 > 5 > 0. Each subject also
+    # contributes a censored tail row (last event to window end), so
+    # the "perfect" ranking still carries one score tie: the b9
+    # death at t=10 vs its own band's censored row at t=20.
+    good = build([(10, 95.0), (20, 55.0), (30, 5.0)])
+    row = concordance_index(good, "us", "user_id", "value").collect()[0]
+    assert row["disc"] == 0 and row["conc"] == 3
+    assert row["tied_score"] == 1 and row["c_index"] == 0.875
+    bad = build([(10, 5.0), (20, 55.0), (30, 95.0)])
+    row = concordance_index(bad, "us", "user_id", "value").collect()[0]
+    assert row["conc"] == 0 and row["disc"] == 3
+    assert row["c_index"] == 0.125

@@ -185,6 +185,14 @@ def main() -> None:
         "q_logrank_events",                # risk-set suffix windows
         "emb_davies_bouldin_embeddings",   # centroid validity index
         "dq_orphans_lineitem",             # 6-FK anti-join audit
+        # --- late-r10 additions (r11 gate queue) ---
+        "ind_kst_events",                  # 4-horizon ROC/SMA stack
+        "ind_ultimate_events",             # 3-window BP/TR blend
+        "q_kpss_events",                   # partial-sum stationarity
+        "q_cindex_events",                 # grid-suffix concordance
+        "q_ndcg_events",                   # dual-rank discounted gain
+        "graph_hits_nations",              # 3-iter hub/authority
+        "emb_ari_embeddings",              # IVF-vs-label agreement
     ]
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings",

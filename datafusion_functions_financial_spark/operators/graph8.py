@@ -53,6 +53,14 @@ def hits_scores(edges: DataFrame, nodes: DataFrame,
     """(node, hub, authority): weighted HITS after ``iters``
     iterations (authority then hub per iteration, L1-normalized
     after each half-step; isolated sides score 0)."""
+    # materialize once: every half-step touches the edge relation,
+    # and each contribution relation feeds TWO consumers (its L1
+    # total and the normalization join) — without the checkpoints
+    # the logical plan doubles per half-step and the heavy edge
+    # aggregation re-executes ~2^(2*iters) times (measured 12x the
+    # PageRank wall time at sf0.01; the graph5/graph6 lesson).
+    edges = edges.localCheckpoint()
+    nodes = nodes.localCheckpoint()
     hub = nodes.select(
         F.col("node"),
         F.expr(f"CAST(1 AS DOUBLE) / {n_nodes}").alias("h"))
@@ -66,7 +74,7 @@ def hits_scores(edges: DataFrame, nodes: DataFrame,
                 f"AS BIGINT)").alias("__cq"))
             .groupBy("dst")
             .agg(F.sum("__cq").alias("__in"))
-        )
+        ).localCheckpoint()
         tot_a = ain.agg(F.sum("__in").alias("__ta"))
         auth = (
             nodes.join(ain, nodes["node"] == ain["dst"], "left")
@@ -85,7 +93,7 @@ def hits_scores(edges: DataFrame, nodes: DataFrame,
                 f"AS BIGINT)").alias("__cq"))
             .groupBy("src")
             .agg(F.sum("__cq").alias("__in"))
-        )
+        ).localCheckpoint()
         tot_h = hin.agg(F.sum("__in").alias("__th"))
         hub = (
             nodes.join(hin, nodes["node"] == hin["src"], "left")

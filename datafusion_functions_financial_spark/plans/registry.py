@@ -52,7 +52,7 @@ from ..operators import (
     spectral, stats2, survival2, survival3, tsa2,
     stats3, stats4, stats5, stats6, stats7, stats8, stats9, stats10,
     stats11, stats12, stats13, stats14, stats15, stats16, stats17,
-    stats18, strsim,
+    stats18, stats19, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
@@ -187,7 +187,7 @@ _MODULES = [
     # via NEXT_ROUND_QUEUE (each proven at 3 SFs through the driver
     # contract on landing). ---
     embeval2, technical7, stats17, risk4, graph8, tsa2, mlmetrics5,
-    stats18, survival3,
+    stats18, survival3, stats19,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
@@ -258,6 +258,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_tukey_hsd_events", "q_cmh_events",
     # survival discrimination (survival3)
     "q_cindex_events",
+    # categorical + quick-trend classics (stats19)
+    "q_gtest_events", "q_odds_ratio_ci_events",
+    "q_cox_stuart_events", "q_records_test_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

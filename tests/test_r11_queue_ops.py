@@ -469,3 +469,67 @@ def test_cindex_perfect_and_anti_ranking(spark):
     row = concordance_index(bad, "us", "user_id", "value").collect()[0]
     assert row["conc"] == 0 and row["disc"] == 3
     assert row["c_index"] == 0.125
+
+
+def test_gtest_independent_vs_dependent(spark):
+    from datafusion_functions_financial_spark.operators.stats19 import (
+        g_test,
+    )
+    # perfectly dependent: each row value maps to one column value
+    dep = spark.createDataFrame(
+        [("a", 0)] * 10 + [("b", 1)] * 10, "r string, c int")
+    ind = spark.createDataFrame(
+        [("a", 0)] * 5 + [("a", 1)] * 5
+        + [("b", 0)] * 5 + [("b", 1)] * 5, "r string, c int")
+    d = g_test(dep, "r", "c").collect()[0]
+    i = g_test(ind, "r", "c").collect()[0]
+    assert i["g_stat"] == 0.0 and d["g_stat"] > 10.0
+    assert d["dof"] == 1 and d["n"] == 20
+
+
+def test_odds_ratio_hand_computed(spark):
+    from datafusion_functions_financial_spark.operators.stats19 import (
+        odds_ratio_ci,
+    )
+    rows = ([(1, 1)] * 30 + [(1, 0)] * 10
+            + [(0, 1)] * 10 + [(0, 0)] * 30)
+    df = spark.createDataFrame(rows, "e int, o int")
+    r = odds_ratio_ci(df, "e", "o").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (30, 10, 10, 30)
+    assert r["odds_ratio"] == 9.0
+    assert r["ci_lo"] < 9.0 < r["ci_hi"]
+    # Woolf CI: exp(ln 9 +- 1.96 * sqrt(4/30 + 4/10... )) wait:
+    # se = sqrt(1/30 + 1/10 + 1/10 + 1/30) = sqrt(4/15)
+    import math
+    se = math.sqrt(1/30 + 1/10 + 1/10 + 1/30)
+    assert abs(r["ci_lo"] - 9.0 * math.exp(-1.959963984540054 * se)) < 1e-4
+
+
+def test_cox_stuart_monotone_and_flat(spark):
+    from datafusion_functions_financial_spark.operators.stats19 import (
+        cox_stuart,
+    )
+    expr = f"us DIV {US_HOUR}"
+    up = _ticks(spark, [("k", h, 0, float(h)) for h in range(21)])
+    flat = _ticks(spark, [("k", h, 0, 5.0) for h in range(21)])
+    u = cox_stuart(up, expr, "value").collect()[0]
+    f = cox_stuart(flat, expr, "value").collect()[0]
+    # 21 obs -> 10 pairs, middle dropped, all increasing
+    assert u["t"] == 21 and u["n_pairs"] == 10 and u["n_pos"] == 10
+    assert abs(u["z"] - 2.0 * 10 / (2 * 10 ** 0.5)) < 1e-5
+    assert f["n_pairs"] == 0 and f["z"] is None
+
+
+def test_records_test_monotone_series(spark):
+    from datafusion_functions_financial_spark.operators.stats19 import (
+        records_test,
+    )
+    expr = f"us DIV {US_HOUR}"
+    up = _ticks(spark, [("k", h, 0, float(h)) for h in range(30)])
+    r = records_test(up, expr, "value").collect()[0]
+    # every observation is a record on a strictly increasing series
+    assert r["t"] == 30 and r["n_records"] == 30
+    import math
+    h30 = sum(1.0 / t for t in range(1, 31))
+    assert abs(r["e_records"] - h30) < 1e-5
+    assert r["z"] > 5.0

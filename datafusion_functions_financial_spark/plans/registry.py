@@ -31,7 +31,8 @@ from ..operators import (
     concentration, concentration2, corrmatrix, cosinedup, cuped,
     crossmodal,
     decontam, dedup, diff, digest, divergence,
-    dq, dq2, dq3, dq4, dq5, embgeo, embgeo2, embnorm, embpca, embproj,
+    dq, dq2, dq3, dq4, dq5, embdim, embgeo, embgeo2, embnorm, embpca,
+    embproj,
     embstats,
     embstats2, embeval,
     graph2, graph3, graph4, graph5, graph6, graph7, graph8,
@@ -44,7 +45,7 @@ from ..operators import (
     ppjoin2,
     profile, qsketch,
     quality,
-    quantile2, quantile3, quantize, rfm,
+    qnorm, quantile2, quantile3, quantize, rfm,
     risk3, risk4,
     robustfit, rollup, sampling, sampling2, sampling3, sampling4,
     sampling5,
@@ -187,7 +188,7 @@ _MODULES = [
     # via NEXT_ROUND_QUEUE (each proven at 3 SFs through the driver
     # contract on landing). ---
     embeval2, technical7, stats17, risk4, graph8, tsa2, mlmetrics5,
-    stats18, survival3, stats19,
+    stats18, survival3, stats19, embdim, qnorm,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
@@ -261,6 +262,10 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # categorical + quick-trend classics (stats19)
     "q_gtest_events", "q_odds_ratio_ci_events",
     "q_cox_stuart_events", "q_records_test_events",
+    # TwoNN intrinsic dimension (embdim)
+    "emb_twonn_embeddings",
+    # cross-source quantile normalization (qnorm)
+    "qnorm_doclen_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

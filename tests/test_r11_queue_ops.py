@@ -533,3 +533,47 @@ def test_records_test_monotone_series(spark):
     h30 = sum(1.0 / t for t in range(1, 31))
     assert abs(r["e_records"] - h30) < 1e-5
     assert r["z"] > 5.0
+
+
+def test_twonn_planar_vectors(spark):
+    # vectors confined to a 2-D subspace of the 64-dim space: the
+    # TwoNN estimate should land near 1 (angular distance on a plane
+    # is a 1-D manifold of directions), far below the ambient dim.
+    import math
+
+    from datafusion_functions_financial_spark.operators.embdim import (
+        twonn_id,
+    )
+    from datafusion_functions_financial_spark.operators.similarity import (
+        DIM,
+    )
+    rows = []
+    for i in range(60):
+        theta = 0.03 * (i * 7 % 60) + 0.001 * i
+        v = [0.0] * DIM
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = twonn_id(df).collect()[0]
+    assert r["n"] == 60 and r["n_used"] > 0
+    assert 0.3 < r["id_twonn"] < 3.0
+
+
+def test_qnorm_aligns_shifted_sources(spark):
+    # source b = source a shifted by +1000: after qnorm both sources
+    # map rank-equal rows to the SAME pooled boundary values.
+    from datafusion_functions_financial_spark.operators.qnorm import (
+        quantile_normalize,
+    )
+    rows = ([(i, "a", 100 + i) for i in range(40)]
+            + [(100 + i, "b", 1100 + i) for i in range(40)])
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = quantile_normalize(df, "id", "g", "v", n_buckets=4)
+    got = {(r["grp"], r["id"]): (r["bucket"], r["qnorm"])
+           for r in out.collect()}
+    assert len(got) == 80
+    for i in range(40):
+        assert got[("a", i)] == got[("b", 100 + i)]
+    # buckets are monotone within a source
+    bks = [got[("a", i)][0] for i in range(40)]
+    assert bks == sorted(bks) and bks[0] == 1 and bks[-1] == 4

@@ -53,7 +53,7 @@ from ..operators import (
     spectral, stats2, survival2, survival3, tsa2,
     stats3, stats4, stats5, stats6, stats7, stats8, stats9, stats10,
     stats11, stats12, stats13, stats14, stats15, stats16, stats17,
-    stats18, stats19, strsim,
+    stats18, stats19, stats20, strsim,
     similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
     text2,
     text3,
@@ -188,7 +188,7 @@ _MODULES = [
     # via NEXT_ROUND_QUEUE (each proven at 3 SFs through the driver
     # contract on landing). ---
     embeval2, technical7, stats17, risk4, graph8, tsa2, mlmetrics5,
-    stats18, survival3, stats19, embdim, qnorm,
+    stats18, survival3, stats19, embdim, qnorm, stats20,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
@@ -266,6 +266,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "emb_twonn_embeddings",
     # cross-source quantile normalization (qnorm)
     "qnorm_doclen_documents",
+    # structural breaks + outlier screens (stats20)
+    "q_chow_sup_events", "q_gesd_orders", "q_hartley_fmax_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -577,3 +577,62 @@ def test_qnorm_aligns_shifted_sources(spark):
     # buckets are monotone within a source
     bks = [got[("a", i)][0] for i in range(40)]
     assert bks == sorted(bks) and bks[0] == 1 and bks[-1] == 4
+
+
+def test_chow_detects_slope_break(spark):
+    from datafusion_functions_financial_spark.operators.stats20 import (
+        chow_sup,
+    )
+    expr = f"us DIV {US_HOUR}"
+    # slope 1 until h=55, slope 8 after (off the decile grid so no
+    # segment fits exactly; a split AT an exact two-line break zeroes
+    # both SSRs and reports NULL by the 0/0 guard — verified below).
+    broken = []
+    for h in range(100):
+        v = float(h) if h < 55 else 55.0 + 8.0 * (h - 55)
+        broken.append(("k", h, 0, v))
+    linear = [("k", h, 0, float(3 * h)) for h in range(100)]
+    b = {r["decile"]: r for r in chow_sup(
+        _ticks(spark, broken), expr, "value").collect()}
+    l = chow_sup(_ticks(spark, linear), expr, "value").collect()
+    sup = [d for d, r in b.items() if r["is_sup"] == 1]
+    assert sup in ([5], [6]) and b[sup[0]]["f_chow"] > 100.0
+    exact = []
+    for h in range(100):
+        v = float(h) if h < 50 else 50.0 + 8.0 * (h - 50)
+        exact.append(("k", h, 0, v))
+    e = {r["decile"]: r for r in chow_sup(
+        _ticks(spark, exact), expr, "value").collect()}
+    assert e[5]["f_chow"] is None  # perfect two-line fit -> guard
+    # a perfectly linear series fits both segments exactly: SSRs are
+    # all ~0 and every candidate F is NULL (0/0 guard) or tiny
+    assert all((r["f_chow"] is None or r["f_chow"] < 1e-3)
+               for r in l)
+
+
+def test_gesd_removes_three_planted_outliers(spark):
+    from datafusion_functions_financial_spark.operators.stats20 import (
+        gesd,
+    )
+    rows = [(i, 100.0 + (i % 7)) for i in range(50)]
+    rows[10] = (10, 5000.0)
+    rows[20] = (20, -4000.0)
+    rows[30] = (30, 3000.0)
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = sorted(gesd(df, "v", "id").collect(),
+                 key=lambda r: r["round"])
+    assert [r["removed_id"] for r in out] == [10, 20, 30]
+    assert out[0]["removed_value"] == 5000.0
+    assert all(r["z"] > 3.0 for r in out)
+
+
+def test_hartley_fmax_hand_computed(spark):
+    from datafusion_functions_financial_spark.operators.stats20 import (
+        hartley_fmax,
+    )
+    rows = ([("a", v) for v in (1.0, 2.0, 3.0)]          # var 1
+            + [("b", v) for v in (10.0, 14.0, 18.0)])    # var 16
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = hartley_fmax(df, "v", "g").collect()[0]
+    assert r["k"] == 2 and r["max_df"] == 2
+    assert r["fmax"] == 16.0

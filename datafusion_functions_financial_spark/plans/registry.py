@@ -30,7 +30,7 @@ from ..operators import (
     chunking,
     concentration, concentration2, corrmatrix, cosinedup, cuped,
     crossmodal,
-    decontam, dedup, diff, digest, divergence, drift2,
+    decontam, dedup, diff, digest, divergence, drift2, gof,
     dq, dq2, dq3, dq4, dq5, embdim, embgeo, embgeo2, embnorm, embpca,
     embproj,
     embstats,
@@ -190,7 +190,7 @@ _MODULES = [
     # contract on landing). ---
     embeval2, technical7, stats17, risk4, graph8, tsa2, mlmetrics5,
     stats18, survival3, stats19, embdim, qnorm, stats20,
-    uplift, survival4, stats21, drift2,
+    uplift, survival4, stats21, drift2, gof,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
@@ -273,6 +273,8 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     # uplift, survival summary, robust t, sequential drift
     "q_qini_events", "q_rmst_events", "q_yuen_ttest_events",
     "q_page_hinkley_events",
+    # inter-arrival exponentiality GOF (gof)
+    "q_ad_exponential_events", "q_ks_exponential_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -733,3 +733,32 @@ def test_page_hinkley_step_alarm(spark):
     assert s["max_ph"] > 100.0
     assert f["n_alarm_buckets"] == 0 and f["first_alarm_t"] is None
     assert f["max_ph"] == 0.0
+
+
+def test_ad_ks_exponential_detect_regular_arrivals(spark):
+    # perfectly regular arrivals (constant gap) are maximally
+    # non-exponential; bursty hash-spread gaps fit much better.
+    import random
+
+    from datafusion_functions_financial_spark.operators.gof import (
+        ad_exponential, ks_exponential,
+    )
+    US_MIN = 60_000_000
+    reg = [("k", i * US_MIN) for i in range(200)]
+    rng = random.Random(7)
+    acc, exp_rows = 0, []
+    for _ in range(200):
+        acc += max(1, int(rng.expovariate(1.0) * US_MIN))
+        exp_rows.append(("k", acc))
+    regdf = spark.createDataFrame(reg, "user_id string, us long")
+    expdf = spark.createDataFrame(exp_rows, "user_id string, us long")
+    ad_r = ad_exponential(regdf, "us", "user_id").collect()[0]
+    ad_e = ad_exponential(expdf, "us", "user_id").collect()[0]
+    ks_r = ks_exponential(regdf, "us", "user_id").collect()[0]
+    ks_e = ks_exponential(expdf, "us", "user_id").collect()[0]
+    assert ad_r["ad_stat"] > 10 * ad_e["ad_stat"] > 0
+    assert ks_r["ks_d"] > 3 * ks_e["ks_d"]
+    # constant gap: the empirical CDF jumps 0 -> 1 at the single
+    # value; F(mean) = 1 - 1/e, so D = max(1/e, 1 - 1/e)
+    import math
+    assert abs(ks_r["ks_d"] - (1.0 - math.exp(-1.0))) < 1e-6

@@ -31,12 +31,14 @@ from ..operators import (
     concentration, concentration2, corrmatrix, cosinedup, cuped,
     crossmodal,
     decontam, dedup, diff, digest, divergence, drift2, gof,
-    dq, dq2, dq3, dq4, dq5, embdim, embgeo, embgeo2, embnorm, embpca,
+    dq, dq2, dq3, dq4, dq5, dq6, embdim, embgeo, embgeo2, embnorm,
+    embpca,
     embproj,
     embstats,
     embstats2, embeval,
     graph2, graph3, graph4, graph5, graph6, graph7, graph8,
     histogram,
+    forecast3,
     incremental, inequality, interval, ivf, kcenter, keywords, kmeans,
     linkage, markov2, microstructure, micro4, mlmetrics, mlmetrics2,
     mlmetrics3, mlmetrics4, mlmetrics5, mmd,
@@ -190,7 +192,7 @@ _MODULES = [
     # contract on landing). ---
     embeval2, technical7, stats17, risk4, graph8, tsa2, mlmetrics5,
     stats18, survival3, stats19, embdim, qnorm, stats20,
-    uplift, survival4, stats21, drift2, gof,
+    uplift, survival4, stats21, drift2, gof, forecast3, dq6,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
@@ -275,6 +277,10 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_page_hinkley_events",
     # inter-arrival exponentiality GOF (gof)
     "q_ad_exponential_events", "q_ks_exponential_events",
+    # quantile-forecast pinball loss (forecast3)
+    "q_pinball_events",
+    # calendar-grid completeness (dq6)
+    "dq_calendar_grid_events",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

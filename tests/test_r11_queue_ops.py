@@ -762,3 +762,51 @@ def test_ad_ks_exponential_detect_regular_arrivals(spark):
     # value; F(mean) = 1 - 1/e, so D = max(1/e, 1 - 1/e)
     import math
     assert abs(ks_r["ks_d"] - (1.0 - math.exp(-1.0))) < 1e-6
+
+
+def test_pinball_hand_computed_on_uniform_grid(spark):
+    # train == test distribution {10..50}: forecasts are the exact
+    # type-1 quantiles (P10 = 10, P50 = 30, P90 = 50) and the mean
+    # losses are hand-computable: L10 = 0.1*mean(y-10) = 2,
+    # L50 = 0.5*mean|y-30| = 6, L90 = 0.9*mean(50-y) = ... wait,
+    # for y <= yhat the branch is (q-1)(y-yhat): L90 =
+    # mean max(.9(y-50), -.1(y-50)) = 0.1*mean(50-y) = 2.
+    from datafusion_functions_financial_spark.operators.forecast3 import (
+        pinball_hourly,
+    )
+    US_DAY = 86_400_000_000
+    US_HOUR_ = 3_600_000_000
+    rows = []
+    for d in range(8):
+        for i, v in enumerate((10.0, 20.0, 30.0, 40.0, 50.0)):
+            rows.append((d * US_DAY + 5 * US_HOUR_ + i, v))
+    df = spark.createDataFrame(rows, "us long, value double")
+    out = {r["q_pct"]: r for r in pinball_hourly(
+        df, "us", "value").collect()}
+    assert set(out) == {10, 50, 90}
+    assert all(r["n_test"] == 20 for r in out.values())
+    assert out[10]["pinball"] == 2.0
+    assert out[50]["pinball"] == 6.0
+    assert out[90]["pinball"] == 2.0
+
+
+def test_calendar_grid_full_and_silent_cells(spark):
+    from datafusion_functions_financial_spark.operators.dq6 import (
+        calendar_grid,
+    )
+    US_HOUR_ = 3_600_000_000
+    # one event in every hour of exactly one week -> every cell
+    # occupancy exactly 1.0
+    rows = [(h * US_HOUR_,) for h in range(168)]
+    df = spark.createDataFrame(rows, "us long")
+    out = calendar_grid(df, "us").collect()
+    assert len(out) == 168
+    assert all(r["occupancy"] == 1.0 and r["n_events"] == 1
+               for r in out)
+    # drop Mondays entirely (dow of day-index % 7 == 0 bucket):
+    rows2 = [(h * US_HOUR_,) for h in range(168) if h >= 24]
+    out2 = {(r["dow"], r["hour"]): r for r in calendar_grid(
+        spark.createDataFrame(rows2, "us long"), "us").collect()}
+    assert len(out2) == 168
+    silent = [k for k, r in out2.items() if r["n_events"] == 0]
+    assert len(silent) == 24 and all(d == 0 for d, _ in silent)

@@ -35,7 +35,7 @@ from ..operators import (
     embpca,
     embproj,
     embstats,
-    embstats2, embeval,
+    embclf, embstats2, embeval,
     graph2, graph3, graph4, graph5, graph6, graph7, graph8,
     histogram,
     forecast3,
@@ -60,7 +60,8 @@ from ..operators import (
     text, uplift,
     text2,
     text3,
-    text4, text5, text6, text7, text8, text9, text10, tfidf,
+    text4, text5, text6, text7, text8, text9, text10, text11,
+    tfidf,
     vocab, vocab2,
     wquantile,
 )
@@ -193,6 +194,7 @@ _MODULES = [
     embeval2, technical7, stats17, risk4, graph8, tsa2, mlmetrics5,
     stats18, survival3, stats19, embdim, qnorm, stats20,
     uplift, survival4, stats21, drift2, gof, forecast3, dq6,
+    embclf, text11,
     # --- past the window: everything driver-green in r01-r09
     # (the r09 window block follows, then r08, r07, older). ---
     _RestMlmR08, stats6, stats7, mmd, stats8, _RestSampling3R07,
@@ -281,6 +283,10 @@ NEXT_ROUND_QUEUE: frozenset = frozenset({
     "q_pinball_events",
     # calendar-grid completeness (dq6)
     "dq_calendar_grid_events",
+    # nearest-centroid confusion (embclf)
+    "emb_centroid_confusion_embeddings",
+    # per-source character-class profile (text11)
+    "text_charclass_documents",
 })
 
 # Backwards-compatible aliases (earlier rounds referred to the queue

@@ -810,3 +810,50 @@ def test_calendar_grid_full_and_silent_cells(spark):
     assert len(out2) == 168
     silent = [k for k, r in out2.items() if r["n_events"] == 0]
     assert len(silent) == 24 and all(d == 0 for d, _ in silent)
+
+
+def test_centroid_confusion_separated_clusters(spark):
+    # two tight clusters on orthogonal axes, labels matching them:
+    # the confusion grid is diagonal with share 1.
+    from datafusion_functions_financial_spark.operators.embclf import (
+        centroid_confusion,
+    )
+    from datafusion_functions_financial_spark.operators.similarity import (
+        DIM,
+    )
+    rows = []
+    for i in range(20):
+        v = [0.0] * DIM
+        v[0] = 1.0 + 0.01 * (i % 5)
+        rows.append((i, v, 0))
+    for i in range(20, 40):
+        v = [0.0] * DIM
+        v[1] = 1.0 + 0.01 * (i % 5)
+        rows.append((i, v, 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["true_label"], r["pred_label"]): r
+           for r in centroid_confusion(df).collect()}
+    assert len(out) == 4
+    assert out[(0, 0)]["n"] == 20 and out[(0, 0)]["share"] == 1.0
+    assert out[(1, 1)]["n"] == 20 and out[(1, 1)]["share"] == 1.0
+    assert out[(0, 1)]["n"] == 0 and out[(1, 0)]["n"] == 0
+
+
+def test_charclass_profile_hand_computed(spark):
+    from datafusion_functions_financial_spark.operators.text11 import (
+        charclass_profile,
+    )
+    df = spark.createDataFrame(
+        [("s1", "ab 12!"), ("s1", "cd"), ("s2", "1234")],
+        "source string, text string")
+    out = {r["source"]: r for r in charclass_profile(df).collect()}
+    s1 = out["s1"]  # "ab 12!" + "cd": 8 chars, 4 letters, 2 digits,
+    assert s1["n_chars"] == 8                     # 1 space, 1 other
+    assert s1["letter_share"] == 0.5
+    assert s1["digit_share"] == 0.25
+    assert s1["space_share"] == 0.125
+    assert s1["other_share"] == 0.125
+    assert s1["dominant"] == "letters"
+    assert out["s2"]["dominant"] == "digits"
+    assert out["s2"]["digit_share"] == 1.0

@@ -152,7 +152,8 @@ def anderson_darling_2s(df: DataFrame, value_col: str,
         "2 * __cca - __ca AS __m2a",
         "2 * (__cl - __cca) - (__cnt - __ca) AS __m2b",
         "2 * __cl - __cnt AS __b2")
-    num = "(CAST(__n * __m2{i} AS DOUBLE) - CAST(__n{i} * __b2 AS DOUBLE))"
+    num = ("(CAST(__n AS DOUBLE) * CAST(__m2{i} AS DOUBLE) "
+           "- CAST(__n{i} AS DOUBLE) * CAST(__b2 AS DOUBLE))")
     den = "(CAST(__b2 AS DOUBLE) * (2.0 * CAST(__n AS DOUBLE) - CAST(__b2 AS DOUBLE)) - CAST(__n AS DOUBLE) * CAST(__cnt AS DOUBLE))"
     term = ("(CASE WHEN {d} > 0.0 THEN CAST(__cnt AS DOUBLE) "
             "* {n} * {n} / {d} "
@@ -298,8 +299,8 @@ SELECT t, CAST({KPSS_BANDWIDTH} AS BIGINT) AS bandwidth,
 FROM red
 """
 
-_AD_NUM = ("(CAST(n * m2{i} AS DOUBLE) "
-           "- CAST(n{i} * b2 AS DOUBLE))")
+_AD_NUM = ("(CAST(n AS DOUBLE) * CAST(m2{i} AS DOUBLE) "
+           "- CAST(n{i} AS DOUBLE) * CAST(b2 AS DOUBLE))")
 _AD_DEN = ("(CAST(b2 AS DOUBLE) * (2.0 * CAST(n AS DOUBLE) "
            "- CAST(b2 AS DOUBLE)) "
            "- CAST(n AS DOUBLE) * CAST(cnt AS DOUBLE))")

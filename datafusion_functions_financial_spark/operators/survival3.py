@@ -22,6 +22,9 @@ the event's own value, banded to ``N_BANDS`` deciles of [0, 100).
 
 Engine-exactness: pure integer counting end to end (2*concordance
 numerator keeps half-weight ties integer); one final division.
+Pair counts are inherently O(n^2) integers — the int64 budget holds
+to ~3e9 subjects, the same envelope as the gated Mann-Whitney rank
+sums.
 
 Plan shape at 100 TB: one per-subject window (the KM shuffle), one
 hash aggregate to the grid, windows over the grid relation only.

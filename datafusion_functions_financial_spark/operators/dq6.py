@@ -7,9 +7,15 @@ starved hour-of-week CELLS while every day still reports data).
 
 The expected grid is the full 7 x 24 hour-of-week matrix; per cell:
 observed events, distinct hours of the span that map to the cell,
-and the occupancy ratio against the cell's expected share of the
-span. Cells with zero events still emit a row (an SF change must
-not change the result-set shape).
+and the occupancy ratio against a UNIFORM 1/168 share (ADVICE r10:
+partial first/last weeks therefore skew edge cells slightly — the
+audit reads occupancy as a relative density screen, not a
+calendar-exact expectation). ``dow`` is the epoch-day index mod 7,
+a stable 7-cycle phase (phase 0 = Thursday, since epoch day 0 was
+a Thursday), NOT the ISO day-of-week; the gated
+``validate_orders_weekend`` owns calendar-true DOW translation.
+Cells with zero events still emit a row (an SF change must not
+change the result-set shape).
 
 Engine-exactness: pure integer counting; one double ratio per cell.
 
@@ -36,8 +42,9 @@ US_PER_DAY = 86_400_000_000
 
 def calendar_grid(df: DataFrame, us_expr: str) -> DataFrame:
     """(dow, hour, n_events, n_hours_present, occupancy): the
-    hour-of-week completeness grid — occupancy is the cell's share
-    of events over its expected share of the observed span (1.0 =
+    hour-of-week completeness grid — ``dow`` is the epoch-day index
+    mod 7 (a 7-cycle phase, 0 = Thursday), and occupancy is the
+    cell's share of events over the uniform 1/168 share (1.0 =
     perfectly even; 0 = silent cell)."""
     base = df.selectExpr(
         f"(({us_expr}) DIV {US_PER_DAY}) % 7 AS __dow",

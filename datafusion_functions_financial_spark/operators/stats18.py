@@ -13,8 +13,10 @@ Mantel-Haenszel common odds ratio).
   within-group MSE (the studentized-range statistic; critical
   values are a table lookup the caller applies).
 - ``cmh_test``: continuity-corrected CMH chi-square
-  (|sum(a - E[a])| - 0.5)^2 / sum(Var[a]) and the MH common odds
-  ratio sum(a*d/T) / sum(b*c/T) over the per-stratum 2x2 tables.
+  max(|sum(a - E[a])| - 0.5, 0)^2 / sum(Var[a]) and the MH common
+  odds ratio sum(a*d/T) / sum(b*c/T) over the per-stratum 2x2
+  tables (the correction clamps at 0 so a deviation < 0.5 reports
+  ~0 rather than an inflated statistic — ADVICE r10).
 
 Engine-exactness: group sums/sumsquares are exact cents BIGINTs
 (squares cast to DOUBLE one factor at a time — sum-of-cents squared
@@ -143,8 +145,8 @@ def cmh_test(df: DataFrame, stratum_expr: str, exposure_expr: str,
             "/ CAST(__ord AS DOUBLE) END"), 6).alias("or_mh"),
         round_portable(F.expr(
             f"CASE WHEN __var > 0 THEN "
-            f"(abs(CAST(__dev AS DOUBLE) / {QF!r}) - 0.5) "
-            f"* (abs(CAST(__dev AS DOUBLE) / {QF!r}) - 0.5) "
+            f"greatest(abs(CAST(__dev AS DOUBLE) / {QF!r}) - 0.5, 0.0) "
+            f"* greatest(abs(CAST(__dev AS DOUBLE) / {QF!r}) - 0.5, 0.0) "
             f"/ (CAST(__var AS DOUBLE) / {QF!r}) END"), 6)
         .alias("cmh_chi2"),
     )
@@ -252,8 +254,8 @@ SELECT n_strata, n,
       "/ CAST(ord AS DOUBLE) END", 6)} AS or_mh,
   {round_portable_duck(
       f"CASE WHEN var > 0 THEN "
-      f"(abs(CAST(dev AS DOUBLE) / {QF!r}) - 0.5) "
-      f"* (abs(CAST(dev AS DOUBLE) / {QF!r}) - 0.5) "
+      f"greatest(abs(CAST(dev AS DOUBLE) / {QF!r}) - 0.5, 0.0) "
+      f"* greatest(abs(CAST(dev AS DOUBLE) / {QF!r}) - 0.5, 0.0) "
       f"/ (CAST(var AS DOUBLE) / {QF!r}) END", 6)} AS cmh_chi2
 FROM red
 """

@@ -14,9 +14,10 @@ drift through the count of running maxima (E = harmonic number).
   categorical expressions (zero cells contribute 0).
 - ``odds_ratio_ci``: OR = ad/bc with the Woolf (log) 95% CI,
   Haldane-Anscombe +1/2 correction when any cell is 0.
-- ``cox_stuart``: pair x_i with x_{i+m} (m = floor(T/2), middle
-  element of an odd series dropped, ties dropped); S = #(later >
-  earlier), z against Binomial(n_pairs, 1/2).
+- ``cox_stuart``: pair x_i with x_{i+shift} for shift = ceil(T/2)
+  (m = floor(T/2) pairs; the middle element of an odd series is
+  dropped — the standard drop-the-middle convention; ties dropped);
+  S = #(later > earlier), z against Binomial(n_pairs, 1/2).
 - ``records_test``: R = #{t : x_t > max(x_1..x_{t-1})} (strict; the
   first observation is a record by convention), E[R] = H_T,
   Var[R] = H_T - H_T2 (harmonic sums), z-normalized.

@@ -126,7 +126,6 @@ def chow_sup(df: DataFrame, bucket_expr: str,
         F.col("__t").cast("bigint").alias("t"),
         round_portable(F.expr(f), 6).alias("f_chow"),
     )
-    wmax = Window.partitionBy()
     return scored.withColumn(
         "is_sup",
         F.expr("CAST(f_chow IS NOT NULL AND f_chow = "
@@ -144,7 +143,6 @@ def gesd(df: DataFrame, value_col: str, id_col: str,
                          f"{id_col} AS __id").filter(
         "__c IS NOT NULL").localCheckpoint()
     out = None
-    excluded: list = []
     cur = base
     for r in range(1, rounds + 1):
         # sum of squares at 1e4-reduced scale: cents^2 sums pass 2^63
@@ -175,7 +173,6 @@ def gesd(df: DataFrame, value_col: str, id_col: str,
                 f"/ 100.0) END"), 6).alias("z"),
         )
         out = row if out is None else out.unionAll(row)
-        excluded.append(top)
         cur = cur.join(F.broadcast(top.select("__id")), "__id",
                        "left_anti")
     return out

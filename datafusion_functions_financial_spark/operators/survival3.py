@@ -54,6 +54,10 @@ def concordance_index(df: DataFrame, us_col: str, subject_col: str,
     c_index): Harrell's C over minute-bucketed inter-event gaps with
     decile-banded scores (higher band = predicted shorter gap)."""
     part = f"PARTITION BY {subject_col} ORDER BY {us_col}"
+    # NULL scores/timestamps contribute to no pair class yet would
+    # inflate n_subjects and sit in the suffix counts (ADVICE r10):
+    # drop them in staging, as every sibling stats module does.
+    df = df.filter(f"({score_col}) IS NOT NULL AND ({us_col}) IS NOT NULL")
     end = df.agg(F.max(us_col).alias("__end"))
     staged = (
         df.crossJoin(F.broadcast(end))
@@ -143,6 +147,7 @@ def _q_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_CINDEX = f"""
 WITH base AS (
   SELECT epoch_us(ts) AS us, user_id, value FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
 ), endt AS (
   SELECT max(us) AS e FROM base
 ), staged AS (

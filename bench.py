@@ -266,6 +266,24 @@ def main() -> None:
     # Warm up the JVM/Python-worker pools once.
     run("ind_combined_events")
 
+    # Prior committed clean record, loaded BEFORE this run overwrites
+    # bench_detail.json: feeds both the vs_prior shift detector and the
+    # per-query outlier re-run below (VERDICT r10 item 1: repeats run
+    # back-to-back, so a sustained load spike inflates BOTH runs and
+    # min-of-2/median-of-3 passes it as "consistent" — BENCH_r10
+    # recorded 22.84s for emb_anisotropy vs 1.82s clean).
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_q: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "bench_detail.json")) as f:
+            _prior = json.load(f)
+        if (_prior.get("sf") == float(
+                sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+                and _prior.get("cpus") == int(cpus)):
+            prior_q = _prior.get("queries", {})
+    except (OSError, ValueError, KeyError):
+        pass
+
     timings: dict[str, float] = {}
     rows_per_sec: dict[str, int] = {}
     spreads: dict[str, float] = {}
@@ -290,6 +308,29 @@ def main() -> None:
         )
         if nrows and sec > 0:
             rows_per_sec[name] = int(nrows / sec)
+
+    # --- correlated-contention re-run (VERDICT r10 item 2) -------------
+    # Any query >3x its committed prior record gets ONE re-run at the
+    # END of the suite (by then the transient load has usually passed);
+    # the min is recorded and both values are kept so a reviewer sees
+    # exactly what was re-measured. This is the defense best-of-2
+    # cannot provide: back-to-back repeats share the load spike.
+    contention_reruns: dict[str, dict] = {}
+    for name, sec in list(timings.items()):
+        p = prior_q.get(name)
+        if p and p >= 0.2 and sec > 3.0 * p:
+            again = round(run(name), 3)
+            contention_reruns[name] = {
+                "suite": sec, "rerun": again, "prior": round(p, 3)}
+            if again < sec:
+                timings[name] = again
+                spreads[name] = round(
+                    max(spreads.get(name, 1.0), sec / again), 2)
+                nrows = next(
+                    (v for k, v in rows_for.items()
+                     if name.startswith(k)), 0)
+                if nrows and again > 0:
+                    rows_per_sec[name] = int(nrows / again)
 
     # --- ANN at realistic scale (VERDICT r04 item 5) -------------------
     # The embeddings table is 2K rows at sf0.1 — enough for correctness,
@@ -479,18 +520,8 @@ def main() -> None:
     # shifted ratio distribution means the host was loaded, not that
     # the code regressed. The median ratio + flag go on the printed
     # line so a reviewer can discount the total without re-running.
-    here = os.path.dirname(os.path.abspath(__file__))
     vs_prior = None
-    try:
-        with open(os.path.join(here, "bench_detail.json")) as f:
-            prior = json.load(f)
-        # only comparable when the prior run used the same scale
-        # factor and cpu count (a sf0.01 smoke run vs the committed
-        # sf0.1 detail would read as a phantom 2x win)
-        if (prior.get("sf") != sf
-                or prior.get("cpus") != int(cpus)):
-            raise ValueError("prior bench_detail not comparable")
-        prior_q = prior.get("queries", {})
+    if prior_q:  # loaded + comparability-checked before the suite ran
         ratios = sorted(
             timings[q] / prior_q[q]
             for q in timings
@@ -509,8 +540,6 @@ def main() -> None:
                 "uniform_shift_suspected": bool(
                     (med > 1.2 or med < 0.8) and (hi - lo) < 0.35),
             }
-    except (OSError, ValueError, KeyError):
-        pass
     try:
         load_now = tuple(round(x, 2) for x in os.getloadavg())
     except OSError:
@@ -528,6 +557,7 @@ def main() -> None:
         "ann_scale_seconds": ann_total,
         "cpus": int(cpus),
         "vs_prior_detail": vs_prior,
+        "contention_reruns": contention_reruns,
         "loadavg": load_now,
     }
     # Full detail (rows, rows/s, full spread map, ANN audit) goes to a
@@ -565,6 +595,10 @@ def main() -> None:
             "median_ratio": vs_prior["median_ratio"],
             "uniform_shift": vs_prior["uniform_shift_suspected"],
         }
+    # how many >3x-vs-prior outliers were re-measured at suite end
+    # (r10 item 2); per-query suite/rerun/prior triples in the detail
+    if contention_reruns:
+        compact["n_contention_reruns"] = len(contention_reruns)
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1800:  # hard cap: drop spread, then truncate queries
         compact.pop("spread", None)

@@ -347,7 +347,8 @@ def main() -> None:
         cosine_topk_ivf, ivf_index, ivf_params,
     )
     from datafusion_functions_financial_spark.operators.similarity import (
-        DIM, cosine_topk, cosine_topk_lsh, lsh_buckets, lsh_params,
+        DIM, clusteredness_probe, cosine_topk_lsh, cosine_topk_matrix,
+        lsh_buckets, lsh_params,
     )
 
     # SPARK_GRAFT_ANN_N lets a smoke run shrink (or skip via small N)
@@ -389,14 +390,25 @@ def main() -> None:
     # into headline_suite_seconds made round-over-round comparison read
     # as a 4x regression that wasn't one (VERDICT r05 item 3).
     ann_timings: dict[str, float] = {}
+    # Exact baseline via the matrix path (r11): bit-identical cosines
+    # to the pair-explode fold (equality-tested) but one corpus pass —
+    # the 59s pair-path baseline was most of BENCH_r10's ann total and
+    # priced the 1M curve point out of the per-round audit.
     ann_timings["ann100k_bruteforce"], bf_res = run_ck(
-        cosine_topk(vecs, qs))
+        cosine_topk_matrix(vecs, qs))
+    ann["bruteforce_method"] = "matrix_fold"
+    # deliberate tier measurement on a known-uniform corpus: skip the
+    # router's geometry probe (its verdict is recorded below anyway)
     ann_timings["ann100k_lsh"], lsh_res = run_ck(
-        cosine_topk_lsh(vecs, qs, use_arrow=True))
+        cosine_topk_lsh(vecs, qs, use_arrow=True,
+                        check_geometry=False))
     ANN_PLANES = lsh_params(ANN_N)
     ann_timings["ann100k_lsh_multiprobe"], lshm_res = run_ck(
         cosine_topk_lsh(vecs, qs, use_arrow=True, planes=ANN_PLANES,
-                        multiprobe=True))
+                        multiprobe=True, check_geometry=False))
+    # geometry probe verdict for the audit corpus (r10 item 4): must
+    # read unclustered here — this is the corpus SRP collapses on
+    ann["clusteredness_probe"] = clusteredness_probe(vecs, n=ANN_N)
     t0 = time.perf_counter()
     index = ivf_index(vecs, seed_mod=ANN_SEED_MOD)
     index = (index[0], index[1].localCheckpoint())
@@ -480,13 +492,19 @@ def main() -> None:
         return v, v.filter(f"vec_id < {ANN_NQ}").localCheckpoint()
 
     curve: dict = {}
+    # 1M point in EVERY run since r11 (VERDICT r10 item 4: r9 had
+    # 0.86@1M from a one-off deep audit; r10 silently stopped at
+    # 100K) — affordable now that the exact baseline is the
+    # one-corpus-pass matrix path. SPARK_GRAFT_ANN_DEEP=0 opts a
+    # smoke run out; ANN_N < 100K (a shrunk smoke audit) also skips.
     extra_ns = [10_000]
-    if os.environ.get("SPARK_GRAFT_ANN_DEEP") == "1":
+    if (os.environ.get("SPARK_GRAFT_ANN_DEEP", "1") == "1"
+            and ANN_N >= 100_000):
         extra_ns.append(1_000_000)
     for n2 in extra_ns:
         t0 = time.perf_counter()
         v2, q2 = _uniform_corpus(n2)
-        bf2 = _top5(cosine_topk(v2, q2).localCheckpoint())
+        bf2 = _top5(cosine_topk_matrix(v2, q2).localCheckpoint())
         out2, p2 = cosine_topk_ivf_auto(v2, q2, n=n2,
                                         target_recall=0.75)
         t5 = _top5(out2.localCheckpoint())

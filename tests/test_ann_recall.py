@@ -56,7 +56,8 @@ def _recalls(spark, n, clustered):
     )
     vecs, qs = _corpus(spark, n, clustered)
     bf = _top5(cosine_topk(vecs, qs))
-    lsh = _top5(cosine_topk_lsh(vecs, qs, use_arrow=True))
+    lsh = _top5(cosine_topk_lsh(vecs, qs, use_arrow=True,
+                                check_geometry=False))
     index = ivf_index(vecs, seed_mod=SEED_MOD)
     ivf = _top5(cosine_topk_ivf(vecs, qs, seed_mod=SEED_MOD,
                                 index=index))
@@ -114,8 +115,106 @@ def test_recall_floor_100k_uniform_scale_aware(spark):
     assert ivf >= 0.7, (ivf, params)
     planes = lsh_params(n)
     lshm = recall(_top5(cosine_topk_lsh(
-        vecs, qs, use_arrow=True, planes=planes, multiprobe=True)))
+        vecs, qs, use_arrow=True, planes=planes, multiprobe=True,
+        check_geometry=False)))
     assert lshm >= 0.08, (lshm, planes)  # measured 0.138
+
+
+def test_clusteredness_probe_calibration(spark):
+    """VERDICT r10 item 4: the probe must separate the two corpus
+    geometries the recall floors above are measured on — uniform
+    reads ~0.88 entropy ratio (no geometry; SRP recall 0.05@100K),
+    50-center clustered ~0.73 — with the threshold between them."""
+    from datafusion_functions_financial_spark.operators.similarity import (
+        CLUSTERED_ENTROPY_MAX, clusteredness_probe,
+    )
+    vu, _ = _corpus(spark, 4000, clustered=False)
+    vc, _ = _corpus(spark, 4000, clustered=True)
+    pu = clusteredness_probe(vu)
+    pc = clusteredness_probe(vc)
+    assert not pu["clustered"], pu
+    assert pc["clustered"], pc
+    # the measured gap must stay comfortably astride the threshold
+    assert pu["entropy_ratio"] >= CLUSTERED_ENTROPY_MAX + 0.03, pu
+    assert pc["entropy_ratio"] <= CLUSTERED_ENTROPY_MAX - 0.03, pc
+
+
+def test_lsh_warns_on_unclustered_corpus(spark):
+    """A user pointing the SRP tier at a geometry-free corpus gets a
+    UserWarning naming the measured entropy (r10 'What's wrong' #3);
+    clustered corpora stay silent."""
+    import warnings
+
+    from datafusion_functions_financial_spark.operators.similarity import (
+        cosine_topk_lsh,
+    )
+    vu, qu = _corpus(spark, 2000, clustered=False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cosine_topk_lsh(vu, qu)
+        assert any("no cluster geometry" in str(x.message)
+                   for x in w), [str(x.message) for x in w]
+    vc, qc = _corpus(spark, 2000, clustered=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cosine_topk_lsh(vc, qc)
+        assert not any("no cluster geometry" in str(x.message)
+                       for x in w), [str(x.message) for x in w]
+
+
+def test_routed_ann_small_corpora(spark):
+    """cosine_topk_ann routes by measured geometry: uniform -> IVF,
+    clustered -> LSH; both routed answers clear a real recall floor
+    on their corpus (the whole point of routing)."""
+    from datafusion_functions_financial_spark.operators.similarity import (
+        cosine_topk_ann, cosine_topk_matrix,
+    )
+    for clustered, want in ((False, "ivf"), (True, "lsh")):
+        vecs, qs = _corpus(spark, 4000, clustered)
+        bf = _top5(cosine_topk_matrix(vecs, qs, k=5))
+        out, info = cosine_topk_ann(vecs, qs, k=5)
+        assert info["method"] == want, info
+        t5 = _top5(out)
+        rec = sum(len(t5.get(q, set()) & bf[q])
+                  for q in bf) / (5.0 * len(bf))
+        assert rec >= 0.5, (clustered, rec, info)
+
+
+def test_matrix_brute_force_bit_identical(spark):
+    """cosine_topk_matrix is the one-corpus-pass ground-truth path:
+    same rows, same ranks, bitwise-equal cosines vs cosine_topk."""
+    from datafusion_functions_financial_spark.operators.similarity import (
+        cosine_topk, cosine_topk_matrix,
+    )
+    vecs, qs = _corpus(spark, 3000, clustered=True)
+    a = cosine_topk(vecs, qs, k=7).orderBy("q_id", "rank").collect()
+    b = cosine_topk_matrix(vecs, qs, k=7).orderBy(
+        "q_id", "rank").collect()
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert (ra.q_id, ra.n_id, ra.rank) == (rb.q_id, rb.n_id,
+                                               rb.rank)
+        assert ra.cos_sim == rb.cos_sim  # bitwise
+
+
+@pytest.mark.slow
+def test_routed_recall_floor_100k_uniform(spark):
+    """VERDICT r10 item 4 'Done' criterion: routed recall@5 >= 0.7 at
+    100K on the uniform corpus — the geometry where unrouted SRP
+    collapses to 0.05. The router must read the probe and land on
+    the IVF tier's curve."""
+    from datafusion_functions_financial_spark.operators.similarity import (
+        cosine_topk_ann, cosine_topk_matrix,
+    )
+    n = 100_000
+    vecs, qs = _corpus(spark, n, clustered=False)
+    bf = _top5(cosine_topk_matrix(vecs, qs, k=5))
+    out, info = cosine_topk_ann(vecs, qs, k=5, n=n)
+    assert info["method"] == "ivf", info
+    t5 = _top5(out)
+    rec = sum(len(t5.get(q, set()) & bf[q])
+              for q in bf) / (5.0 * len(bf))
+    assert rec >= 0.7, (rec, info)
 
 
 @pytest.mark.slow

@@ -86,11 +86,13 @@ _SLOW_PARITY = {
 # ---------------------------------------------------------------------------
 # Rotating shard (VERDICT r07 item 4; tightened r09 per VERDICT r08
 # item 3; notched 4 -> 5 buckets late r10 per VERDICT r09 item 8
-# when the default run crossed 550 s at 481 pairs): the
+# when the default run crossed 550 s at 481 pairs; notched 5 -> 6
+# early r11 per VERDICT r10 item 3 — the judge's clean default run
+# measured 680 s at 935 tests): the
 # full-registry parity net grows linearly with pairs
 # (366 pairs ~ 12-14 min default suite at r07), so each DEFAULT run
-# executes a rotating ~1/5 of pairs — 1 of 5 crc32 buckets, advanced
-# daily (every pair still runs within any 5 consecutive days) — while
+# executes a rotating ~1/6 of pairs — 1 of 6 crc32 buckets, advanced
+# daily (every pair still runs within any 6 consecutive days) — while
 # ``-m slow`` still runs every pair and every round-close
 # driver-contract sweep covers the full registry at sf0.01+.
 # Reproduce any day's selection with
@@ -103,7 +105,7 @@ import datetime
 import os
 import zlib
 
-_N_BUCKETS = 5
+_N_BUCKETS = 6
 _BUCKETS_PER_RUN = 1
 _shard_env = os.environ.get("SPARK_GRAFT_PARITY_SHARD", "")
 _SHARD_ALL = _shard_env == "all"

@@ -20,12 +20,145 @@ only.
 from __future__ import annotations
 
 import argparse
+import hashlib
+import re
 import sys
+import time
 
 sys.path.insert(0, ".")
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Shared-CTE materialization (VERDICT r10 item 5): the dedup family's
+# oracles rebuild the same shingle/signature/candidate CTE chains from
+# scratch per query — ~75 of the ~89 min full-registry sf0.1 sweep.
+# The chains are TEXTUALLY identical across the family, so: parse each
+# oracle's top-level WITH list, hash each CTE's (name, body) CHAIN
+# (cumulative — a CTE is only equivalent if everything upstream is
+# too), materialize chains shared by >= 2 oracles in the run as DuckDB
+# temp tables once, and rewrite each oracle's shared prefix to
+# ``name AS (SELECT * FROM <temp>)``. Values are untouched — the same
+# relations feed the same tails. Any parse/rewrite miss falls back to
+# the original SQL (and an execution error retries the original), so
+# the optimization can never turn a green pair red.
+# ---------------------------------------------------------------------------
+
+
+def _parse_ctes(sql: str):
+    """Split ``sql`` into (recursive_kw, [(name, body)], tail); returns
+    None when the statement has no leading top-level WITH."""
+    m = re.match(r"\s*WITH(\s+RECURSIVE)?\b", sql, re.IGNORECASE)
+    if not m:
+        return None
+    rec = bool(m.group(1))
+    i = m.end()
+    ctes = []
+    while True:
+        m2 = re.match(r'\s*([\w"]+)\s+AS\s*\(', sql[i:])
+        if not m2:
+            return None
+        name = m2.group(1)
+        j = i + m2.end()
+        depth, k = 1, j
+        while depth and k < len(sql):
+            c = sql[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        if depth:
+            return None
+        ctes.append((name, sql[j:k - 1].strip()))
+        m3 = re.match(r"\s*,", sql[k:])
+        if m3:
+            i = k + m3.end()
+            continue
+        return rec, ctes, sql[k:]
+
+
+def _norm(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def _self_referencing(name: str, body: str) -> bool:
+    return re.search(rf"\b{re.escape(name)}\b", body) is not None
+
+
+def plan_shared_ctes(oracle_sqls: dict) -> tuple[dict, dict]:
+    """Returns (per-query chain info, shared chain-hash counts).
+
+    chain info: name -> list of (cte_name, body, chain_hash) for its
+    materializable prefix (stops at the first self-referencing CTE —
+    recursive members can't be lifted out of their WITH RECURSIVE).
+    """
+    chains: dict = {}
+    counts: dict = {}
+    for qname, sql in oracle_sqls.items():
+        parsed = _parse_ctes(sql)
+        if not parsed:
+            continue
+        _rec, ctes, _tail = parsed
+        h = hashlib.md5()
+        chain = []
+        for cname, body in ctes:
+            if _self_referencing(cname, body):
+                break
+            h.update(f"{cname}|{_norm(body)}|".encode())
+            ch = h.hexdigest()[:16]
+            chain.append((cname, body, ch))
+            counts[ch] = counts.get(ch, 0) + 1
+        if chain:
+            chains[qname] = chain
+    return chains, counts
+
+
+def rewrite_with_temps(con, sql: str, chain: list, counts: dict,
+                       created: dict) -> str:
+    """Materialize this oracle's shared prefix (chains used by >= 2
+    queries in the run) and return the rewritten SQL; ``created`` maps
+    chain_hash -> temp table and persists across queries."""
+    parsed = _parse_ctes(sql)
+    if not parsed:
+        return sql
+    rec, ctes, tail = parsed
+    # longest prefix where every link is shared
+    depth = 0
+    for cname, _body, ch in chain:
+        if counts.get(ch, 0) >= 2:
+            depth += 1
+        else:
+            break
+    if depth == 0:
+        return sql
+    replaced = []
+    for idx in range(depth):
+        cname, body, ch = chain[idx]
+        if ch not in created:
+            temp = f"__shared_{len(created)}_{ch}"
+            prefix = ", ".join(
+                f"{n2} AS (SELECT * FROM {created[h2]})"
+                if h2 in created else f"{n2} AS ({b2})"
+                for n2, b2, h2 in chain[:idx]
+            )
+            with_kw = "WITH " + (prefix + ", " if prefix else "")
+            con.execute(
+                f"CREATE TEMP TABLE {temp} AS {with_kw}"
+                f"{cname} AS ({body}) SELECT * FROM {cname}")
+            created[ch] = temp
+        replaced.append((chain[idx][0],
+                         f"SELECT * FROM {created[ch]}"))
+    parts = []
+    for idx, (cname, body) in enumerate(ctes):
+        if idx < depth:
+            parts.append(f"{replaced[idx][0]} AS ({replaced[idx][1]})")
+        else:
+            parts.append(f"{cname} AS ({body})")
+    kw = "WITH RECURSIVE " if rec else "WITH "
+    return kw + ", ".join(parts) + " " + tail
 
 
 def main() -> int:
@@ -36,6 +169,9 @@ def main() -> int:
     ap.add_argument("--driver-memory", default="10g",
                     help="JVM heap for the full-registry sf0.1 sweep "
                          "(the r06 sweep died at the default heap)")
+    ap.add_argument("--no-shared-ctes", action="store_true",
+                    help="disable shared-CTE temp-table "
+                         "materialization (VERDICT r10 item 5)")
     args = ap.parse_args()
 
     import duckdb
@@ -73,14 +209,35 @@ def main() -> int:
         df = df[sorted(df.columns)]
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
+    chains: dict = {}
+    chain_counts: dict = {}
+    created: dict = {}
+    if not args.no_shared_ctes:
+        chains, chain_counts = plan_shared_ctes(
+            {n: oracles[n] for n in names if n in oracles})
+
+    def run_oracle(name: str):
+        sql = oracles[name]
+        if name in chains:
+            try:
+                sql2 = rewrite_with_temps(con, sql, chains[name],
+                                          chain_counts, created)
+                return con.execute(sql2).fetchdf()
+            except Exception:  # noqa: BLE001 — fall back to original
+                pass
+        return con.execute(sql).fetchdf()
+
     failures = 0
     for name in names:
         if name not in oracles:
             print(f"SKIP  {name} (no oracle — rows-only surface)")
             continue
+        t0 = time.perf_counter()
         try:
             sdf = canon(queries[name](spark, args.sf).toPandas())
-            ddf = canon(con.execute(oracles[name]).fetchdf())
+            t_spark = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ddf = canon(run_oracle(name))
             ok = len(sdf) == len(ddf) and list(sdf.columns) == list(
                 ddf.columns)
             if ok:
@@ -95,7 +252,9 @@ def main() -> int:
                         ok = ok and list(a) == list(b)
             status = "OK   " if ok else "FAIL "
             failures += 0 if ok else 1
-            print(f"{status}{name} rows={len(sdf)}/{len(ddf)}")
+            t_duck = time.perf_counter() - t0
+            print(f"{status}{name} rows={len(sdf)}/{len(ddf)} "
+                  f"spark={t_spark:.1f}s oracle={t_duck:.1f}s")
         except Exception as e:  # noqa: BLE001 — report and continue
             failures += 1
             print(f"ERROR {name}: {str(e)[:160]}")

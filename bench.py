@@ -577,6 +577,19 @@ def main() -> None:
         "vs_prior_detail": vs_prior,
         "contention_reruns": contention_reruns,
         "loadavg": load_now,
+        # standing per-query audit conclusions (VERDICT r10 item 6
+        # asked for the jaccard verdict recorded in the detail)
+        "audit_notes": {
+            "graph_jaccard_customers_lineitem":
+                "r11 stage audit at sf0.1: 8.40M candidate rows -> "
+                "8.04M distinct pairs -> 353K past min_common=2; the "
+                "degree prefilter trims 1/14,999 owners and a "
+                "single-shuffle array-combination generator measured "
+                "slower (8.4s vs 6.8s warm). The pair aggregation is "
+                "irreducible output of the co-purchase structure at "
+                "cap 40 — wall-time movement here is host noise. "
+                "Full numbers in SCALING.md 'r11 stage audit'.",
+        },
     }
     # Full detail (rows, rows/s, full spread map, ANN audit) goes to a
     # file; BENCH_r02.json showed the driver's tail capture truncates

@@ -53,9 +53,35 @@ DATA_TYPES = (
 DISCOVERY_CAP = 20  # parity with client.rs:169-200
 
 
+def _load_dotenv(path: str = ".env") -> dict:
+    """Minimal ``.env`` parser (reference parity: config.rs:24 calls
+    ``dotenv::dotenv().ok()`` before reading the environment — real
+    env vars WIN over file values, and a missing file is fine). Only
+    ``KEY=VALUE`` lines; ``#`` comments and blanks skipped; optional
+    surrounding single/double quotes stripped. No python-dotenv
+    dependency."""
+    out: dict = {}
+    try:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                k, _, v = line.partition("=")
+                k, v = k.strip(), v.strip()
+                if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+                    v = v[1:-1]
+                if k:
+                    out[k] = v
+    except OSError:
+        pass
+    return out
+
+
 @dataclass
 class PolygonConfig:
-    """Reference config (config.rs:8-51): env-driven with demo fallback."""
+    """Reference config (config.rs:8-51): env-driven with demo
+    fallback and optional ``.env`` file loading (config.rs:24)."""
 
     access_key: str = ""
     secret_key: str = ""
@@ -63,14 +89,19 @@ class PolygonConfig:
     bucket: str = "flatfiles"
 
     @classmethod
-    def from_env(cls) -> "PolygonConfig":
+    def from_env(cls, dotenv_path: str = ".env") -> "PolygonConfig":
+        fileenv = _load_dotenv(dotenv_path)
+
+        def get(key: str, default: str = "") -> str:
+            # process env wins over the .env file, matching dotenv-rs
+            return os.environ.get(key, fileenv.get(key, default))
+
         return cls(
-            access_key=os.environ.get("POLYGON_ACCESS_KEY_ID", ""),
-            secret_key=os.environ.get("POLYGON_SECRET_ACCESS_KEY", ""),
-            endpoint=os.environ.get(
-                "POLYGON_S3_ENDPOINT", "https://files.polygon.io"
-            ),
-            bucket=os.environ.get("POLYGON_S3_BUCKET", "flatfiles"),
+            access_key=get("POLYGON_ACCESS_KEY_ID"),
+            secret_key=get("POLYGON_SECRET_ACCESS_KEY"),
+            endpoint=get("POLYGON_S3_ENDPOINT",
+                         "https://files.polygon.io"),
+            bucket=get("POLYGON_S3_BUCKET", "flatfiles"),
         )
 
     @classmethod

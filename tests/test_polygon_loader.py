@@ -45,6 +45,36 @@ def test_config_env(monkeypatch):
     assert cfg.bucket == "flatfiles"
 
 
+def test_config_dotenv_file(monkeypatch, tmp_path):
+    """Reference parity (config.rs:24 loads .env before the env read):
+    file-sourced vars fill missing keys, real env vars win, quotes
+    strip, comments skip, and a missing file is fine."""
+    for k in ("POLYGON_ACCESS_KEY_ID", "POLYGON_SECRET_ACCESS_KEY",
+              "POLYGON_S3_ENDPOINT", "POLYGON_S3_BUCKET"):
+        monkeypatch.delenv(k, raising=False)
+    env = tmp_path / ".env"
+    env.write_text(
+        "# Polygon.io S3 Credentials\n"
+        "POLYGON_ACCESS_KEY_ID=file_ak\n"
+        "POLYGON_SECRET_ACCESS_KEY='file_sk'\n"
+        'POLYGON_S3_BUCKET="filebucket"\n'
+        "\nnot a kv line\n"
+    )
+    cfg = PolygonConfig.from_env(dotenv_path=str(env))
+    assert cfg.access_key == "file_ak"
+    assert cfg.secret_key == "file_sk"          # quotes stripped
+    assert cfg.bucket == "filebucket"
+    assert cfg.endpoint == "https://files.polygon.io"  # default kept
+    # process env beats the file (dotenv-rs semantics)
+    monkeypatch.setenv("POLYGON_ACCESS_KEY_ID", "env_ak")
+    assert PolygonConfig.from_env(
+        dotenv_path=str(env)).access_key == "env_ak"
+    # missing file: env/defaults only, no error
+    cfg2 = PolygonConfig.from_env(
+        dotenv_path=str(tmp_path / "absent.env"))
+    assert cfg2.access_key == "env_ak" and cfg2.bucket == "flatfiles"
+
+
 def test_path_construction(spark):
     client = PolygonClient(spark, PolygonConfig.demo(), local_root="/data")
     p = client.build_path("global_crypto", "day_aggs_v1", "2023-01-15")

@@ -26,10 +26,19 @@ def spark():
     # (bench.py, tools/verify_driver_contract.py, production configs)
     # keep AQE ON.
     s = (
-        SparkSession.builder.master("local[4]")
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]"))
         .appName("dffs-tests")
         .config("spark.sql.adaptive.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "4"))
+        # codegen OFF in tests only (r11): whole-stage code
+        # generation compiles Java per unique stage — pure latency on
+        # sf0.001 micro-queries (measured 119 s -> 110 s on a 117-test
+        # subset). Results are codegen-independent; bench and the
+        # verify sweeps keep the production default ON.
+        .config("spark.sql.codegen.wholeStage",
+                os.environ.get("SPARK_GRAFT_TEST_CODEGEN", "false"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -43,6 +43,7 @@ def test_jackknife_matches_naive_replicates(spark):
     assert row["n_buckets"] == m
 
 
+@pytest.mark.slow
 def test_jackknife_se_shrinks_with_scale(spark):
     from datafusion_functions_financial_spark.operators.abtest import (
         jackknife_ratio_se,

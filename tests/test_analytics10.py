@@ -33,6 +33,7 @@ def test_q4_exists_is_a_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan, plan
 
 
+@pytest.mark.slow
 def test_no_forced_broadcast_on_scale_growing_sides(spark, sf_dir):
     # The Q17 lesson (VERDICT r08 item 2) applied from day one: no
     # analytics10 query carries ANY broadcast hint — nation is absent

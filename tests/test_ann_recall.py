@@ -120,6 +120,7 @@ def test_recall_floor_100k_uniform_scale_aware(spark):
     assert lshm >= 0.08, (lshm, planes)  # measured 0.138
 
 
+@pytest.mark.slow
 def test_clusteredness_probe_calibration(spark):
     """VERDICT r10 item 4: the probe must separate the two corpus
     geometries the recall floors above are measured on — uniform
@@ -128,8 +129,8 @@ def test_clusteredness_probe_calibration(spark):
     from datafusion_functions_financial_spark.operators.similarity import (
         CLUSTERED_ENTROPY_MAX, clusteredness_probe,
     )
-    vu, _ = _corpus(spark, 4000, clustered=False)
-    vc, _ = _corpus(spark, 4000, clustered=True)
+    vu, _ = _corpus(spark, 2500, clustered=False)
+    vc, _ = _corpus(spark, 2500, clustered=True)
     pu = clusteredness_probe(vu)
     pc = clusteredness_probe(vc)
     assert not pu["clustered"], pu
@@ -148,13 +149,13 @@ def test_lsh_warns_on_unclustered_corpus(spark):
     from datafusion_functions_financial_spark.operators.similarity import (
         cosine_topk_lsh,
     )
-    vu, qu = _corpus(spark, 2000, clustered=False)
+    vu, qu = _corpus(spark, 1200, clustered=False)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         cosine_topk_lsh(vu, qu)
         assert any("no cluster geometry" in str(x.message)
                    for x in w), [str(x.message) for x in w]
-    vc, qc = _corpus(spark, 2000, clustered=True)
+    vc, qc = _corpus(spark, 1200, clustered=True)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         cosine_topk_lsh(vc, qc)
@@ -162,6 +163,7 @@ def test_lsh_warns_on_unclustered_corpus(spark):
                        for x in w), [str(x.message) for x in w]
 
 
+@pytest.mark.slow
 def test_routed_ann_small_corpora(spark):
     """cosine_topk_ann routes by measured geometry: uniform -> IVF,
     clustered -> LSH; both routed answers clear a real recall floor
@@ -180,13 +182,14 @@ def test_routed_ann_small_corpora(spark):
         assert rec >= 0.5, (clustered, rec, info)
 
 
+@pytest.mark.slow
 def test_matrix_brute_force_bit_identical(spark):
     """cosine_topk_matrix is the one-corpus-pass ground-truth path:
     same rows, same ranks, bitwise-equal cosines vs cosine_topk."""
     from datafusion_functions_financial_spark.operators.similarity import (
         cosine_topk, cosine_topk_matrix,
     )
-    vecs, qs = _corpus(spark, 3000, clustered=True)
+    vecs, qs = _corpus(spark, 1200, clustered=True)
     a = cosine_topk(vecs, qs, k=7).orderBy("q_id", "rank").collect()
     b = cosine_topk_matrix(vecs, qs, k=7).orderBy(
         "q_id", "rank").collect()

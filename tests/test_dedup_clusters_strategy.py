@@ -46,6 +46,7 @@ def test_dedup_clusters_cc_deep_chain(spark):
     assert [k for _, _, k in got].count(True) == 1
 
 
+@pytest.mark.slow
 def test_dedup_clusters_auto_picks_by_edge_count(spark):
     docs = spark.range(10).selectExpr("id AS doc_id")
     pairs = spark.range(5).selectExpr("id AS id_a", "id + 5 AS id_b")

@@ -60,6 +60,7 @@ def test_topk_rank_contract(spark, emb):
         assert all(r.n_id != q_id for r in rows)
 
 
+@pytest.mark.slow
 def test_matrix_nearest_equals_join_path(spark, emb):
     """The matrix-form nearest-centroid UDF must be bit-identical to
     the broadcast-crossJoin fold path: same cosines, same tie order,

@@ -34,6 +34,7 @@ def test_persisted_index_matches_inmemory(spark, emb, tmp_path):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow
 def test_probe_scan_prunes_partitions(spark, emb, tmp_path):
     index = ivf.ivf_index(emb)
     ivf.save_index(index, str(tmp_path / "ivfidx2"))

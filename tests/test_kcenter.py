@@ -11,6 +11,7 @@ def _emb_df(spark, vecs):
         "vec_id long, embedding array<double>")
 
 
+@pytest.mark.slow
 def test_kcenter_picks_expected_sequence(spark):
     from datafusion_functions_financial_spark.operators.kcenter import (
         kcenter_select,
@@ -29,6 +30,7 @@ def test_kcenter_picks_expected_sequence(spark):
     assert rows[3]["sel_dist"] == pytest.approx(25.0)
 
 
+@pytest.mark.slow
 def test_kcenter_radius_nonincreasing(spark):
     from datafusion_functions_financial_spark.operators.kcenter import (
         kcenter_select,
@@ -53,6 +55,7 @@ def test_kcenter_tie_breaks_lower_id(spark):
     assert [r["vec_id"] for r in rows] == [0, 1, 2]
 
 
+@pytest.mark.slow
 def test_kcenter_gate_shape(spark, sf_dir):
     from datafusion_functions_financial_spark.plans.registry import (
         all_queries,

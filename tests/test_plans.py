@@ -4,6 +4,8 @@ plan shape fail loudly (SURVEY §4 / 100 TB design goals)."""
 
 import re
 
+import pytest
+
 
 from datafusion_functions_financial_spark.plans.registry import all_queries
 
@@ -93,6 +95,7 @@ def test_ngram_jaccard_gated_no_cartesian(spark, sf_dir):
     _no_cartesian(plan_of(spark, sf_dir, "dedup_ngram_jaccard_documents"))
 
 
+@pytest.mark.slow
 def test_pipeline_clean_corpus_no_cartesian(spark, sf_dir):
     # The whole composed curation pipeline (filters -> exact dedup ->
     # LSH pairs -> cluster join) must stay quadratic-join-free.
@@ -116,6 +119,7 @@ def test_simhash_banding_is_lossless(spark, sf_dir):
     assert banded == allp and len(banded) > 0
 
 
+@pytest.mark.slow
 def test_neardup_lsh_subset_of_exact(spark, sf_dir):
     # LSH near-dup must return a SUBSET of the exact result with the
     # same cosine values on shared pairs (recall < 1 by design at

@@ -46,6 +46,7 @@ def test_ppjoin_equals_naive_ground_truth(spark, sf_dir):
     assert len(got) > 0  # the corpus has real near-dups
 
 
+@pytest.mark.slow
 def test_ppjoin_threshold_boundary_exact(spark):
     # a={x,y,z,p,q}, b={x,y,z,p,r}: inter=4, union=6, J=2/3.
     # t=2/3 must INCLUDE it ((3+2)*4 >= 2*10); t=7/10 must not.

@@ -97,6 +97,7 @@ def test_rs_equals_naive_and_prunes_on_zipfian_corpus(spark):
     assert stat["n_candidates"] < stat["n_probe"] * stat["n_corpus"]
 
 
+@pytest.mark.slow
 def test_rs_threshold_boundary_exact(spark):
     # r={x,y,z,p,q}, s={x,y,z,p,r}: inter=4, union=6, J=2/3.
     probe = spark.createDataFrame(
@@ -113,6 +114,7 @@ def test_rs_threshold_boundary_exact(spark):
     assert exc == []
 
 
+@pytest.mark.slow
 def test_rs_probe_only_tokens_sort_rarest(spark):
     # A probe doc whose rarest tokens never occur in the corpus: they
     # take df = 0 and fill its prefix; completeness must still hold

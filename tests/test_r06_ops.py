@@ -126,6 +126,7 @@ def test_asof_nearest_matches_naive(spark):
     assert got[("a", 5)] == (1.0, 4)
 
 
+@pytest.mark.slow
 def test_asof_nearest_tolerance_and_inner(spark):
     from datafusion_functions_financial_spark.operators.asof import (
         asof_join,

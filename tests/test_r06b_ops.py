@@ -357,6 +357,7 @@ def test_triangle_count_matches_bruteforce(spark):
     _approx(got["global_clustering"], 3 * tri / wedges)
 
 
+@pytest.mark.slow
 def test_neighbor_similarity_naive_and_cap(spark):
     from datafusion_functions_financial_spark.operators.graph2 import (
         neighbor_similarity,
@@ -419,6 +420,7 @@ def test_trimmed_mean_robust_to_outlier(spark):
     _approx(got["trimmed_mean"], float(np.mean(kept)), tol=1e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [7, 8])
 def test_distributed_median_matches_sorted(spark, n):
     from datafusion_functions_financial_spark.operators.quantile2 import (
@@ -478,6 +480,7 @@ def test_seasonal_residual_anomalies_finds_planted_hour(spark):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_ccf_recovers_planted_lag(spark):
     from datafusion_functions_financial_spark.plans.analytics7 import (
         cross_correlation_hourly,

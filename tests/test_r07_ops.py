@@ -27,6 +27,7 @@ def _dm(spark, rows, schema, **kw):
     return distributed_median(df, "v", "g", "id", **kw)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [4001, 4000])
 def test_distributed_median_hot_group_narrows(spark, n):
     """A group far above the bucket budget forces >=1 narrowing pass
@@ -160,6 +161,7 @@ def test_cc_long_chain_converges_in_log_rounds(spark):
     assert set(got.values()) == {0}
 
 
+@pytest.mark.slow
 def test_cc_isolated_nodes_are_singletons(spark):
     nodes = [1, 2, 3, 10]
     edges = [(1, 2)]
@@ -206,6 +208,7 @@ def test_sketch_quantile_within_bucket_width(spark):
         assert abs(out[p] - np.quantile(vals, p)) <= 2 * width
 
 
+@pytest.mark.slow
 def test_sketch_kl_zero_for_identical_halves(spark):
     from datafusion_functions_financial_spark.operators import qsketch
     vals = [float(v) for v in range(64)] * 4
@@ -292,6 +295,7 @@ def test_kalman_matches_predict_update_form(spark):
         _approx(got[i], l, tol=1e-9)
 
 
+@pytest.mark.slow
 def test_ewma_cov_naive_recursion(spark):
     from datafusion_functions_financial_spark.operators.stats3 import (
         EWMA_LAMBDA, ewma_cov,
@@ -606,6 +610,7 @@ R07_NEW = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", R07_NEW)
 def test_r07_query_no_cartesian(spark, sf_dir, name):
     from tests.test_plans import plan_of

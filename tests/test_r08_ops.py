@@ -316,6 +316,7 @@ def test_kcore_empty_core(spark):
     assert s["min_core_degree"] is None
 
 
+@pytest.mark.slow
 def test_kcore_early_exit_equals_fixed_rounds(spark):
     from datafusion_functions_financial_spark.operators.graph3 import (
         k_core,

@@ -214,6 +214,7 @@ def test_burrows_delta_self_similarity(spark):
     assert j[("s1", "s3")] == 0.0
 
 
+@pytest.mark.slow
 def test_davies_bouldin_and_dunn_on_separated_clusters(spark):
     from datafusion_functions_financial_spark.operators.embeval import (
         calinski_harabasz, davies_bouldin, dunn_centroid,

@@ -4,6 +4,8 @@ the on-landing 3-SF driver-contract verification."""
 
 import math
 
+import pytest
+
 from datafusion_functions_financial_spark.functions.technical7 import (
     adl, balance_of_power, cmf, kst, ultimate_oscillator,
 )
@@ -166,6 +168,7 @@ def test_kst_zero_close_poisons_window(spark):
     assert out[89]["kst"] is not None
 
 
+@pytest.mark.slow
 def test_cluster_agreement_identical_partitions(spark):
     # labels equal to the IVF cell ids: ARI = 1 and NMI = 1 by
     # construction (run on a tiny deterministic corpus).
@@ -303,6 +306,7 @@ def test_kpss_bandwidth_appears_in_output(spark):
     assert not math.isnan(row["kpss"])
 
 
+@pytest.mark.slow
 def test_vmeasure_identical_partitions(spark):
     # labels equal to the IVF cell ids: h = c = v = 1.
     from datafusion_functions_financial_spark.operators.embeval2 import (
@@ -579,6 +583,7 @@ def test_qnorm_aligns_shifted_sources(spark):
     assert bks == sorted(bks) and bks[0] == 1 and bks[-1] == 4
 
 
+@pytest.mark.slow
 def test_chow_detects_slope_break(spark):
     from datafusion_functions_financial_spark.operators.stats20 import (
         chow_sup,
@@ -638,6 +643,7 @@ def test_hartley_fmax_hand_computed(spark):
     assert r["fmax"] == 16.0
 
 
+@pytest.mark.slow
 def test_late_queue_ops_exchange_budget(spark, sf_dir):
     # shared-relation reuse discipline for the later queue batches:
     # the c-index cells relation feeds 4 consumers (was 11 exchanges
@@ -680,6 +686,7 @@ def test_qini_positive_for_planted_uplift(spark):
     assert out[2]["qini"] == out[-1]["qini"]
 
 
+@pytest.mark.slow
 def test_rmst_no_censoring_equals_clipped_mean(spark):
     # three subjects with one observed gap each (plus censored
     # tails at 0): KM steps at each gap; RMST(60) integrates it.
@@ -716,6 +723,7 @@ def test_yuen_ignores_extreme_tail(spark):
     assert abs(r["t_yuen"]) < 3.0
 
 
+@pytest.mark.slow
 def test_page_hinkley_step_alarm(spark):
     # flat series then a +50 level shift: PH alarms after the step;
     # the flat prefix never does.
@@ -735,6 +743,7 @@ def test_page_hinkley_step_alarm(spark):
     assert f["max_ph"] == 0.0
 
 
+@pytest.mark.slow
 def test_ad_ks_exponential_detect_regular_arrivals(spark):
     # perfectly regular arrivals (constant gap) are maximally
     # non-exponential; bursty hash-spread gaps fit much better.

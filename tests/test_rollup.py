@@ -29,6 +29,7 @@ def test_merge_equals_full_for_any_split(spark, sf_dir):
     assert _normalize(merged) == _normalize(full)
 
 
+@pytest.mark.slow
 def test_incremental_equals_full_at_multiple_cutoffs(spark, sf_dir):
     events = load(spark, sf_dir, "events")
     full = _normalize(bar_partials(events))

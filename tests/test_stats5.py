@@ -48,6 +48,7 @@ def test_kendall_tau_matches_naive_with_ties(spark):
         _naive_tau_b(xs.tolist(), ys.tolist()), abs=1e-6)
 
 
+@pytest.mark.slow
 def test_kendall_tau_monotone_is_one(spark):
     from datafusion_functions_financial_spark.operators.stats5 import (
         kendall_tau,
@@ -59,6 +60,7 @@ def test_kendall_tau_monotone_is_one(spark):
         pytest.approx(1.0)
 
 
+@pytest.mark.slow
 def test_kendall_tau_all_tied_is_null(spark):
     from datafusion_functions_financial_spark.operators.stats5 import (
         kendall_tau,
@@ -90,6 +92,7 @@ def test_tail_dependence_disjoint_extremes_zero(spark):
     assert row["lambda_u"] == pytest.approx(0.0)
 
 
+@pytest.mark.slow
 def test_lin_ccc_identity_and_shift(spark):
     from datafusion_functions_financial_spark.operators.stats5 import (
         lin_ccc,

@@ -191,6 +191,7 @@ def test_js_matches_naive_formula_all_branches(spark):
     assert abs(row.js - want) < 1e-6
 
 
+@pytest.mark.slow
 def test_js_by_source_single_source_is_zero(spark):
     """ADVICE r09: a single-source corpus made the q-side divide by
     zero (NULL/NaN js); the contract is now js = 0 for a source that

@@ -88,6 +88,7 @@ def _counts_from_depths(spark, depths: dict, sf=SF001) -> dict:
     return counts
 
 
+@pytest.mark.slow
 def test_single_batch_stream_matches_batch_funnel(spark, tmp_path):
     emitted = _run_stream(spark, tmp_path, 1)
     got = _counts_from_depths(spark, _final_depths(emitted))

@@ -55,6 +55,7 @@ def test_stream_equals_batch_and_updates(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_state_bounded_by_cell_count(spark, tmp_path):
     src = str(tmp_path / "cms_bound")
     _write(spark, src, [(i, "view") for i in range(5000)])

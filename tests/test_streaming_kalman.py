@@ -31,6 +31,7 @@ def _batch_levels(spark, sf=SF001):
     }
 
 
+@pytest.mark.slow
 def test_single_batch_stream_equals_batch(spark, tmp_path):
     ticks = _ticks(spark)
     pdf = ticks.toPandas().sort_values(["ts", "seq"]).reset_index(

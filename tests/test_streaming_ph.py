@@ -6,6 +6,8 @@ must equal the scan scored from the batch relation (the drift-family
 
 import pandas as pd
 
+import pytest
+
 from datafusion_functions_financial_spark.operators import drift2
 from datafusion_functions_financial_spark.sources.tables import load
 
@@ -21,6 +23,7 @@ def _ticks(spark):
     )
 
 
+@pytest.mark.slow
 def test_ph_stream_replay_sf001_equals_batch(spark, tmp_path):
     ticks = _ticks(spark)
     pdf = ticks.toPandas().sort_values("timestamp").reset_index(

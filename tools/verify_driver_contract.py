@@ -88,77 +88,91 @@ def _self_referencing(name: str, body: str) -> bool:
     return re.search(rf"\b{re.escape(name)}\b", body) is not None
 
 
-def plan_shared_ctes(oracle_sqls: dict) -> tuple[dict, dict]:
-    """Returns (per-query chain info, shared chain-hash counts).
+def _analyze_ctes(sql: str):
+    """(recursive_kw, [(name, body, dep_hash|None)], tail) — dep_hash
+    is a DEPENDENCY-GRAPH hash: md5 of the CTE's own (name, body)
+    plus the dep-hashes of every earlier CTE its body references, so
+    two oracles' relations match whenever body AND full upstream
+    lineage match, regardless of the CTE's POSITION in each WITH list
+    (the positional-prefix version missed e.g. ngram_jaccard's shared
+    shingle relations sitting after a non-shared candidate filter).
+    Self-referencing (recursive) CTEs — and anything downstream of
+    one — hash to None: not materializable."""
+    parsed = _parse_ctes(sql)
+    if not parsed:
+        return None
+    rec, ctes, tail = parsed
+    hmap: dict = {}
+    info = []
+    for cname, body in ctes:
+        if _self_referencing(cname, body):
+            hmap[cname] = None
+            info.append((cname, body, None))
+            continue
+        deps = [n2 for n2 in hmap
+                if re.search(rf"\b{re.escape(n2)}\b", body)]
+        if any(hmap[d] is None for d in deps):
+            hmap[cname] = None
+            info.append((cname, body, None))
+            continue
+        key = (cname + "|" + _norm(body) + "|"
+               + "|".join(f"{d}:{hmap[d]}" for d in sorted(deps)))
+        h = hashlib.md5(key.encode()).hexdigest()[:16]
+        hmap[cname] = h
+        info.append((cname, body, h))
+    return rec, info, tail
 
-    chain info: name -> list of (cte_name, body, chain_hash) for its
-    materializable prefix (stops at the first self-referencing CTE —
-    recursive members can't be lifted out of their WITH RECURSIVE).
-    """
+
+def plan_shared_ctes(oracle_sqls: dict) -> tuple[dict, dict]:
+    """Returns (per-query analyzed CTE info, dep-hash use counts)."""
     chains: dict = {}
     counts: dict = {}
     for qname, sql in oracle_sqls.items():
-        parsed = _parse_ctes(sql)
-        if not parsed:
+        analyzed = _analyze_ctes(sql)
+        if not analyzed:
             continue
-        _rec, ctes, _tail = parsed
-        h = hashlib.md5()
-        chain = []
-        for cname, body in ctes:
-            if _self_referencing(cname, body):
-                break
-            h.update(f"{cname}|{_norm(body)}|".encode())
-            ch = h.hexdigest()[:16]
-            chain.append((cname, body, ch))
-            counts[ch] = counts.get(ch, 0) + 1
-        if chain:
-            chains[qname] = chain
+        chains[qname] = analyzed
+        for _cname, _body, h in analyzed[1]:
+            if h is not None:
+                counts[h] = counts.get(h, 0) + 1
     return chains, counts
 
 
-def rewrite_with_temps(con, sql: str, chain: list, counts: dict,
+def rewrite_with_temps(con, sql: str, analyzed, counts: dict,
                        created: dict) -> str:
-    """Materialize this oracle's shared prefix (chains used by >= 2
-    queries in the run) and return the rewritten SQL; ``created`` maps
-    chain_hash -> temp table and persists across queries."""
-    parsed = _parse_ctes(sql)
-    if not parsed:
+    """Materialize every CTE whose dep-hash is used by >= 2 queries in
+    the run (topological = WITH-list order) and return the rewritten
+    SQL; ``created`` maps dep_hash -> temp table across queries."""
+    rec, info, tail = analyzed
+    shared_idx = [i for i, (_c, _b, h) in enumerate(info)
+                  if h is not None and counts.get(h, 0) >= 2]
+    if not shared_idx:
         return sql
-    rec, ctes, tail = parsed
-    # longest prefix where every link is shared
-    depth = 0
-    for cname, _body, ch in chain:
-        if counts.get(ch, 0) >= 2:
-            depth += 1
-        else:
-            break
-    if depth == 0:
-        return sql
-    replaced = []
-    for idx in range(depth):
-        cname, body, ch = chain[idx]
-        if ch not in created:
-            temp = f"__shared_{len(created)}_{ch}"
-            prefix = ", ".join(
-                f"{n2} AS (SELECT * FROM {created[h2]})"
-                if h2 in created else f"{n2} AS ({b2})"
-                for n2, b2, h2 in chain[:idx]
-            )
-            with_kw = "WITH " + (prefix + ", " if prefix else "")
-            con.execute(
-                f"CREATE TEMP TABLE {temp} AS {with_kw}"
-                f"{cname} AS ({body}) SELECT * FROM {cname}")
-            created[ch] = temp
-        replaced.append((chain[idx][0],
-                         f"SELECT * FROM {created[ch]}"))
-    parts = []
-    for idx, (cname, body) in enumerate(ctes):
-        if idx < depth:
-            parts.append(f"{replaced[idx][0]} AS ({replaced[idx][1]})")
-        else:
-            parts.append(f"{cname} AS ({body})")
+
+    def cte_sql(upto: int) -> str:
+        """WITH-prefix for CTEs [0, upto), materialized ones replaced."""
+        parts = []
+        for cname, body, h in info[:upto]:
+            if h in created:
+                parts.append(
+                    f"{cname} AS (SELECT * FROM {created[h]})")
+            else:
+                parts.append(f"{cname} AS ({body})")
+        return ", ".join(parts)
+
+    for i in shared_idx:
+        cname, body, h = info[i]
+        if h in created:
+            continue
+        temp = f"__shared_{len(created)}_{h}"
+        prefix = cte_sql(i)
+        with_kw = "WITH " + (prefix + ", " if prefix else "")
+        con.execute(
+            f"CREATE TEMP TABLE {temp} AS {with_kw}"
+            f"{cname} AS ({body}) SELECT * FROM {cname}")
+        created[h] = temp
     kw = "WITH RECURSIVE " if rec else "WITH "
-    return kw + ", ".join(parts) + " " + tail
+    return kw + cte_sql(len(info)) + " " + tail
 
 
 def main() -> int:

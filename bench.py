@@ -17,6 +17,43 @@ import sys
 import time
 
 
+def shift_verdict(pairs: dict[str, float]) -> dict | None:
+    """Round-over-round shift detector (VERDICT r11 item 2).
+
+    ``pairs`` maps query name -> this-run/prior-run wall ratio.
+    The r11 event — median 1.204, IQR spread 0.365, >75% of queries
+    slower — slipped BOTH of the old thresholds (`median > 1.2 AND
+    spread < 0.35`) by a hair. The flag now fires on either of two
+    independent signals: the median moved >= 15% in either direction,
+    or the whole interquartile range sits off 1.0 (>= 75% of queries
+    moved the same way — a shift regardless of spread). The spread
+    only LABELS the shape (uniform vs mixed); it no longer gates the
+    flag. The top-10 per-query regressors ride along so a reviewer
+    sees WHAT moved without replaying the record.
+    """
+    if len(pairs) < 20:
+        return None
+    ratios = sorted(pairs.values())
+    med = ratios[len(ratios) // 2]
+    lo, hi = ratios[len(ratios) // 4], ratios[(3 * len(ratios)) // 4]
+    suspected = bool(med >= 1.15 or med <= 0.85
+                     or lo >= 1.05 or hi <= 0.95)
+    return {
+        "median_ratio": round(med, 3),
+        "iqr": [round(lo, 3), round(hi, 3)],
+        "n_compared": len(pairs),
+        "shift_suspected": suspected,
+        "shift_shape": (("uniform" if (hi - lo) < 0.35 else "mixed")
+                        if suspected else "none"),
+        # legacy field (records <= r11 carried only this)
+        "uniform_shift_suspected": bool(suspected and (hi - lo) < 0.35),
+        "top_regressors": {
+            q: round(r, 2)
+            for q, r in sorted(pairs.items(),
+                               key=lambda kv: -kv[1])[:10]},
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -274,6 +311,7 @@ def main() -> None:
     # recorded 22.84s for emb_anisotropy vs 1.82s clean).
     here = os.path.dirname(os.path.abspath(__file__))
     prior_q: dict[str, float] = {}
+    prior_cal = None
     try:
         with open(os.path.join(here, "bench_detail.json")) as f:
             _prior = json.load(f)
@@ -281,8 +319,32 @@ def main() -> None:
                 sf_dir.rstrip("/").rsplit("sf", 1)[-1])
                 and _prior.get("cpus") == int(cpus)):
             prior_q = _prior.get("queries", {})
+            prior_cal = _prior.get("calibration_sec")
     except (OSError, ValueError, KeyError):
         pass
+
+    # Host-speed calibration (VERDICT r11 item 1 resolution): the r12
+    # interleaved A/B of r10 HEAD vs r11 HEAD measured warm paired
+    # median 1.000 — the r11 record's 1.2x "regression" was HOST
+    # drift, not code (this box reads 69.5s or 108.6s for the SAME
+    # code depending on session state/co-tenants; SCALING.md "r12
+    # A/B"). This fixed pure-built-in query (no repo code, so its
+    # wall time cannot regress from repo changes) is timed best-of-3
+    # each run; its ratio vs the prior record's value estimates the
+    # host-speed delta, letting vs_prior separate drift from code.
+    _cal_df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_suppkey")
+        .agg({"l_extendedprice": "sum", "l_quantity": "avg",
+              "l_orderkey": "count"})
+    )
+    cal_sec = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _cal_df.write.format("noop").mode("overwrite").save()
+        _s = time.perf_counter() - t0
+        cal_sec = _s if cal_sec is None or _s < cal_sec else cal_sec
+    cal_sec = round(cal_sec, 3)
 
     timings: dict[str, float] = {}
     rows_per_sec: dict[str, int] = {}
@@ -315,6 +377,14 @@ def main() -> None:
     # the min is recorded and both values are kept so a reviewer sees
     # exactly what was re-measured. This is the defense best-of-2
     # cannot provide: back-to-back repeats share the load spike.
+    # Raw single-pass total, captured BEFORE the re-run folds minima
+    # back in (ADVICE r11: min(suite, rerun) is an asymmetric
+    # correction — only >3x-slower queries are ever re-measured — so
+    # the folded total mixes two measurement sessions and biases the
+    # headline downward). The raw total is the apples-to-apples
+    # round-over-round figure; the adjusted total is reported
+    # alongside it as headline_suite_seconds_adjusted.
+    raw_total = round(sum(timings.values()), 3)
     contention_reruns: dict[str, dict] = {}
     for name, sec in list(timings.items()):
         p = prior_q.get(name)
@@ -370,6 +440,35 @@ def main() -> None:
     ann = {"n_vectors": ANN_N, "n_queries": ANN_NQ, "dim": DIM,
            "gen_sec": round(time.perf_counter() - t0, 3)}
 
+    # --- exact ground-truth cache (VERDICT r11 item 5) ---------------
+    # The audit corpus is fully deterministic (xxhash64-mixed
+    # components, no RNG), so the exact brute-force top-5 only changes
+    # when the generator formula, DIM, the query count, or k change —
+    # all encoded in the key. Cached in a committed sidecar so the
+    # multi-minute exact pass at 1M (141s in BENCH_r11) is paid once,
+    # not per round; recall numbers are identical by construction.
+    GT_PATH = os.path.join(here, "tools", "ann_groundtruth.json")
+    try:
+        with open(GT_PATH) as f:
+            _gt = json.load(f)
+    except (OSError, ValueError):
+        _gt = {}
+    _gt_dirty = False
+
+    def _gt_key(n: int) -> str:
+        return f"xxhash64v1:n={n}:dim={DIM}:nq={ANN_NQ}:k=5"
+
+    def _gt_load(n: int) -> dict | None:
+        e = _gt.get(_gt_key(n))
+        if not e:
+            return None
+        return {int(q): set(ids) for q, ids in e.items()}
+
+    def _gt_store(n: int, sets: dict) -> None:
+        nonlocal _gt_dirty
+        _gt[_gt_key(n)] = {str(q): sorted(s) for q, s in sets.items()}
+        _gt_dirty = True
+
     def run_df(df) -> float:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
@@ -390,13 +489,30 @@ def main() -> None:
     # into headline_suite_seconds made round-over-round comparison read
     # as a 4x regression that wasn't one (VERDICT r05 item 3).
     ann_timings: dict[str, float] = {}
+
+    def _top5(df) -> dict:
+        sets: dict = {}
+        for r in (df.filter("rank <= 5")
+                  .select("q_id", "n_id").collect()):
+            sets.setdefault(r["q_id"], set()).add(r["n_id"])
+        return sets
+
     # Exact baseline via the matrix path (r11): bit-identical cosines
     # to the pair-explode fold (equality-tested) but one corpus pass —
     # the 59s pair-path baseline was most of BENCH_r10's ann total and
-    # priced the 1M curve point out of the per-round audit.
-    ann_timings["ann100k_bruteforce"], bf_res = run_ck(
-        cosine_topk_matrix(vecs, qs))
-    ann["bruteforce_method"] = "matrix_fold"
+    # priced the 1M curve point out of the per-round audit. Since r12
+    # the exact top-5 is served from the committed ground-truth cache
+    # when the (generator, n, dim, nq, k) key matches; the pass only
+    # runs (and is only timed) on a cache miss.
+    bf5 = _gt_load(ANN_N)
+    if bf5 is None:
+        ann_timings["ann100k_bruteforce"], bf_res = run_ck(
+            cosine_topk_matrix(vecs, qs))
+        bf5 = _top5(bf_res)
+        _gt_store(ANN_N, bf5)
+        ann["bruteforce_method"] = "matrix_fold"
+    else:
+        ann["bruteforce_method"] = "cached_groundtruth"
     # deliberate tier measurement on a known-uniform corpus: skip the
     # router's geometry probe (its verdict is recorded below anyway)
     ann_timings["ann100k_lsh"], lsh_res = run_ck(
@@ -424,14 +540,6 @@ def main() -> None:
     # geometry for the bucket hash to exploit — documented, and the
     # clustered-corpus pytest holds it to a real floor); IVF probes
     # nprobe cells and should stay high.
-    def _top5(df) -> dict:
-        sets: dict = {}
-        for r in (df.filter("rank <= 5")
-                  .select("q_id", "n_id").collect()):
-            sets.setdefault(r["q_id"], set()).add(r["n_id"])
-        return sets
-
-    bf5 = _top5(bf_res)
     def _recall(tier: dict) -> float:
         hits = sum(len(tier.get(q, set()) & bf5[q]) for q in bf5)
         return round(hits / (5.0 * len(bf5)), 4) if bf5 else 0.0
@@ -504,7 +612,11 @@ def main() -> None:
     for n2 in extra_ns:
         t0 = time.perf_counter()
         v2, q2 = _uniform_corpus(n2)
-        bf2 = _top5(cosine_topk_matrix(v2, q2).localCheckpoint())
+        bf2 = _gt_load(n2)
+        bf2_cached = bf2 is not None
+        if bf2 is None:
+            bf2 = _top5(cosine_topk_matrix(v2, q2).localCheckpoint())
+            _gt_store(n2, bf2)
         out2, p2 = cosine_topk_ivf_auto(v2, q2, n=n2,
                                         target_recall=0.75)
         t5 = _top5(out2.localCheckpoint())
@@ -513,6 +625,8 @@ def main() -> None:
             "recall": round(hits / (5.0 * len(bf2)), 4),
             "seed_mod": p2["seed_mod"], "nprobe": p2["nprobe"],
             "method": p2["method"],
+            "baseline": ("cached_groundtruth" if bf2_cached
+                         else "matrix_fold"),
             "sec": round(time.perf_counter() - t0, 3),
         }
     # the 100K point reuses the main audit's result (same sizing rule)
@@ -524,8 +638,15 @@ def main() -> None:
     ann["timings"] = ann_timings
     for key, sec in ann_timings.items():
         rows_per_sec[key] = int(ANN_N / sec) if sec else 0
+    if _gt_dirty:
+        with open(GT_PATH, "w") as f:
+            json.dump(_gt, f, sort_keys=True)
+        ann["groundtruth_cache_updated"] = True
 
-    total = round(sum(timings.values()), 3)
+    # headline value = the raw single-pass total; the rerun-adjusted
+    # sum (contention minima folded in) is a separate field
+    total = raw_total
+    total_adjusted = round(sum(timings.values()), 3)
     ann_total = round(sum(ann_timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
@@ -540,32 +661,33 @@ def main() -> None:
     # line so a reviewer can discount the total without re-running.
     vs_prior = None
     if prior_q:  # loaded + comparability-checked before the suite ran
-        ratios = sorted(
-            timings[q] / prior_q[q]
+        vs_prior = shift_verdict({
+            q: timings[q] / prior_q[q]
             for q in timings
             if q in prior_q and prior_q[q] >= 0.2 and timings[q] > 0
-        )
-        if len(ratios) >= 20:
-            med = ratios[len(ratios) // 2]
-            lo, hi = (ratios[len(ratios) // 4],
-                      ratios[(3 * len(ratios)) // 4])
-            vs_prior = {
-                "median_ratio": round(med, 3),
-                "iqr": [round(lo, 3), round(hi, 3)],
-                "n_compared": len(ratios),
-                # uniform shift: the middle half moved together and
-                # the median is >20% off 1.0 in either direction
-                "uniform_shift_suspected": bool(
-                    (med > 1.2 or med < 0.8) and (hi - lo) < 0.35),
-            }
+        })
+    if vs_prior is not None and prior_cal and cal_sec:
+        # host-speed delta vs the prior record; a median_ratio that
+        # tracks the calibration ratio is drift, one that diverges
+        # from it is code (r12 A/B conclusion, SCALING.md)
+        cal_ratio = round(cal_sec / prior_cal, 3)
+        vs_prior["calibration_ratio"] = cal_ratio
+        if cal_ratio > 0:
+            vs_prior["median_ratio_host_normalized"] = round(
+                vs_prior["median_ratio"] / cal_ratio, 3)
     try:
         load_now = tuple(round(x, 2) for x in os.getloadavg())
     except OSError:
         load_now = None
     detail = {
         "metric": "headline_suite_seconds",
-        "value": total,
+        "value": total,                  # raw single-pass suite total
+        "headline_suite_seconds_adjusted": total_adjusted,
         "unit": "sec",
+        # per-query map keeps the ADJUSTED values (the best-known
+        # clean figure — it feeds vs_prior and the next round's
+        # contention baseline); raw suite values for re-measured
+        # queries are in contention_reruns[*]["suite"]
         "queries": timings,
         "sf": sf,
         "rows": table_rows,
@@ -574,6 +696,7 @@ def main() -> None:
         "ann_scale": ann,
         "ann_scale_seconds": ann_total,
         "cpus": int(cpus),
+        "calibration_sec": cal_sec,
         "vs_prior_detail": vs_prior,
         "contention_reruns": contention_reruns,
         "loadavg": load_now,
@@ -624,12 +747,14 @@ def main() -> None:
     if vs_prior is not None:
         compact["vs_prior"] = {
             "median_ratio": vs_prior["median_ratio"],
-            "uniform_shift": vs_prior["uniform_shift_suspected"],
+            "shift": vs_prior["shift_suspected"],
+            "shape": vs_prior["shift_shape"],
         }
     # how many >3x-vs-prior outliers were re-measured at suite end
     # (r10 item 2); per-query suite/rerun/prior triples in the detail
     if contention_reruns:
         compact["n_contention_reruns"] = len(contention_reruns)
+        compact["adjusted_sec"] = total_adjusted
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1800:  # hard cap: drop spread, then truncate queries
         compact.pop("spread", None)

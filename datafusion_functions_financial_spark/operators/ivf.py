@@ -259,7 +259,11 @@ def cosine_topk_ivf(
     method: str = "matrix",
     blas: bool = False,
 ) -> DataFrame:
-    """ANN top-k: candidates restricted to each query's ``nprobe``
+    """(Prefer ``similarity.cosine_topk_ann`` as the entry point — it
+    probes the corpus geometry and routes here with scale-aware
+    parameters when SRP-LSH would collapse.)
+
+    ANN top-k: candidates restricted to each query's ``nprobe``
     nearest IVF cells, ranked by exact cosine.
 
     ``index``: pass a prebuilt ``(centroids, cells)`` from

@@ -98,8 +98,24 @@ def pil_image_resizer(payload: bytes, fmt: str,
     with _PILImage.open(io.BytesIO(payload)) as im:
         im.thumbnail((max_side, max_side))
         out = io.BytesIO()
-        im.save(out, format=im.format or fmt.upper())
+        im.save(out, format=im.format or _pil_format(fmt))
         return out.getvalue(), im.width, im.height
+
+
+# Common extension -> PIL registered-format aliases: PIL's SAVE
+# registry keys are 'JPEG'/'TIFF', so a metadata fmt of 'jpg'/'tif'
+# upper-cased raises KeyError instead of re-encoding (ADVICE r11).
+_PIL_FMT_ALIASES = {"JPG": "JPEG", "TIF": "TIFF"}
+
+
+def _pil_format(fmt: str) -> str:
+    """Map a metadata format string to a PIL-registered save format;
+    unknown names fall back to PNG (lossless, always registered)."""
+    up = _PIL_FMT_ALIASES.get((fmt or "").upper(), (fmt or "").upper())
+    if _PILImage is None:  # unreachable from pil_image_resizer
+        return up or "PNG"
+    _PILImage.init()  # populate the plugin SAVE registry
+    return up if up in _PILImage.SAVE else "PNG"
 
 
 def soundfile_audio_decoder(payload: bytes,

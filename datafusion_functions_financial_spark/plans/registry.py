@@ -23,6 +23,7 @@ from ..functions import (
     technical7,
 )
 from ._gated import DRIVER_GREEN
+from ._window import REGATE_WINDOW
 from ..operators import (
     countfit, embeval2, experiment2, ivfeval, spectral2,
     abtest, anomaly2, anomaly3, asof, binseg, blocking, bm25,
@@ -263,7 +264,10 @@ R07_QUEUE = NEXT_ROUND_QUEUE
 R06_QUEUE = NEXT_ROUND_QUEUE
 
 
-def _collect() -> dict:
+def _collect_unordered() -> dict:
+    """Registry pairs in _MODULES iteration order, BEFORE the gate-
+    window reorder (tools/gen_window.py reads this to plan the
+    rotation without a circular dependency)."""
     out: dict = {}
     for m in _MODULES:
         for name, pair in m.QUERIES.items():
@@ -271,6 +275,25 @@ def _collect() -> dict:
                 raise ValueError(f"duplicate query name: {name}")
             out[name] = pair
     return out
+
+
+def _collect() -> dict:
+    """Registry pairs with the generated re-gate window fronted.
+
+    Steady-state rotation (VERDICT r11 item 3): with every registered
+    pair driver-green, the gate window re-verifies the 50 pairs whose
+    latest green CORRECTNESS row is oldest (plus, with priority, any
+    ungated/regressed pair). The window lives in the generated
+    ``plans/_window.py`` — regenerate with ``tools/gen_gated.py &&
+    tools/gen_window.py`` after each round's CORRECTNESS file lands;
+    hand-ordering _MODULES per round (the <= r11 mechanism) is gone.
+    """
+    out = _collect_unordered()
+    front = {n: out[n] for n in REGATE_WINDOW if n in out}
+    if not front:
+        return out
+    rest = {n: p for n, p in out.items() if n not in front}
+    return {**front, **rest}
 
 
 def all_queries() -> dict:

@@ -140,6 +140,29 @@ def test_clusteredness_probe_calibration(spark):
     assert pc["entropy_ratio"] <= CLUSTERED_ENTROPY_MAX - 0.03, pc
 
 
+@pytest.mark.slow
+def test_clusteredness_probe_empty_sample_routes_safe(spark):
+    """VERDICT r11 item 4 / ADVICE r11: zero sampled rows must read
+    `clustered: False` — the no-information verdict routes to IVF
+    (recall holds on any geometry), never to SRP-LSH (collapses on
+    unknown geometry). An overstated ``n`` against a tiny corpus must
+    first fall back to a rate-1 re-probe and use the real data."""
+    from datafusion_functions_financial_spark.operators.similarity import (
+        clusteredness_probe,
+    )
+    # truly empty corpus: no fallback possible -> unclustered verdict
+    empty, _ = _corpus(spark, 1, clustered=False)
+    p0 = clusteredness_probe(empty.filter("vec_id < 0"), n=10_000_000)
+    assert p0["n_sampled"] == 0 and p0["clustered"] is False, p0
+
+    # tiny clustered corpus with wildly overstated n: the rate-1
+    # fallback must recover the sample and read the true geometry
+    vc, _ = _corpus(spark, 400, clustered=True)
+    pc = clusteredness_probe(vc, n=500_000_000)
+    assert pc["n_sampled"] > 0, pc
+    assert pc["clustered"] is True, pc
+
+
 def test_lsh_warns_on_unclustered_corpus(spark):
     """A user pointing the SRP tier at a geometry-free corpus gets a
     UserWarning naming the measured entropy (r10 'What's wrong' #3);

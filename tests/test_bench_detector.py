@@ -1,0 +1,66 @@
+"""bench.shift_verdict — the round-over-round shift detector.
+
+VERDICT r11 item 2: the old detector (`median > 1.2 AND iqr_spread
+< 0.35`) missed its own motivating event (r11 clean record: median
+1.204, spread 0.365 — both thresholds slipped by a hair). The widened
+detector must fire on that exact record shape, report the top
+regressors, and keep the spread only as a shape label.
+
+No Spark needed — pure-python, default tranche.
+"""
+
+import bench
+
+
+def _pairs(ratios):
+    return {f"q{i}": r for i, r in enumerate(ratios)}
+
+
+def test_fires_on_r11_shape():
+    # 100 queries: median 1.204, IQR exactly [1.075, 1.44] — the
+    # event the old thresholds missed on both edges (median 1.204 vs
+    # >1.2 conjunct, spread 0.365 vs <0.35 conjunct).
+    ratios = ([1.075] * 26 + [1.204] * 25 + [1.30] * 24
+              + [1.44] * 25)
+    v = bench.shift_verdict(_pairs(ratios))
+    assert v["median_ratio"] == 1.204
+    assert v["iqr"] == [1.075, 1.44]
+    assert v["shift_suspected"] is True
+    assert v["shift_shape"] == "mixed"  # spread labels, never gates
+
+
+def test_fires_on_iqr_low_even_with_modest_median():
+    # >=75% of queries slower by >=5% is a shift even at median 1.10
+    ratios = [1.06] * 30 + [1.10] * 40 + [1.12] * 30
+    v = bench.shift_verdict(_pairs(ratios))
+    assert v["shift_suspected"] is True
+    assert v["shift_shape"] == "uniform"
+
+
+def test_fires_on_speedup_shift_too():
+    ratios = [0.7] * 50 + [0.8] * 50
+    v = bench.shift_verdict(_pairs(ratios))
+    assert v["shift_suspected"] is True
+
+
+def test_quiet_on_noise_around_one():
+    # mixed noise centered on 1.0: no flag
+    ratios = [0.9, 0.95, 1.0, 1.02, 1.05, 1.1] * 10
+    v = bench.shift_verdict(_pairs(ratios))
+    assert v["shift_suspected"] is False
+    assert v["shift_shape"] == "none"
+
+
+def test_top_regressors_listed_worst_first():
+    ratios = [1.0] * 30
+    pairs = _pairs(ratios)
+    pairs["slowest"] = 3.0
+    pairs["second"] = 2.0
+    v = bench.shift_verdict(pairs)
+    top = list(v["top_regressors"])
+    assert top[0] == "slowest" and top[1] == "second"
+    assert len(v["top_regressors"]) == 10
+
+
+def test_small_samples_return_none():
+    assert bench.shift_verdict(_pairs([1.5] * 19)) is None

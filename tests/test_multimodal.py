@@ -34,6 +34,25 @@ def test_default_decoder_is_a_loud_stub():
         default_image_decoder(b"x", "png")
 
 
+def test_pil_format_fallback_normalizes_extensions():
+    """ADVICE r11: a metadata fmt of 'jpg' must map to PIL's
+    registered 'JPEG' save name (fmt.upper() alone raises KeyError in
+    PIL's save registry), 'tif' to 'TIFF', and unknown names to PNG
+    instead of crashing the re-encode."""
+    from datafusion_functions_financial_spark.operators import (
+        multimodal as mm,
+    )
+    assert mm._PIL_FMT_ALIASES["JPG"] == "JPEG"
+    assert mm._PIL_FMT_ALIASES["TIF"] == "TIFF"
+    if not mm.HAVE_PIL:
+        pytest.skip("PIL not installed — registry check needs it")
+    assert mm._pil_format("jpg") == "JPEG"
+    assert mm._pil_format("tif") == "TIFF"
+    assert mm._pil_format("png") == "PNG"
+    assert mm._pil_format("not-a-format") == "PNG"
+    assert mm._pil_format("") == "PNG"
+
+
 def test_real_codecs_auto_selected_when_present(spark):
     """VERDICT r10 item 7: with PIL installed the default decoder is
     the real one (skipped where the env has no codecs; the oracle

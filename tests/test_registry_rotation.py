@@ -94,6 +94,53 @@ def test_prior_gated_derived_from_correctness():
         )
 
 
+def test_regate_window_matches_regeneration():
+    """VERDICT r11 item 3: the steady-state re-gate rotation. The
+    checked-in plans/_window.py must equal a regeneration from the
+    same CORRECTNESS census (ungated first, then oldest-latest-green
+    fill), and the registry's actual gate window must BE that plan."""
+    import importlib.util
+    import pathlib
+
+    from datafusion_functions_financial_spark.plans import _window
+
+    tool = pathlib.Path(__file__).parent.parent / "tools" / "gen_window.py"
+    spec = importlib.util.spec_from_file_location("gen_window", tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    regenerated = mod.compute()
+    assert list(_window.REGATE_WINDOW) == regenerated, (
+        "plans/_window.py is stale — run python tools/gen_gated.py && "
+        "python tools/gen_window.py"
+    )
+    assert registry.gate_window_names() == list(_window.REGATE_WINDOW)
+
+
+def test_regate_window_fronts_stalest_green_rows():
+    """Every windowed pair must be at least as stale (by latest-green
+    round) as every green pair OUTSIDE the window — the rotation's
+    whole point; ungated pairs are exempt (they gate first)."""
+    import importlib.util
+    import pathlib
+
+    tool = pathlib.Path(__file__).parent.parent / "tools" / "gen_gated.py"
+    spec = importlib.util.spec_from_file_location("gen_gated", tool)
+    gg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gg)
+    latest, _ = gg.compute()
+    names = list(registry.all_queries())
+    window = names[: registry.GATE_WINDOW]
+    inside = [latest[n][0] for n in window
+              if n in latest and latest[n][1]]
+    outside = [latest[n][0] for n in names[registry.GATE_WINDOW:]
+               if n in latest and latest[n][1]]
+    if inside and outside:
+        assert max(inside) <= min(outside), (
+            "a green pair outside the window is staler than one "
+            "inside — regenerate plans/_window.py"
+        )
+
+
 def test_prior_gated_names_exist():
     # PRIOR_GATED must track real registry names (catches renames that
     # would silently mark a query as already-gated).

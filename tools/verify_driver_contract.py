@@ -47,9 +47,41 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 # ---------------------------------------------------------------------------
 
 
+def _skip_literal(sql: str, i: int) -> int:
+    """``sql[i]`` is a quote char (' or "); return the index just past
+    the closing quote, honouring doubled-quote escapes ('' / "").
+    Returns len(sql) when unterminated."""
+    q = sql[i]
+    j, n = i + 1, len(sql)
+    while j < n:
+        if sql[j] == q:
+            if j + 1 < n and sql[j + 1] == q:  # escaped quote
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
+def _skip_comment(sql: str, i: int) -> int:
+    """``sql[i:i+2]`` is ``--``; return the index just past the end
+    of the line-comment (the newline stays). Comments carry free text
+    — apostrophes, unbalanced parens — so every scanner must skip
+    them BEFORE interpreting quotes or parens (the ppjoin-stats
+    oracle has both inside its -- notes)."""
+    j = sql.find("\n", i)
+    return len(sql) if j < 0 else j
+
+
 def _parse_ctes(sql: str):
     """Split ``sql`` into (recursive_kw, [(name, body)], tail); returns
-    None when the statement has no leading top-level WITH."""
+    None when the statement has no leading top-level WITH.
+
+    The paren-depth scan is STRING-LITERAL-AWARE (ADVICE r11): 135 of
+    the registry's oracles carry '(' / ')' inside SQL literals (regexp
+    classes, format strings); counting those could mis-place a CTE
+    boundary at a split that still executes — materializing a wrong
+    temp relation that other queries silently reuse."""
     m = re.match(r"\s*WITH(\s+RECURSIVE)?\b", sql, re.IGNORECASE)
     if not m:
         return None
@@ -65,6 +97,12 @@ def _parse_ctes(sql: str):
         depth, k = 1, j
         while depth and k < len(sql):
             c = sql[k]
+            if c in ("'", '"'):
+                k = _skip_literal(sql, k)
+                continue
+            if c == "-" and sql[k:k + 2] == "--":
+                k = _skip_comment(sql, k)
+                continue
             if c == "(":
                 depth += 1
             elif c == ")":
@@ -81,11 +119,59 @@ def _parse_ctes(sql: str):
 
 
 def _norm(text: str) -> str:
-    return re.sub(r"\s+", " ", text).strip()
+    """Hash-canonical form of a CTE body: line-comments dropped (free
+    text — not part of the relation), whitespace collapsed OUTSIDE
+    string literals only, literal content kept verbatim (ADVICE r11:
+    two CTEs differing only by whitespace inside a literal are
+    different relations)."""
+    out = []
+    i, n, start = 0, len(text), 0
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            out.append(re.sub(r"\s+", " ", text[start:i]))
+            j = _skip_literal(text, i)
+            out.append(text[i:j])
+            i = start = j
+        elif c == "-" and text[i:i + 2] == "--":
+            out.append(re.sub(r"\s+", " ", text[start:i]))
+            i = start = _skip_comment(text, i)
+        else:
+            i += 1
+    out.append(re.sub(r"\s+", " ", text[start:]))
+    return "".join(out).strip()
+
+
+def _mask_string_literals(text: str) -> str:
+    """Replace '...' string-literal content and ``--`` line-comments
+    with spacers so name scans (dependencies, self-reference) cannot
+    match words inside either. Double-quoted segments are SQL
+    identifiers — kept, so dependencies on quoted CTE names still
+    resolve."""
+    out = []
+    i, n, start = 0, len(text), 0
+    while i < n:
+        c = text[i]
+        if c == "'":
+            out.append(text[start:i])
+            j = _skip_literal(text, i)
+            out.append("' '")
+            i = start = j
+        elif c == '"':
+            i = _skip_literal(text, i)
+        elif c == "-" and text[i:i + 2] == "--":
+            out.append(text[start:i])
+            out.append(" ")
+            i = start = _skip_comment(text, i)
+        else:
+            i += 1
+    out.append(text[start:])
+    return "".join(out)
 
 
 def _self_referencing(name: str, body: str) -> bool:
-    return re.search(rf"\b{re.escape(name)}\b", body) is not None
+    return re.search(rf"\b{re.escape(name)}\b",
+                     _mask_string_literals(body)) is not None
 
 
 def _analyze_ctes(sql: str):
@@ -109,8 +195,9 @@ def _analyze_ctes(sql: str):
             hmap[cname] = None
             info.append((cname, body, None))
             continue
+        masked = _mask_string_literals(body)
         deps = [n2 for n2 in hmap
-                if re.search(rf"\b{re.escape(n2)}\b", body)]
+                if re.search(rf"\b{re.escape(n2)}\b", masked)]
         if any(hmap[d] is None for d in deps):
             hmap[cname] = None
             info.append((cname, body, None))

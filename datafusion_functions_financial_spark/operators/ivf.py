@@ -48,28 +48,72 @@ IVF_NPROBE = 4
 K_IVF = 5
 QUANT = 1 << 20       # component quantizer for exact integer mean
 
-# Worst-case recall curve, measured on UNIFORM corpora (dim 64,
-# K = sqrt(n) cells, recall@5 vs exact brute force). The r08 100K fit
-# (recall ~ 1.8 * (nprobe/K)^0.53) under-delivered at small K — the
-# r09 deep audit measured the AUTO path at 0.66 @10K / 0.725 @100K /
-# 0.86 @1M against the 0.75 parameter, i.e. the effective constant
-# GROWS with K (back-solved: C ~ 1.55 @K=100, 1.73 @K=316,
-# 2.06 @K=1000 — more cells means each probed cell is smaller and a
-# fixed probed FRACTION covers the true neighbors better). Sizing now
-# uses a K-dependent constant fit ~10% BELOW the measured points
-# (conservative), so small-K corpora probe a larger fraction:
-#   C(K) = clamp(1.50 + 0.25*log10(K/100), 1.40, 1.80)
-# giving nprobe/K ~ 0.27 @K=100, 0.23 @K=316, 0.20 @K=1000 and
-# predicted recall 0.77/0.80/0.88 at target 0.75 (floors asserted at
-# 10K and 100K in tests/test_ann_recall.py; the curve is re-measured
-# every bench run via ivf_auto_recall_curve).
-_RECALL_EXP = 0.53
+# Measured worst-case recall table (UNIFORM corpora — no cluster
+# geometry to exploit — dim 64, K ~ sqrt(n) cells, recall@5 of the
+# seed_hash index vs exact brute force over 16 queries;
+# tools/ivf_sweep.py, r12). Earlier rounds sized nprobe from a
+# power-law fit recall ~ C(K) * frac^0.53, which OVER-predicted at
+# small K (predicted 0.77 @K~100 / 0.80 @K~316, delivered a flat
+# 0.775 for three rounds — the r11 "plateau"). The sweep shows the
+# real curve saturates (exponent falls from ~0.45 below frac 0.3 to
+# ~0.25 above 0.6), so no single power law inverts it; sizing now
+# inverts THIS table directly — linear interpolation within a K
+# level, log10(K) interpolation between levels, +0.10 target margin
+# so delivered sits AT OR ABOVE requested (the margin covers the
+# table's 16-query granularity of 1/80 per hit and its ~±0.03 re-run
+# noise, and puts the default-0.75-target sizing at the table's
+# 0.85 contour: sized fracs 0.40/0.30/0.19 at K=100/316/1000 —
+# table-interpolated recall ~0.85 at each level; at the LARGE-K
+# scale path the sized frac is CHEAPER than the old fit (0.188 vs
+# 0.203 at K=1000 for the same ~0.86), so the margin costs only on
+# small corpora where a probe pass is trivial anyway). The bench's
+# ivf_auto_recall_curve
+# re-measures delivered recall every run. Elbow analysis in
+# SCALING.md "r12 IVF sizing".
+_RECALL_TABLE = (
+    (93, ((0.151, 0.55), (0.204, 0.6625), (0.28, 0.725),
+          (0.355, 0.8125), (0.452, 0.90), (0.602, 0.9625),
+          (0.806, 0.9875))),
+    (336, ((0.152, 0.70), (0.202, 0.775), (0.271, 0.8375),
+           (0.351, 0.875), (0.452, 0.925), (0.601, 0.9625),
+           (0.801, 1.0))),
+    (984, ((0.101, 0.6875), (0.15, 0.8125), (0.20, 0.8625),
+           (0.301, 0.9625), (0.45, 0.9875))),
+)
+IVF_TARGET_MARGIN = 0.10
 
 
-def _recall_c(k: int) -> float:
+def _frac_for(curve, target: float) -> float:
+    """Smallest probed fraction reaching ``target`` on one measured
+    K-level curve (linear interpolation between bracketing points;
+    proportional below the first point, 1.0 past the last)."""
+    f0, r0 = curve[0]
+    if target <= r0:
+        return f0 * target / r0
+    for (fa, ra), (fb, rb) in zip(curve, curve[1:]):
+        if target <= rb:
+            return fa + (fb - fa) * (target - ra) / (rb - ra)
+    return 1.0
+
+
+def _sizing_frac(k: int, target_recall: float) -> float:
+    """Probed fraction for ``k`` cells: measured-table inversion with
+    log10(K) interpolation between sweep levels and a +0.10 margin."""
     import math
 
-    return min(1.80, max(1.40, 1.50 + 0.25 * math.log10(k / 100.0)))
+    t = min(target_recall + IVF_TARGET_MARGIN, 0.99)
+    levels = _RECALL_TABLE
+    if k <= levels[0][0]:
+        return min(1.0, _frac_for(levels[0][1], t))
+    if k >= levels[-1][0]:
+        return min(1.0, _frac_for(levels[-1][1], t))
+    for (k0, c0), (k1, c1) in zip(levels, levels[1:]):
+        if k <= k1:
+            fa, fb = _frac_for(c0, t), _frac_for(c1, t)
+            w = ((math.log10(k) - math.log10(k0))
+                 / (math.log10(k1) - math.log10(k0)))
+            return min(1.0, fa + (fb - fa) * w)
+    return 1.0  # unreachable
 
 
 def ivf_params(n: int, target_recall: float = 0.75) -> tuple[int, int]:
@@ -80,9 +124,12 @@ def ivf_params(n: int, target_recall: float = 0.75) -> tuple[int, int]:
     ``seed_mod=2048, nprobe=4`` gave recall@5 = 0.325 at 100K uniform
     vectors (4 of ~49 cells probed). The standard IVF sizing is
     K ~ sqrt(n) cells (balancing centroid-scan cost against cell-scan
-    cost), i.e. ``seed_mod = n / K ~ sqrt(n)``, with ``nprobe`` derived
-    from the measured worst-case recall curve above, so the probed
-    fraction — not an absolute cell count — tracks the target.
+    cost), i.e. ``seed_mod = n / K ~ sqrt(n)``, with ``nprobe``
+    inverted from the measured worst-case recall table above, so the
+    probed fraction — not an absolute cell count — tracks the target
+    and the delivered recall sits AT OR ABOVE the requested value
+    (the pre-r12 power-law fit under-delivered ~0.73-0.78 against
+    target 0.75 at small K).
 
     At 100 TB this keeps both sides of the probe bounded: the centroid
     relation stays K ~ sqrt(n) rows (broadcastable), and each query
@@ -92,8 +139,7 @@ def ivf_params(n: int, target_recall: float = 0.75) -> tuple[int, int]:
 
     k = max(4, int(round(math.sqrt(n))))
     seed_mod = max(1, int(round(n / k)))
-    frac = min(1.0, (min(target_recall, 0.99) / _recall_c(k))
-               ** (1.0 / _RECALL_EXP))
+    frac = _sizing_frac(k, min(target_recall, 0.99))
     nprobe = max(IVF_NPROBE, int(math.ceil(frac * k)))
     return seed_mod, min(nprobe, k)
 

@@ -273,6 +273,10 @@ def main() -> int:
     ap.add_argument("--no-shared-ctes", action="store_true",
                     help="disable shared-CTE temp-table "
                          "materialization (VERDICT r10 item 5)")
+    ap.add_argument("--out", default=None,
+                    help="write a JSON summary of the sweep (per-"
+                         "query status + row counts + timings) — for "
+                         "committed round-close evidence records")
     args = ap.parse_args()
 
     import duckdb
@@ -329,9 +333,11 @@ def main() -> int:
         return con.execute(sql).fetchdf()
 
     failures = 0
+    results: dict = {}
     for name in names:
         if name not in oracles:
             print(f"SKIP  {name} (no oracle — rows-only surface)")
+            results[name] = {"status": "SKIP"}
             continue
         t0 = time.perf_counter()
         try:
@@ -356,10 +362,22 @@ def main() -> int:
             t_duck = time.perf_counter() - t0
             print(f"{status}{name} rows={len(sdf)}/{len(ddf)} "
                   f"spark={t_spark:.1f}s oracle={t_duck:.1f}s")
+            results[name] = {
+                "status": status.strip(), "rows": len(sdf),
+                "oracle_rows": len(ddf),
+                "spark_sec": round(t_spark, 2),
+                "oracle_sec": round(t_duck, 2)}
         except Exception as e:  # noqa: BLE001 — report and continue
             failures += 1
             print(f"ERROR {name}: {str(e)[:160]}")
+            results[name] = {"status": "ERROR", "err": str(e)[:160]}
     print(f"{len(names)} checked, {failures} failing")
+    if args.out:
+        import json
+        with open(args.out, "w") as f:
+            json.dump({"sf": args.sf, "checked": len(names),
+                       "failing": failures, "results": results},
+                      f, indent=1, sort_keys=True)
     return 1 if failures else 0
 
 

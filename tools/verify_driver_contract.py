@@ -118,24 +118,44 @@ def _parse_ctes(sql: str):
         return rec, ctes, sql[k:]
 
 
-def _norm(text: str) -> str:
-    """Hash-canonical form of a CTE body: line-comments dropped (free
-    text — not part of the relation), whitespace collapsed OUTSIDE
-    string literals only, literal content kept verbatim (ADVICE r11:
-    two CTEs differing only by whitespace inside a literal are
-    different relations)."""
+def _strip_comments(text: str) -> str:
+    """Replace ``--`` line-comments (outside string literals) with a
+    single space."""
     out = []
     i, n, start = 0, len(text), 0
     while i < n:
         c = text[i]
         if c in ("'", '"'):
+            i = _skip_literal(text, i)
+        elif c == "-" and text[i:i + 2] == "--":
+            out.append(text[start:i])
+            out.append(" ")
+            i = start = _skip_comment(text, i)
+        else:
+            i += 1
+    out.append(text[start:])
+    return "".join(out)
+
+
+def _norm(text: str) -> str:
+    """Hash-canonical form of a CTE body: line-comments dropped (free
+    text — not part of the relation), whitespace collapsed OUTSIDE
+    string literals only, literal content kept verbatim (ADVICE r11:
+    two CTEs differing only by whitespace inside a literal are
+    different relations). Comment-stripping runs as its own pass so
+    the space it leaves collapses with neighbouring whitespace —
+    without that, _norm was not idempotent and two comment-bearing
+    bodies formatted differently could hash apart (hypothesis-found,
+    tests/test_cte_parser_properties.py)."""
+    text = _strip_comments(text)
+    out = []
+    i, n, start = 0, len(text), 0
+    while i < n:
+        if text[i] in ("'", '"'):
             out.append(re.sub(r"\s+", " ", text[start:i]))
             j = _skip_literal(text, i)
             out.append(text[i:j])
             i = start = j
-        elif c == "-" and text[i:i + 2] == "--":
-            out.append(re.sub(r"\s+", " ", text[start:i]))
-            i = start = _skip_comment(text, i)
         else:
             i += 1
     out.append(re.sub(r"\s+", " ", text[start:]))

@@ -97,10 +97,15 @@ def test_prior_gated_derived_from_correctness():
 def test_regate_window_matches_regeneration():
     """VERDICT r11 item 3: the steady-state re-gate rotation. The
     checked-in plans/_window.py must equal a regeneration from the
-    same CORRECTNESS census (ungated first, then oldest-latest-green
-    fill), and the registry's actual gate window must BE that plan."""
+    CORRECTNESS files that EXISTED when it was generated
+    (``_window.SOURCE_FILES`` — the _gated staleness protocol): a
+    mismatch there is an in-round bug and fails; a strictly newer
+    round file landing after round close warns instead, so a fresh
+    clone passes before anyone reruns the tools. The registry's
+    actual gate window must BE the checked-in plan."""
     import importlib.util
     import pathlib
+    import warnings
 
     from datafusion_functions_financial_spark.plans import _window
 
@@ -108,12 +113,25 @@ def test_regate_window_matches_regeneration():
     spec = importlib.util.spec_from_file_location("gen_window", tool)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    regenerated = mod.compute()
+    source = getattr(_window, "SOURCE_FILES", None)
+    assert source, "plans/_window.py predates SOURCE_FILES — regenerate"
+    regenerated = mod.compute(only_files=source)
     assert list(_window.REGATE_WINDOW) == regenerated, (
-        "plans/_window.py is stale — run python tools/gen_gated.py && "
+        "plans/_window.py is stale vs the CORRECTNESS files it was "
+        "generated from — run python tools/gen_gated.py && "
         "python tools/gen_window.py"
     )
     assert registry.gate_window_names() == list(_window.REGATE_WINDOW)
+    _latest, every = mod.compute_with_files()
+    newer = sorted({f.name for f in every} - set(source))
+    if newer:
+        warnings.warn(
+            "newer CORRECTNESS file(s) landed after plans/_window.py "
+            f"was generated: {newer} — run python tools/gen_gated.py "
+            "&& python tools/gen_window.py at round open (expected "
+            "across a round boundary, not a defect)",
+            stacklevel=1,
+        )
 
 
 def test_regate_window_fronts_stalest_green_rows():
@@ -123,11 +141,17 @@ def test_regate_window_fronts_stalest_green_rows():
     import importlib.util
     import pathlib
 
+    from datafusion_functions_financial_spark.plans import _window
+
     tool = pathlib.Path(__file__).parent.parent / "tools" / "gen_gated.py"
     spec = importlib.util.spec_from_file_location("gen_gated", tool)
     gg = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(gg)
-    latest, _ = gg.compute()
+    # judge staleness against the census the plan was generated from
+    # (a newer round file landing post-close is handled by the
+    # regeneration test's warning, not a failure here)
+    latest, _ = gg.compute(
+        only_files=getattr(_window, "SOURCE_FILES", None))
     names = list(registry.all_queries())
     window = names[: registry.GATE_WINDOW]
     inside = [latest[n][0] for n in window

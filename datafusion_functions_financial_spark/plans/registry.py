@@ -23,7 +23,17 @@ from ..functions import (
     technical7,
 )
 from ._gated import DRIVER_GREEN
-from ._window import REGATE_WINDOW
+
+# ADVICE r12: tools/gen_window.py imports this module to read
+# _collect_unordered(); if its own output (_window.py) is missing or
+# syntactically broken — exactly when regeneration is needed — the
+# import would fail before the generator could run. Fall back to an
+# empty window so the generator (and plain registry reads) still work;
+# the rotation test fails loudly on a genuinely missing window.
+try:
+    from ._window import REGATE_WINDOW
+except Exception:  # missing/broken generated file — regenerate it
+    REGATE_WINDOW = ()
 from ..operators import (
     countfit, embeval2, experiment2, ivfeval, spectral2,
     abtest, anomaly2, anomaly3, asof, binseg, blocking, bm25,

@@ -221,3 +221,29 @@ def test_queries_md_census_in_sync():
     assert int(m.group(1)) == len(registry.all_queries()), (
         f"QUERIES.md census {m.group(1)} != registry "
         f"{len(registry.all_queries())}; run tools/gen_queries_md.py")
+
+
+def test_gen_window_recovers_from_broken_window_file(tmp_path):
+    """ADVICE r12: gen_window.py imports plans.registry, which imports
+    plans._window — the generator's own output. If _window.py is
+    missing or syntactically broken (exactly when regeneration is
+    needed), registry must still import (empty REGATE_WINDOW fallback)
+    so the generator can rewrite the file. Run in a subprocess to avoid
+    polluting this process's module cache."""
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).parent.parent
+    win = root / "datafusion_functions_financial_spark/plans/_window.py"
+    committed = win.read_text()
+    try:
+        win.write_text("this is ( broken syntax\n")
+        r = subprocess.run(
+            [sys.executable, str(root / "tools/gen_window.py")],
+            capture_output=True, text=True, cwd=root, timeout=120)
+        assert r.returncode == 0, r.stderr[-500:]
+        assert win.read_text() == committed, (
+            "regeneration from broken state drifted from committed file")
+    finally:
+        win.write_text(committed)

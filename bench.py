@@ -38,6 +38,17 @@ def shift_verdict(pairs: dict[str, float]) -> dict | None:
     lo, hi = ratios[len(ratios) // 4], ratios[(3 * len(ratios)) // 4]
     suspected = bool(med >= 1.15 or med <= 0.85
                      or lo >= 1.05 or hi <= 0.95)
+    # ADVICE r12: an unconditional 10-entry top_regressors map showed
+    # reviewers ~1.0 ratios labeled "regressors" (and nothing at all
+    # for a downward shift). Only genuinely moved queries make the
+    # lists now: >= 1.15x slower or <= 1/1.15 faster, worst first,
+    # capped at 10 each. Empty maps mean "no individual mover".
+    slower = {q: round(r, 2)
+              for q, r in sorted(pairs.items(), key=lambda kv: -kv[1])
+              if r >= 1.15}
+    faster = {q: round(r, 2)
+              for q, r in sorted(pairs.items(), key=lambda kv: kv[1])
+              if r <= 1 / 1.15}
     return {
         "median_ratio": round(med, 3),
         "iqr": [round(lo, 3), round(hi, 3)],
@@ -47,11 +58,28 @@ def shift_verdict(pairs: dict[str, float]) -> dict | None:
                         if suspected else "none"),
         # legacy field (records <= r11 carried only this)
         "uniform_shift_suspected": bool(suspected and (hi - lo) < 0.35),
-        "top_regressors": {
-            q: round(r, 2)
-            for q, r in sorted(pairs.items(),
-                               key=lambda kv: -kv[1])[:10]},
+        "top_regressors": dict(list(slower.items())[:10]),
+        "top_speedups": dict(list(faster.items())[:10]),
     }
+
+
+def loglog_slope(points: dict[int, float]) -> float | None:
+    """Least-squares slope of ln(y) on ln(x) — the measured growth
+    exponent of ``y`` (candidate pairs) in ``x`` (corpus docs).
+    Returns None with fewer than two positive points."""
+    import math
+
+    pts = [(math.log(x), math.log(y))
+           for x, y in points.items() if x > 0 and y > 0]
+    if len(pts) < 2:
+        return None
+    mx = sum(p[0] for p in pts) / len(pts)
+    my = sum(p[1] for p in pts) / len(pts)
+    sxx = sum((p[0] - mx) ** 2 for p in pts)
+    if sxx == 0:
+        return None
+    return round(
+        sum((p[0] - mx) * (p[1] - my) for p in pts) / sxx, 3)
 
 
 def main() -> None:
@@ -358,6 +386,20 @@ def main() -> None:
         cal_sec = _s if cal_sec is None or _s < cal_sec else cal_sec
     cal_sec = round(cal_sec, 3)
 
+    # Always-median-of-3 tranche (VERDICT r12 item 4): best-of-2
+    # under-defends exactly where one co-tenant burst costs the most —
+    # the multi-second queries (driver r12 recorded graph_jaccard at
+    # 6.19s spread 5.8 vs 5.19s clean; one burst there moves the
+    # headline ~5%). Every query whose committed prior clean timing
+    # exceeds 3s — plus the named near-misses — always takes 3 runs
+    # and reports the median.
+    median3 = {q for q, s in prior_q.items() if s > 3.0} | {
+        "graph_jaccard_customers_lineitem",
+        "graph_triangles_lineitem",
+        "dedup_jaccard_hist_documents",
+        "dedup_minhash_lsh_documents",
+    }
+
     timings: dict[str, float] = {}
     rows_per_sec: dict[str, int] = {}
     spreads: dict[str, float] = {}
@@ -368,9 +410,13 @@ def main() -> None:
         # transient (BENCH_r04 recorded 5.5s for a query that
         # reproduces at 1.4s). The per-query spread (max/min across
         # all runs taken) is recorded so a reviewer can discount
-        # noise without re-running.
+        # noise without re-running. The >3s tranche skips the
+        # escalation heuristic and always takes median-of-3.
         runs = [run(name), run(name)]
-        if max(runs) > 2.0 * min(runs):
+        if name in median3:
+            runs.append(run(name))
+            sec = sorted(runs)[1]  # median of 3, unconditionally
+        elif max(runs) > 2.0 * min(runs):
             runs.append(run(name))
             sec = sorted(runs)[1]  # median of 3
         else:
@@ -430,7 +476,8 @@ def main() -> None:
     )
     from datafusion_functions_financial_spark.operators.similarity import (
         DIM, clusteredness_probe, cosine_topk_lsh, cosine_topk_matrix,
-        lsh_buckets, lsh_params,
+        groundtruth_key, legacy_groundtruth_key, lsh_buckets, lsh_params,
+        uniform_corpus,
     )
 
     # SPARK_GRAFT_ANN_N lets a smoke run shrink (or skip via small N)
@@ -442,15 +489,20 @@ def main() -> None:
     # fixed seed_mod=2048/nprobe=4 that gave recall 0.325 at 100K.
     ANN_SEED_MOD, ANN_NPROBE = ivf_params(ANN_N, target_recall=0.75)
     t0 = time.perf_counter()
-    vecs = spark.range(ANN_N).repartition(2 * int(cpus)).selectExpr(
-        "id AS vec_id",
-        f"transform(sequence(0, {DIM - 1}), i -> "
-        f"CAST(pmod(xxhash64(id * {DIM} + i), 1000003) AS DOUBLE) "
-        "/ 500001.5 - 1.0) AS embedding",
-    ).localCheckpoint()
+    # Corpus generator + ground-truth cache key live in ONE place
+    # (operators/similarity.py; ADVICE r12) — the key embeds a hash of
+    # the generator expression, so an edit there invalidates the cache.
+    vecs = uniform_corpus(spark, ANN_N, 2 * int(cpus)).localCheckpoint()
     qs = vecs.filter(f"vec_id < {ANN_NQ}").localCheckpoint()
     ann = {"n_vectors": ANN_N, "n_queries": ANN_NQ, "dim": DIM,
-           "gen_sec": round(time.perf_counter() - t0, 3)}
+           "gen_sec": round(time.perf_counter() - t0, 3),
+           # host-speed context for round-over-round tier comparisons
+           # (VERDICT r12 item 7): an ann100k_lsh-style outlier (44s in
+           # r11, 2.9s in r10) is now auto-labelable against the
+           # calibration probe without replaying the record.
+           "calibration_sec": cal_sec}
+    if prior_cal and cal_sec:
+        ann["calibration_ratio_vs_prior"] = round(cal_sec / prior_cal, 3)
 
     # --- exact ground-truth cache (VERDICT r11 item 5) ---------------
     # The audit corpus is fully deterministic (xxhash64-mixed
@@ -467,18 +519,22 @@ def main() -> None:
         _gt = {}
     _gt_dirty = False
 
-    def _gt_key(n: int) -> str:
-        return f"xxhash64v1:n={n}:dim={DIM}:nq={ANN_NQ}:k=5"
-
     def _gt_load(n: int) -> dict | None:
-        e = _gt.get(_gt_key(n))
+        e = _gt.get(groundtruth_key(n, ANN_NQ))
+        if e is None:
+            # r11/r12 sidecar entries used the hand-maintained tag;
+            # same corpus (expression unchanged) — migrate in place.
+            e = _gt.pop(legacy_groundtruth_key(n, ANN_NQ), None)
+            if e is not None:
+                _gt_store(n, {int(q): set(ids) for q, ids in e.items()})
         if not e:
             return None
         return {int(q): set(ids) for q, ids in e.items()}
 
     def _gt_store(n: int, sets: dict) -> None:
         nonlocal _gt_dirty
-        _gt[_gt_key(n)] = {str(q): sorted(s) for q, s in sets.items()}
+        _gt[groundtruth_key(n, ANN_NQ)] = {
+            str(q): sorted(s) for q, s in sets.items()}
         _gt_dirty = True
 
     def run_df(df) -> float:
@@ -637,12 +693,7 @@ def main() -> None:
     )
 
     def _uniform_corpus(n: int):
-        v = spark.range(n).repartition(2 * int(cpus)).selectExpr(
-            "id AS vec_id",
-            f"transform(sequence(0, {DIM - 1}), i -> "
-            f"CAST(pmod(xxhash64(id * {DIM} + i), 1000003) AS DOUBLE) "
-            "/ 500001.5 - 1.0) AS embedding",
-        ).localCheckpoint()
+        v = uniform_corpus(spark, n, 2 * int(cpus)).localCheckpoint()
         return v, v.filter(f"vec_id < {ANN_NQ}").localCheckpoint()
 
     curve: dict = {}
@@ -693,6 +744,146 @@ def main() -> None:
         with open(GT_PATH, "w") as f:
             json.dump(_gt, f, sort_keys=True)
         ann["groundtruth_cache_updated"] = True
+
+    # --- dedup candidate-growth audit (VERDICT r12 item 1) -------------
+    # The dedup tiers' 100-TB claim ("candidates form only inside
+    # bounded buckets") was design-documented but never measured — ANN
+    # had its recall/candidates table, dedup didn't. Deterministic
+    # zipf corpora (operators/corpusgen.py: 50K-word zipf vocabulary,
+    # 5% guaranteed near-dup pairs, 5% boilerplate docs sharing a
+    # 40-token header to exercise the hot-bucket cap) at
+    # SPARK_GRAFT_DEDUP_NS sizes; per tier we record candidate-pair
+    # counts, cap exclusions, and wall time, then fit the log-log
+    # growth exponent of candidates vs docs. Timed once per point
+    # (multi-second real work, same policy as the ANN audit); set
+    # SPARK_GRAFT_DEDUP_NS="" to skip in a smoke run.
+    from datafusion_functions_financial_spark.operators import dedup as dd
+    from datafusion_functions_financial_spark.operators.corpusgen import (
+        zipf_corpus,
+    )
+    from datafusion_functions_financial_spark.operators.ppjoin import (
+        ppjoin_candidate_count,
+    )
+
+    DEDUP_NS = [int(x) for x in os.environ.get(
+        "SPARK_GRAFT_DEDUP_NS", "5000,50000,500000").split(",") if x]
+    # 62-bit fingerprints / hamming<=3 (the production-scale setting
+    # the simhash docstring prescribes — the 31-bit gate default
+    # blocks far too weakly to audit growth past ~10K docs).
+    SH_BITS, SH_HAMMING = 62, 3
+    # The hot-bucket cap is a per-shard occupancy bound; production
+    # default 1000 is sized for ~10M-doc shards. The audit corpus is
+    # 20-2000x smaller, so the cap scales down proportionally (50) to
+    # keep the boilerplate-cluster-to-cap ratio in the production
+    # regime — otherwise the cap would not engage until ~100K docs and
+    # the capped-growth curve would straddle a regime change.
+    AUDIT_BUCKET_CAP = 50
+    # Candidate budget for the UNBOUNDED measurements (uncapped LSH,
+    # simhash banding, ppjoin prefix join — the joins whose output the
+    # bounded tiers exist to avoid). When a tier's own measured growth
+    # projects past the budget at the next size, the audit measures at
+    # the largest size that fits instead (recorded as reduced_from) —
+    # the exponent still gets a second point without minutes of
+    # quadratic-join wall time.
+    CAND_BUDGET = 25_000_000
+    dtiers: dict[str, dict] = {
+        "minhash_lsh_capped": {}, "minhash_lsh_uncapped": {},
+        "simhash_banded": {}, "ppjoin": {}}
+    dd_sections: dict = {"tiers": dtiers, "calibration_sec": cal_sec,
+                         "corpus": "corpusgen.zipf_corpus(vocab=50000)",
+                         "simhash_bits": SH_BITS,
+                         "simhash_max_hamming": SH_HAMMING,
+                         "bucket_cap": AUDIT_BUCKET_CAP,
+                         "candidate_budget": CAND_BUDGET}
+    _corpora: dict[int, object] = {}
+    _sigs: dict[int, object] = {}
+
+    def _corpus_at(n: int):
+        if n not in _corpora:
+            t0 = time.perf_counter()
+            _corpora[n] = zipf_corpus(
+                spark, n, partitions=2 * int(cpus)).localCheckpoint()
+            dd_sections.setdefault("gen_sec", {})[str(n)] = round(
+                time.perf_counter() - t0, 3)
+        return _corpora[n]
+
+    def _sig_at(n: int):
+        # one hashing pass per size, shared by stats + both LSH
+        # variants (the operator's own sig= contract)
+        if n not in _sigs:
+            _sigs[n] = dd.minhash_signatures(
+                _corpus_at(n)).localCheckpoint()
+        return _sigs[n]
+
+    def _guarded(tier: str, n: int, measure) -> None:
+        """Measure candidates at ``n``, or — if the tier's own fitted
+        growth projects past CAND_BUDGET — at the largest size that
+        fits (>=1.25x the last measured size, else record a skip)."""
+        pts = dtiers[tier]
+        done = {v.get("n", int(k)): v["candidates"]
+                for k, v in pts.items() if v.get("candidates")}
+        n_eff, projected = n, 0.0
+        if done:
+            last_n = max(done)
+            slope = loglog_slope(done) or 2.0
+            slope = max(slope, 1.0)  # growth never projects below linear
+            projected = done[last_n] * (n / last_n) ** slope
+            if projected > CAND_BUDGET:
+                n_eff = int(last_n * (CAND_BUDGET / done[last_n])
+                            ** (1.0 / slope))
+                if n_eff < 1.25 * last_n:
+                    # no silent caps: record what was dropped and why
+                    pts[str(n)] = {
+                        "skipped": True, "n": n,
+                        "projected_candidates": int(projected),
+                        "note": "over candidate budget; at this share "
+                                "the module routing note sends the "
+                                "corpus to the capped-LSH tier"}
+                    return
+        t0 = time.perf_counter()
+        cnt = measure(n_eff)
+        rec = {"n": n_eff, "candidates": int(cnt),
+               "sec": round(time.perf_counter() - t0, 3)}
+        if n_eff != n:
+            rec["reduced_from"] = n
+        pts[str(n_eff)] = rec
+
+    for n in DEDUP_NS:
+        corpus = _corpus_at(n)
+        # capped LSH — the 100-TB path — always runs at full size
+        t0 = time.perf_counter()
+        sig = _sig_at(n)
+        stats = dd.lsh_band_stats(
+            corpus, max_bucket_size=AUDIT_BUCKET_CAP,
+            sig=sig).collect()[0].asDict()
+        n_cand = dd.minhash_lsh_candidates(
+            corpus, max_bucket_size=AUDIT_BUCKET_CAP, sig=sig).count()
+        dtiers["minhash_lsh_capped"][str(n)] = {
+            "n": n, "candidates": int(n_cand),
+            "sec": round(time.perf_counter() - t0, 3),
+            **{k: int(v) for k, v in stats.items()}}
+        # the three unbounded joins measure up to the budget boundary
+        _guarded("minhash_lsh_uncapped", n, lambda m: (
+            dd.minhash_lsh_candidates(
+                _corpus_at(m), max_bucket_size=None,
+                sig=_sig_at(m)).count()))
+        _guarded("simhash_banded", n, lambda m: (
+            dd.simhash_candidates(
+                _corpus_at(m), max_hamming=SH_HAMMING,
+                bits=SH_BITS).count()))
+        _guarded("ppjoin", n, lambda m: (
+            ppjoin_candidate_count(
+                _corpus_at(m)).collect()[0]["n_candidates"]))
+    dd_sections["candidate_growth_exponent"] = {
+        tier: loglog_slope({v["n"]: v["candidates"]
+                            for v in pts.values()
+                            if v.get("candidates")})
+        for tier, pts in dtiers.items()}
+    dedup_scale_sec = round(
+        sum(v.get("sec", 0.0)
+            for pts in dtiers.values() for v in pts.values())
+        + sum(dd_sections.get("gen_sec", {}).values()), 3)
+    dd_sections["total_sec"] = dedup_scale_sec
 
     # headline value = the raw single-pass total; the rerun-adjusted
     # sum (contention minima folded in) is a separate field
@@ -746,6 +937,8 @@ def main() -> None:
         "spread": spreads,
         "ann_scale": ann,
         "ann_scale_seconds": ann_total,
+        "dedup_scale": dd_sections,
+        "dedup_scale_seconds": dedup_scale_sec,
         "cpus": int(cpus),
         "calibration_sec": cal_sec,
         "calibration_version": 2,  # v2: pure-CPU range-agg probe
@@ -753,6 +946,8 @@ def main() -> None:
         "contention_reruns": contention_reruns,
         "loadavg": load_now,          # at suite end
         "loadavg_start": load_start,  # after warm-up, before suite
+        # queries measured median-of-3 unconditionally (r12 item 4)
+        "median3_tranche": sorted(median3 & set(headline)),
         # standing per-query audit conclusions (VERDICT r10 item 6
         # asked for the jaccard verdict recorded in the detail)
         "audit_notes": {
@@ -794,6 +989,10 @@ def main() -> None:
         # scale-aware IVF recall@5 at >= 2 corpus sizes per run
         # (VERDICT r08 item 8) — full params in bench_detail.json
         "ivf_recall_at_5": {k: v["recall"] for k, v in curve.items()},
+        # measured log-log candidate-growth exponent per dedup tier
+        # (r12 item 1) — tier detail in bench_detail.json
+        "dedup_cand_exponent": dd_sections["candidate_growth_exponent"],
+        "dedup_scale_seconds": dedup_scale_sec,
     }
     # per-query ratio vs the committed prior clean run: a uniform
     # shift here means host contention, not a code change (r09 item 3)

@@ -286,6 +286,57 @@ def _band_key_expr(band: int) -> str:
 EST_MIN_MATCHES = 8  # signature pre-filter: >= 8/16 perms must agree
 
 
+def _band_rows(sig: DataFrame, with_sig: bool = False) -> DataFrame:
+    """Explode a signature relation into (doc_id[, __sig], band,
+    band_key) rows — one per LSH band. Bands are distinguished by
+    index to avoid cross-band key collisions. ``with_sig`` carries the
+    full signature array along for the in-join agreement pre-filter."""
+    band_exprs = [
+        f"named_struct('band', {b}, 'key', {_band_key_expr(b)})"
+        for b in range(N_PERMS // BAND_SIZE)
+    ]
+    cols = ["doc_id"]
+    out = ["doc_id"]
+    if with_sig:
+        sig_arr = ", ".join(f"mh_{j}" for j in range(N_PERMS))
+        cols.append(f"array({sig_arr}) AS __sig")
+        out.append("__sig")
+    return sig.selectExpr(
+        *cols, f"explode(array({', '.join(band_exprs)})) AS bk",
+    ).selectExpr(*out, "bk.band AS band", "bk.key AS band_key")
+
+
+def lsh_band_stats(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+                   sig: DataFrame | None = None) -> DataFrame:
+    """One-row bucket-occupancy audit of the LSH blocking stage:
+    (n_band_rows, n_buckets, max_bucket, n_hot_buckets,
+    n_rows_excluded) — the measured form of the hot-bucket-cap claim.
+
+    ``n_rows_excluded`` counts band rows (not docs) the cap drops
+    before any candidate pair forms; a bucket of size m would have
+    emitted m*(m-1)/2 pairs from one reducer. One groupBy on the band
+    key — the same shuffle the candidate join pays — then a global
+    aggregate of the tiny bucket-size relation."""
+    if sig is None:
+        sig = minhash_signatures(df, text_col, id_col).localCheckpoint()
+    sizes = (
+        _band_rows(sig).groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+    )
+    hot = F.col("__bsz") > max_bucket_size
+    return sizes.agg(
+        F.sum("__bsz").cast("bigint").alias("n_band_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("__bsz").cast("bigint").alias("max_bucket"),
+        F.sum(F.when(hot, 1).otherwise(0)).cast("bigint")
+        .alias("n_hot_buckets"),
+        F.sum(F.when(hot, F.col("__bsz")).otherwise(0)).cast("bigint")
+        .alias("n_rows_excluded"),
+    )
+
+
 def _cap_hot_buckets(bands: DataFrame, key_cols: list[str],
                      max_bucket_size: int) -> DataFrame:
     """Drop rows belonging to band buckets with more than
@@ -375,22 +426,13 @@ def minhash_lsh_candidates(
         # this subplan twice, and Spark re-executes (not CSEs) repeated
         # subplans — recomputing the hash UDF otherwise.
         sig = minhash_signatures(df, text_col, id_col).localCheckpoint()
-    # Distinguish bands by index to avoid cross-band key collisions.
-    band_exprs = [
-        f"named_struct('band', {b}, 'key', {_band_key_expr(b)})"
-        for b in range(N_PERMS // BAND_SIZE)
-    ]
     # The full signature rides along as an array so the agreement
     # pre-filter evaluates INSIDE the band self-join (16 int compares
     # per bucket-mate) instead of two post-hoc joins of the candidate
     # relation back against ``sig`` — two fewer shuffles, and pairs die
     # before the distinct. Cost: 16 extra longs per band row through
     # the explode shuffle (~150 B/row), linear in corpus size.
-    sig_arr = ", ".join(f"mh_{j}" for j in range(N_PERMS))
-    bands = sig.selectExpr(
-        "doc_id", f"array({sig_arr}) AS __sig",
-        f"explode(array({', '.join(band_exprs)})) AS bk",
-    ).selectExpr("doc_id", "__sig", "bk.band AS band", "bk.key AS band_key")
+    bands = _band_rows(sig, with_sig=True)
     if max_bucket_size is not None:
         bands = _cap_hot_buckets_fused(bands, ["band", "band_key"],
                                        max_bucket_size)
@@ -709,6 +751,54 @@ def _band_slices(bits: int, n_bands: int) -> list[tuple[int, int]]:
     return out
 
 
+def simhash_candidates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = HAMMING_THRESHOLD,
+                       bits: int = SIMHASH_BITS,
+                       s: DataFrame | None = None) -> DataFrame:
+    """The banded blocking stage of :func:`simhash_pairs` alone:
+    distinct (id_a < id_b) pairs sharing >= 1 of the
+    ``max_hamming + 1`` bit-bands — before Hamming verification.
+
+    Exposed so scale audits (bench.py ``dedup_scale``) can measure
+    candidate growth directly. Note the structural scale limit: for a
+    fixed fingerprint width, each band carries ~bits/(max_hamming+1)
+    bits, so chance collisions contribute ~n^2 / 2^band_width pairs —
+    linear only while n << 2^band_width. Past that, widen the
+    fingerprint (``bits`` up to 62 here) or route to MinHash-LSH,
+    whose band keys (4 x 31-bit minima) have no such background term.
+
+    ``s``: optionally pass precomputed (doc_id, simhash) fingerprints
+    (already materialized) to share one hashing pass with a verifier.
+    """
+    if max_hamming + 1 > bits:
+        raise ValueError("banding degenerates below 1 bit/band; "
+                         "use simhash_pairs(method='allpairs')")
+    if s is None:
+        s = simhash(df, text_col, id_col, bits).localCheckpoint()
+    slices = _band_slices(bits, max_hamming + 1)
+    band_exprs = [
+        f"named_struct('band', {b}, 'bucket', "
+        f"shiftright(simhash, {off}) & {(1 << w) - 1}L)"
+        for b, (off, w) in enumerate(slices)
+    ]
+    bands = s.selectExpr(
+        "doc_id", f"explode(array({', '.join(band_exprs)})) AS bk"
+    ).selectExpr("doc_id", "bk.band AS band", "bk.bucket AS bucket")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   max_hamming: int = HAMMING_THRESHOLD,
@@ -749,27 +839,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     # the verify join — materialize once (Spark re-executes, not CSEs,
     # repeated subplans, and simhash() runs a token-hash UDF per row).
     s = simhash(df, text_col, id_col, bits).localCheckpoint()
-    slices = _band_slices(bits, max_hamming + 1)
-    band_exprs = [
-        f"named_struct('band', {b}, 'bucket', "
-        f"shiftright(simhash, {off}) & {(1 << w) - 1}L)"
-        for b, (off, w) in enumerate(slices)
-    ]
-    bands = s.selectExpr(
-        "doc_id", f"explode(array({', '.join(band_exprs)})) AS bk"
-    ).selectExpr("doc_id", "bk.band AS band", "bk.bucket AS bucket")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    cand = simhash_candidates(df, text_col, id_col, max_hamming, bits,
+                              s=s)
     return (
         cand.join(s.selectExpr("doc_id AS id_a", "simhash AS sh_a"), "id_a")
         .join(s.selectExpr("doc_id AS id_b", "simhash AS sh_b"), "id_b")

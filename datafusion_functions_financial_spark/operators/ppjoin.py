@@ -62,7 +62,8 @@ from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
 from .dedup import _shingles_duck, _shingles_spark
 
-__all__ = ["ppjoin_pairs", "ppjoin_candidate_stats"]
+__all__ = ["ppjoin_pairs", "ppjoin_candidate_stats",
+           "ppjoin_candidate_count"]
 
 # Jaccard threshold t = T_NUM / T_DEN (exact rational).
 T_NUM, T_DEN = 3, 5
@@ -138,6 +139,31 @@ def ppjoin_pairs(docs: DataFrame, id_col: str = "doc_id",
                 "/ CAST(m_a + m_b - inter AS DOUBLE)"), 6
             ).alias("jaccard"),
         )
+    )
+
+
+def ppjoin_candidate_count(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           t_num: int = T_NUM,
+                           t_den: int = T_DEN) -> DataFrame:
+    """One row (n_candidates): the prefix-filter candidate-pair count
+    WITHOUT the exact intersection join.
+
+    :func:`ppjoin_candidate_stats` scores every candidate (the
+    token-set join) before counting — right for a correctness gate,
+    but a scale audit only needs the blocking stage's output size,
+    and scoring costs ~linear in candidates (~1M candidates/minute
+    measured). This is the prefix equi-join + distinct alone, so
+    candidate growth can be measured at sizes where scoring would be
+    the bottleneck (bench.py ``dedup_scale``)."""
+    tok = _tokens(docs, id_col, text_col)
+    pref = _prefixes(tok, t_num, t_den)
+    return (
+        pref.selectExpr("doc_id AS id_a", "w")
+        .join(pref.selectExpr("doc_id AS id_b", "w"), "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
     )
 
 

@@ -32,6 +32,56 @@ K_LSH = 5
 N_QUERIES = 10  # query set: vec_id < N_QUERIES
 NEARDUP_COS = 0.4
 
+# --- deterministic ANN audit corpus (single source of truth) --------------
+# ADVICE r12: the generator expression and its ground-truth cache tag
+# ("xxhash64v1") were duplicated verbatim in bench.py and
+# tools/ivf_sweep.py — editing the constants in one place without
+# bumping the tag would silently serve stale cached ground truth.
+# Both now import THESE helpers, and the cache tag is DERIVED from a
+# hash of the expression string, so any edit to the generator
+# automatically invalidates the cache key.
+
+#: cache tag that named this exact expression in the r11/r12 sidecar
+#: (tools/ann_groundtruth.json); loaders fall back to it and migrate.
+LEGACY_GROUNDTRUTH_TAG = "xxhash64v1"
+
+
+def uniform_corpus_expr(dim: int = DIM) -> str:
+    """Spark SQL expression (over a ``range`` table's ``id``) for one
+    deterministic uniform vector: xxhash64-mixed components in
+    [-1, 1), no RNG — identical corpus every run, every host."""
+    return (
+        f"transform(sequence(0, {dim - 1}), i -> "
+        f"CAST(pmod(xxhash64(id * {dim} + i), 1000003) AS DOUBLE) "
+        "/ 500001.5 - 1.0)"
+    )
+
+
+def uniform_corpus(spark: SparkSession, n: int,
+                   partitions: int, dim: int = DIM) -> DataFrame:
+    """The n-vector audit corpus as (vec_id, embedding)."""
+    return spark.range(n).repartition(partitions).selectExpr(
+        "id AS vec_id", f"{uniform_corpus_expr(dim)} AS embedding")
+
+
+def groundtruth_key(n: int, nq: int, k: int = 5, dim: int = DIM) -> str:
+    """Cache key for the exact top-k ground truth of the corpus above.
+
+    The tag embeds a hash of the generator expression, so editing the
+    generator (constants, mixing, dim layout) changes every key and
+    the cache re-derives instead of serving stale neighbors."""
+    import hashlib
+
+    h = hashlib.sha256(uniform_corpus_expr(dim).encode()).hexdigest()[:8]
+    return f"xxhash64-{h}:n={n}:dim={dim}:nq={nq}:k={k}"
+
+
+def legacy_groundtruth_key(n: int, nq: int, k: int = 5,
+                           dim: int = DIM) -> str:
+    """r11/r12-era key for the same entry (pre-derived-tag); loaders
+    check it after :func:`groundtruth_key` misses and migrate."""
+    return f"{LEGACY_GROUNDTRUTH_TAG}:n={n}:dim={dim}:nq={nq}:k={k}"
+
 # --- portable dot/cosine folds --------------------------------------------
 
 

@@ -59,7 +59,24 @@ def test_top_regressors_listed_worst_first():
     v = bench.shift_verdict(pairs)
     top = list(v["top_regressors"])
     assert top[0] == "slowest" and top[1] == "second"
-    assert len(v["top_regressors"]) == 10
+    # ADVICE r12: ~1.0 ratios no longer pad the map — only the two
+    # genuine movers (>= 1.15x) appear.
+    assert len(v["top_regressors"]) == 2
+
+
+def test_movers_filtered_and_symmetric():
+    # ADVICE r12: no ~1.0 entries labeled regressors; downward movers
+    # get their own list, fastest first.
+    pairs = _pairs([1.0] * 30)
+    pairs["up"] = 1.2
+    pairs["down"] = 0.5
+    pairs["down2"] = 0.8
+    v = bench.shift_verdict(pairs)
+    assert list(v["top_regressors"]) == ["up"]
+    assert list(v["top_speedups"]) == ["down", "down2"]
+    # nothing moved -> both lists empty, not padded with 1.0s
+    v2 = bench.shift_verdict(_pairs([1.0] * 30))
+    assert v2["top_regressors"] == {} and v2["top_speedups"] == {}
 
 
 def test_small_samples_return_none():

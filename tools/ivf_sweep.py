@@ -54,7 +54,8 @@ def main() -> None:
         cosine_topk_ivf, ivf_index,
     )
     from datafusion_functions_financial_spark.operators.similarity import (
-        DIM, cosine_topk_matrix,
+        cosine_topk_matrix, groundtruth_key, legacy_groundtruth_key,
+        uniform_corpus,
     )
 
     NQ = 16
@@ -67,12 +68,9 @@ def main() -> None:
         gt = {}
 
     def corpus(n: int):
-        v = spark.range(n).repartition(2 * int(args.cpus)).selectExpr(
-            "id AS vec_id",
-            f"transform(sequence(0, {DIM - 1}), i -> "
-            f"CAST(pmod(xxhash64(id * {DIM} + i), 1000003) AS DOUBLE) "
-            "/ 500001.5 - 1.0) AS embedding",
-        ).localCheckpoint()
+        # generator + cache key shared with bench.py via
+        # operators/similarity.py (ADVICE r12: were duplicated here)
+        v = uniform_corpus(spark, n, 2 * int(args.cpus)).localCheckpoint()
         return v, v.filter(f"vec_id < {NQ}").localCheckpoint()
 
     def top5(df) -> dict:
@@ -84,7 +82,9 @@ def main() -> None:
 
     for n in ns:
         v, q = corpus(n)
-        key = f"xxhash64v1:n={n}:dim={DIM}:nq={NQ}:k=5"
+        key = groundtruth_key(n, NQ)
+        if key not in gt and legacy_groundtruth_key(n, NQ) in gt:
+            gt[key] = gt.pop(legacy_groundtruth_key(n, NQ))
         if key in gt:
             bf = {int(k): set(ids) for k, ids in gt[key].items()}
         else:

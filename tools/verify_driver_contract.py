@@ -391,11 +391,17 @@ def main() -> int:
             failures += 1
             print(f"ERROR {name}: {str(e)[:160]}")
             results[name] = {"status": "ERROR", "err": str(e)[:160]}
-    print(f"{len(names)} checked, {failures} failing")
+    # ADVICE r12: "checked" used to be len(names), which counted SKIP
+    # (no-oracle) rows as checked — overstating coverage in committed
+    # evidence records. Count only rows actually compared.
+    skipped = sum(1 for r in results.values() if r["status"] == "SKIP")
+    checked = len(results) - skipped
+    print(f"{checked} checked ({skipped} skipped), {failures} failing")
     if args.out:
         import json
         with open(args.out, "w") as f:
-            json.dump({"sf": args.sf, "checked": len(names),
+            json.dump({"sf": args.sf, "checked": checked,
+                       "skipped": skipped,
                        "failing": failures, "results": results},
                       f, indent=1, sort_keys=True)
     return 1 if failures else 0

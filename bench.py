@@ -82,6 +82,37 @@ def loglog_slope(points: dict[int, float]) -> float | None:
         sum((p[0] - mx) * (p[1] - my) for p in pts) / sxx, 3)
 
 
+def plan_audit_size(done: dict[int, int], n: int,
+                    budget: int) -> tuple[int, int]:
+    """Size the next unbounded-join measurement for the dedup scale
+    audit: given already-measured ``{n_docs: candidates}`` points,
+    return ``(n_eff, projected)`` where ``n_eff`` is ``n`` if the
+    tier's own fitted growth projects within ``budget`` candidate
+    pairs at ``n``, else the largest affordable size — or 0 when even
+    that would sit under 1.25x the last measured size (a skip: no new
+    information for minutes of quadratic-join wall time).
+
+    The fitted slope is floored at 1.0 (growth never projects below
+    linear) and defaults to 2.0 with a single point (the conservative
+    all-pairs assumption). Pure so tests can pin the budget-guard
+    arithmetic without a Spark session."""
+    if not done:
+        return n, 0
+    last_n = max(done)
+    slope = loglog_slope(done)
+    # None (a single point) -> conservative all-pairs 2.0; a fitted
+    # slope — including a legitimate 0.0 from a flat curve, which
+    # ``or`` would swallow — is floored at linear instead.
+    slope = 2.0 if slope is None else max(slope, 1.0)
+    projected = done[last_n] * (n / last_n) ** slope
+    if projected <= budget:
+        return n, int(projected)
+    n_eff = int(last_n * (budget / done[last_n]) ** (1.0 / slope))
+    if n_eff < 1.25 * last_n:
+        return 0, int(projected)
+    return n_eff, int(projected)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -822,24 +853,16 @@ def main() -> None:
         pts = dtiers[tier]
         done = {v.get("n", int(k)): v["candidates"]
                 for k, v in pts.items() if v.get("candidates")}
-        n_eff, projected = n, 0.0
-        if done:
-            last_n = max(done)
-            slope = loglog_slope(done) or 2.0
-            slope = max(slope, 1.0)  # growth never projects below linear
-            projected = done[last_n] * (n / last_n) ** slope
-            if projected > CAND_BUDGET:
-                n_eff = int(last_n * (CAND_BUDGET / done[last_n])
-                            ** (1.0 / slope))
-                if n_eff < 1.25 * last_n:
-                    # no silent caps: record what was dropped and why
-                    pts[str(n)] = {
-                        "skipped": True, "n": n,
-                        "projected_candidates": int(projected),
-                        "note": "over candidate budget; at this share "
-                                "the module routing note sends the "
-                                "corpus to the capped-LSH tier"}
-                    return
+        n_eff, projected = plan_audit_size(done, n, CAND_BUDGET)
+        if n_eff == 0:
+            # no silent caps: record what was dropped and why
+            pts[str(n)] = {
+                "skipped": True, "n": n,
+                "projected_candidates": projected,
+                "note": "over candidate budget; at this share "
+                        "the module routing note sends the "
+                        "corpus to the capped-LSH tier"}
+            return
         t0 = time.perf_counter()
         cnt = measure(n_eff)
         rec = {"n": n_eff, "candidates": int(cnt),

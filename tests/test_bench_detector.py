@@ -81,3 +81,45 @@ def test_movers_filtered_and_symmetric():
 
 def test_small_samples_return_none():
     assert bench.shift_verdict(_pairs([1.5] * 19)) is None
+
+
+# --- dedup audit budget guard (pure arithmetic, no Spark) -------------
+
+
+def test_plan_audit_size_first_point_unguarded():
+    # nothing measured yet: measure at the requested size
+    assert bench.plan_audit_size({}, 5000, 25_000_000) == (5000, 0)
+
+
+def test_plan_audit_size_within_budget():
+    n_eff, proj = bench.plan_audit_size({5000: 10841}, 50000, 25_000_000)
+    assert n_eff == 50000
+    # single point -> conservative all-pairs slope 2.0
+    assert proj == int(10841 * 100)
+
+
+def test_plan_audit_size_reduces_to_budget_boundary():
+    # replay of the committed r13 ppjoin point: 6.85M candidates at
+    # 5K docs, 25M budget -> measure at 9549 docs, not 50K
+    n_eff, proj = bench.plan_audit_size(
+        {5000: 6_853_155}, 50000, 25_000_000)
+    assert n_eff == 9549
+    assert proj > 25_000_000
+
+
+def test_plan_audit_size_skips_when_no_headroom():
+    # replay of the committed r13 ppjoin skip: the last measured size
+    # already sits at the budget, so the next size has < 1.25x
+    # headroom -> skip (n_eff 0), projected count reported
+    done = {5000: 6_853_155, 9549: 25_033_180}
+    n_eff, proj = bench.plan_audit_size(done, 500_000, 25_000_000)
+    assert n_eff == 0
+    assert proj > 1_000_000_000
+
+
+def test_plan_audit_size_slope_floored_at_linear():
+    # a flat measured curve (slope 0) must still project linearly,
+    # never below — else the guard would extrapolate shrinking work
+    n_eff, proj = bench.plan_audit_size({100: 10, 200: 10}, 400, 1000)
+    assert n_eff == 400
+    assert proj == 20

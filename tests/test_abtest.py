@@ -60,6 +60,7 @@ def test_jackknife_se_shrinks_with_scale(spark):
     assert se_of(4000) < se_of(500)
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_two_proportion_z_matches_closed_form(spark):
     from datafusion_functions_financial_spark.operators.abtest import (
         two_proportion_ztest,

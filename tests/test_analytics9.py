@@ -46,6 +46,7 @@ def test_q17_no_forced_broadcast(spark, sf_dir):
     assert "ResolvedHint" not in analyzed, analyzed
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_q5_q7_q8_dimension_broadcasts_and_pushdown(spark, sf_dir):
     # VERDICT r08 item 6: bounded dimensions (nation/region) must stay
     # broadcast and the selective filters must reach the parquet scans

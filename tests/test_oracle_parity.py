@@ -89,11 +89,14 @@ _SLOW_PARITY = {
 # when the default run crossed 550 s at 481 pairs; notched 5 -> 6
 # early r11 per VERDICT r10 item 3 — the judge's clean default run
 # measured 680 s at 935 tests — then 6 -> 7 mid-r11 when the clean
-# run still read 580 s after the slow-tranche move): the
+# run still read 580 s after the slow-tranche move; notched 7 -> 8
+# at r13 round-close when a quiet-window default run measured
+# 620 s — the armed VERDICT r12 item 6 trigger, taken without
+# debate as prescribed): the
 # full-registry parity net grows linearly with pairs
 # (366 pairs ~ 12-14 min default suite at r07), so each DEFAULT run
-# executes a rotating ~1/7 of pairs — 1 of 7 crc32 buckets, advanced
-# daily (every pair still runs within any 7 consecutive days) — while
+# executes a rotating ~1/8 of pairs — 1 of 8 crc32 buckets, advanced
+# daily (every pair still runs within any 8 consecutive days) — while
 # ``-m slow`` still runs every pair and every round-close
 # driver-contract sweep covers the full registry at sf0.01+.
 # Reproduce any day's selection with
@@ -106,7 +109,7 @@ import datetime
 import os
 import zlib
 
-_N_BUCKETS = 7
+_N_BUCKETS = 8
 _BUCKETS_PER_RUN = 1
 _shard_env = os.environ.get("SPARK_GRAFT_PARITY_SHARD", "")
 _SHARD_ALL = _shard_env == "all"

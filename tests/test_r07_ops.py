@@ -45,6 +45,7 @@ def test_distributed_median_hot_group_narrows(spark, n):
     _approx(out["small"]["median"], 4.0)
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_distributed_median_driver_gets_only_needed_ranks(
         spark, monkeypatch):
     """VERDICT r06 #1 regression: every driver collect that carries
@@ -76,6 +77,7 @@ def test_distributed_median_driver_gets_only_needed_ranks(
         assert ln <= 2 * 3, (cols, ln)
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_distributed_median_non_string_group_and_int_values(spark):
     """ADVICE r06: group dtype must come from the input schema (int
     keys used to crash on the hardcoded string schema); integer value
@@ -183,6 +185,7 @@ def _sketch_frames(spark, vals, groups=None):
     return qsketch, df, bounds
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_sketch_merge_equals_direct_build(spark):
     rng = np.random.RandomState(3)
     vals = rng.rand(2000) * 1000
@@ -570,6 +573,7 @@ def test_medoid_is_the_central_point(spark):
     _approx(got["mean_dist"], 1.0, tol=1e-6)
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_centroid_geometry_two_clusters(spark):
     from datafusion_functions_financial_spark.operators.embgeo import (
         label_centroid_geometry,
@@ -641,6 +645,7 @@ def _series_df(spark, xs, ys):
                  "event_id")
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_engle_granger_separates_cointegrated_pair(spark):
     from datafusion_functions_financial_spark.operators.stats4 import (
         engle_granger,

@@ -36,6 +36,7 @@ def test_woe_iv_informative_beats_noise(spark):
     assert iv_noise < 0.1           # independent label: near zero
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_woe_matches_hand_formula(spark):
     from datafusion_functions_financial_spark.operators.mlmetrics import (
         woe_iv,

@@ -34,6 +34,7 @@ def test_median_ci_orders_and_brackets(spark):
     assert row["ci_hi"] - row["ci_lo"] < 3.0
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_median_ci_exact_small_sample(spark):
     from datafusion_functions_financial_spark.operators.quantile3 import (
         median_ci,
@@ -47,6 +48,7 @@ def test_median_ci_exact_small_sample(spark):
     assert row["ci_hi"] == pytest.approx(5.0)
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_median_ci_even_n_averages_middles(spark):
     from datafusion_functions_financial_spark.operators.quantile3 import (
         median_ci,

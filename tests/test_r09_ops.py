@@ -2,6 +2,8 @@
 stats9, inequality). Engine parity is covered by the oracle net and
 the on-landing 3-SF driver-contract verification."""
 
+import pytest
+
 import math
 
 from datafusion_functions_financial_spark.operators.inequality import (
@@ -15,6 +17,7 @@ from datafusion_functions_financial_spark.operators.stats9 import (
 )
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_pr_auc_hand_computed(spark):
     # scores 4>3>2>1, labels 1,0,1,0: block precisions 1/1 and 2/3 at
     # the positives -> AP = (1 + 2/3) / 2 = 0.833333
@@ -39,6 +42,7 @@ def test_pr_auc_ties_enter_as_one_block(spark):
     assert row["pr_auc"] == 0.5
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_brier_perfect_and_uniform(spark):
     # all-negative labels with p=0: every term 0.
     df = spark.createDataFrame([(0.0, 0)] * 4, "p double, y int")
@@ -53,6 +57,7 @@ def test_brier_perfect_and_uniform(spark):
     assert r2["reliability"] == 0.0 and r2["resolution"] == 0.0
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_levene_symmetric_groups_give_zero(spark):
     # both groups have the SAME |x - mean| pattern (2, 0, 2) ->
     # identical z-means -> between-group numerator 0 -> W = 0
@@ -85,6 +90,7 @@ def test_trend_test_monotone_rate_is_positive(spark):
     assert row["z_trend"] > 3.0
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_cohens_kappa_bounds(spark):
     # perfect agreement -> kappa = 1
     df = spark.createDataFrame([(1, 1)] * 3 + [(0, 0)] * 3,

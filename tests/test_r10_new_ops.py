@@ -38,6 +38,7 @@ def test_cochran_q_reduces_to_mcnemar_at_k2(spark):
     assert abs(q.q_stat - m.mcnemar) < 1e-6
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_friedman_hand_computed(spark):
     from datafusion_functions_financial_spark.operators.stats13 import (
         friedman_w,
@@ -117,6 +118,7 @@ def test_ht_estimator_weights_are_integer_exact(spark):
     assert r.est_total == 1200.0 and r.true_total == 1200.0
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_logrank_symmetric_groups_score_zero(spark):
     from datafusion_functions_financial_spark.operators.survival2 import (
         logrank_test,
@@ -304,6 +306,7 @@ def test_seasonal_naive_mase_on_perfect_seasonal_series(spark):
     assert r.smape == 0.0
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_cell_purity_bounds_and_separated_clusters(spark):
     from datafusion_functions_financial_spark.operators.ivfeval import (
         cell_label_purity,

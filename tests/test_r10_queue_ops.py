@@ -2,6 +2,8 @@
 text9, graph5, embgeo2). Engine parity is covered by the oracle net
 and the on-landing 3-SF driver-contract verification."""
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -29,6 +31,7 @@ def _events(spark, rows):
         "k string, us long, value double")
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_residual_diagnostics_trend_invariant(spark):
     # adding a linear-in-day trend leaves OLS residuals unchanged,
     # so BP and DW must be identical on base vs trended series.
@@ -48,6 +51,7 @@ def test_residual_diagnostics_trend_invariant(spark):
     assert dw0["n_days"] == 8 and bp0["n_days"] == 8
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_mood_median_fully_separated_groups(spark):
     # group a entirely below the median, group b entirely above:
     # chi2 of the 2x2 equals n.
@@ -97,6 +101,7 @@ def test_silhouette_perfectly_separated_labels(spark):
     assert out == {0: 1.0, 1: 1.0}
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_sample_balanced_keeps_min_class_count(spark):
     from datafusion_functions_financial_spark.operators.sampling4 import (
         sample_balanced,
@@ -144,6 +149,7 @@ def test_rich_club_triangle_with_pendant(spark):
     assert out[2] == (1, 0, 0.0)
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_pareto_cutpoint_hand_computed(spark):
     from datafusion_functions_financial_spark.operators import (
         concentration2,
@@ -159,6 +165,7 @@ def test_pareto_cutpoint_hand_computed(spark):
     assert row["top_share"] == 0.8
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_ks_perfect_classifier_is_one(spark):
     from datafusion_functions_financial_spark.operators.mlmetrics3 import (
         ks_separation,

@@ -54,6 +54,7 @@ def test_anderson_darling_identical_samples_small(spark):
     assert row["ad_stat"] == 0.0
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_anderson_darling_separated_exceeds_mixed(spark):
     sep = spark.createDataFrame(
         [("a", float(i)) for i in range(8)]
@@ -215,6 +216,7 @@ def test_new_ops_exchange_budget(spark, sf_dir):
                                    "q_cliffs_delta_events")) <= 6
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_hits_star_graph(spark):
     # star: node 0 points at 1..3. Only node 0 has hub mass; only
     # 1..3 have authority mass (1/3 each under L1).
@@ -234,6 +236,7 @@ def test_hits_star_graph(spark):
         assert abs(rows[i][1] - 1.0 / 3.0) < 1e-7
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_truss_support_k4_clique_and_pendant(spark):
     # K4 plus a pendant edge: every clique edge sits in 2 triangles,
     # the pendant in 0 -> histogram {2: 6, 0: 1}.
@@ -247,6 +250,7 @@ def test_truss_support_k4_clique_and_pendant(spark):
     assert hist == {2: 6, 0: 1}
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_capture_ratios_levered_key(spark):
     # key 7 moves exactly 2x the market every bucket: both captures 2.
     from datafusion_functions_financial_spark.operators.risk4 import (
@@ -277,6 +281,7 @@ def test_capture_ratios_levered_key(spark):
     assert out[7]["n_up"] == 2 and out[7]["n_down"] == 2
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_jensen_treynor_market_itself(spark):
     # the market key against itself: beta 1, alpha 0, treynor = mean.
     from datafusion_functions_financial_spark.operators.risk4 import (
@@ -366,6 +371,7 @@ def test_mrr_user_without_relevant_counts_zero(spark):
     assert m["mrr"] == 0.5  # (1 + 0) / 2
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_turning_points_alternating_vs_monotone(spark):
     # strictly alternating series: every interior point turns;
     # monotone series: none.
@@ -383,6 +389,7 @@ def test_turning_points_alternating_vs_monotone(spark):
     assert a["z"] > 0 > m["z"]
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_dfa_white_noise_alpha_near_half(spark):
     # deterministic pseudo-noise: DFA alpha lands near 0.5; its
     # cumulative walk lands near 1.5 (alpha_walk = alpha_noise + 1).
@@ -563,6 +570,7 @@ def test_twonn_planar_vectors(spark):
     assert 0.3 < r["id_twonn"] < 3.0
 
 
+@pytest.mark.slow  # r13 wall-time move (measured 2.9-8.5s)
 def test_qnorm_aligns_shifted_sources(spark):
     # source b = source a shifted by +1000: after qnorm both sources
     # map rank-equal rows to the SAME pooled boundary values.

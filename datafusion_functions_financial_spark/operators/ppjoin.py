@@ -32,6 +32,12 @@ ordering is what makes the hot-token problem self-limiting);
 intersection counting joins candidates back to the two token sets by
 doc key. For adversarial corpora where even prefixes share hot
 tokens, run MinHash-LSH first and this join on the survivors.
+MEASURED (r13 ``dedup_scale``): on 50K-vocab zipf text the prefix
+filter's candidate count fits exponent ~2.0 in corpus size (zipf head
+tokens land in prefixes), reaching the 25M-pair audit budget at ~9.5K
+docs — the quantified form of the routing rule above: this tier is
+for SMALL-to-medium exact-threshold joins (decontamination against a
+bounded benchmark set), not open-web-scale dedup.
 
 Completeness is the CONTRACT (no hot-bucket caps here — a cap would
 reintroduce false negatives); it is proven against the naive

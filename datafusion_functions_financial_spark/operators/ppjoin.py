@@ -66,7 +66,8 @@ from pyspark.sql import functions as F
 
 from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
-from .dedup import _shingles_duck, _shingles_spark
+from . import fasthash
+from .dedup import _shingles_duck
 
 __all__ = ["ppjoin_pairs", "ppjoin_candidate_stats",
            "ppjoin_candidate_count"]
@@ -78,21 +79,45 @@ GATE_MOD = 4
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, w): each document's DISTINCT shingle set, exploded."""
-    return docs.selectExpr(
-        f"{id_col} AS doc_id",
-        f"explode({_shingles_spark(text_col)}) AS w")
+    """(doc_id, w): each document's DISTINCT shingle set, exploded.
+
+    Shingling runs through the vectorized Arrow UDF
+    (``fasthash.shingles_udf``) rather than the Catalyst
+    transform/substring lambda: higher-order-function lambdas are
+    interpreted per element (guide §4 — this pass alone measured
+    2.5 s for 5K docs / 1.2M shingles at r13), and the UDF's
+    normalize+shingle is the same construction the oracle-gated
+    ngram-Jaccard query already runs bit-identically."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(fasthash.shingles_udf(F.col(text_col))).alias("w"))
 
 
-def _prefixes(tok: DataFrame, t_num: int, t_den: int) -> DataFrame:
+def _sized_tokens(docs: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+    """(doc_id, m, w): exploded distinct shingles with the per-doc
+    distinct count ``m`` carried from the pre-explode array size —
+    the count is known before the explode, so computing it with a
+    window over the exploded relation (the r12 shape) paid an
+    exchange + full sort for a value ``size()`` gives for free."""
+    arr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        fasthash.shingles_udf(F.col(text_col)).alias("__arr"))
+    return arr.select(
+        "doc_id",
+        F.size("__arr").cast("bigint").alias("m"),
+        F.explode("__arr").alias("w"))
+
+
+def _prefixes(docs: DataFrame, id_col: str, text_col: str,
+              t_num: int, t_den: int) -> DataFrame:
     """(doc_id, w, m): the prefix-filter tokens per document — the
     first ``m - ceil(t*m) + 1`` of its tokens in the global
     (df ASC, w ASC) rarity order."""
+    tok = _sized_tokens(docs, id_col, text_col)
     df_rel = tok.groupBy("w").agg(
         F.count(F.lit(1)).cast("bigint").alias("__df"))
-    sized = tok.join(df_rel, "w").withColumn(
-        "m", F.count(F.lit(1)).over(
-            Window.partitionBy("doc_id")).cast("bigint"))
+    sized = tok.join(df_rel, "w")
     pos = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("__df", "w")).cast("bigint")
     return (
@@ -109,7 +134,7 @@ def _scored_candidates(docs: DataFrame, id_col: str, text_col: str,
     """(id_a, id_b, m_a, m_b, inter): exact intersection sizes for
     every prefix-sharing candidate pair."""
     tok = _tokens(docs, id_col, text_col)
-    pref = _prefixes(tok, t_num, t_den)
+    pref = _prefixes(docs, id_col, text_col, t_num, t_den)
     cand = (
         pref.selectExpr("doc_id AS id_a", "w", "m AS m_a")
         .join(pref.selectExpr("doc_id AS id_b", "w", "m AS m_b"), "w")
@@ -162,8 +187,7 @@ def ppjoin_candidate_count(docs: DataFrame, id_col: str = "doc_id",
     measured). This is the prefix equi-join + distinct alone, so
     candidate growth can be measured at sizes where scoring would be
     the bottleneck (bench.py ``dedup_scale``)."""
-    tok = _tokens(docs, id_col, text_col)
-    pref = _prefixes(tok, t_num, t_den)
+    pref = _prefixes(docs, id_col, text_col, t_num, t_den)
     return (
         pref.selectExpr("doc_id AS id_a", "w")
         .join(pref.selectExpr("doc_id AS id_b", "w"), "w")

@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 
 from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
-from .dedup import _shingles_duck, _shingles_spark
+from . import fasthash
+from .dedup import _shingles_duck
 from .ppjoin import T_DEN, T_NUM
 
 __all__ = ["ppjoin_rs_pairs", "ppjoin_rs_candidate_stats"]
@@ -62,21 +63,35 @@ GATE_MOD = 4
 
 def _tok(docs: DataFrame, id_col: str, text_col: str,
          out_id: str) -> DataFrame:
-    return docs.selectExpr(
-        f"{id_col} AS {out_id}",
-        f"explode({_shingles_spark(text_col)}) AS w")
+    # Vectorized Arrow shingling (same construction, bit-identical
+    # sets) instead of the interpreted Catalyst lambda — see
+    # ppjoin._tokens for the r13 measurement.
+    return docs.select(
+        F.col(id_col).alias(out_id),
+        F.explode(fasthash.shingles_udf(F.col(text_col))).alias("w"))
+
+
+def _sized_tok(docs: DataFrame, id_col: str, text_col: str,
+               out_id: str) -> DataFrame:
+    """(id, m, w): exploded distinct shingles with the per-doc count
+    ``m`` taken from the pre-explode array size (no window)."""
+    arr = docs.select(
+        F.col(id_col).alias(out_id),
+        fasthash.shingles_udf(F.col(text_col)).alias("__arr"))
+    return arr.select(
+        out_id,
+        F.size("__arr").cast("bigint").alias("m"),
+        F.explode("__arr").alias("w"))
 
 
 def _prefix(tok: DataFrame, id_col: str, df_rel: DataFrame,
             t_num: int, t_den: int) -> DataFrame:
     """(id, w, m): the first ``m - ceil(t*m) + 1`` tokens of each doc
     under the shared (corpus-df ASC, w ASC) order; unseen tokens take
-    df = 0."""
+    df = 0. ``tok`` must be a ``_sized_tok`` relation (carries m)."""
     sized = (
         tok.join(df_rel, "w", "left")
         .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
-        .withColumn("m", F.count(F.lit(1)).over(
-            Window.partitionBy(id_col)).cast("bigint"))
     )
     pos = F.row_number().over(
         Window.partitionBy(id_col).orderBy("__df", "w")).cast("bigint")
@@ -97,8 +112,10 @@ def _scored(probe: DataFrame, corpus: DataFrame, id_col: str,
     tok_s = _tok(corpus, id_col, text_col, "id_s")
     df_rel = tok_s.groupBy("w").agg(
         F.count(F.lit(1)).cast("bigint").alias("__df"))
-    pref_r = _prefix(tok_r, "id_r", df_rel, t_num, t_den)
-    pref_s = _prefix(tok_s, "id_s", df_rel, t_num, t_den)
+    pref_r = _prefix(_sized_tok(probe, id_col, text_col, "id_r"),
+                     "id_r", df_rel, t_num, t_den)
+    pref_s = _prefix(_sized_tok(corpus, id_col, text_col, "id_s"),
+                     "id_s", df_rel, t_num, t_den)
     cand = (
         pref_r.selectExpr("id_r", "w", "m AS m_r")
         .join(pref_s.selectExpr("id_s", "w", "m AS m_s"), "w")

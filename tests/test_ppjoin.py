@@ -68,7 +68,7 @@ def test_ppjoin_prefix_length_never_floats(spark):
         [(1, "abcde fghij klmno")], "doc_id long, text string")
     tok = ppjoin._tokens(docs, "doc_id", "text")
     m = tok.count()
-    pref = ppjoin._prefixes(tok, 3, 5).count()
+    pref = ppjoin._prefixes(docs, "doc_id", "text", 3, 5).count()
     assert pref == m - ((3 * m + 4) // 5) + 1
 
 

@@ -741,12 +741,14 @@ def simhash(df: DataFrame, text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
     if not 1 <= bits <= 62:
         raise ValueError("bits must be in 1..62 (signed-int64 safe)")
-    hashed = ensure_min_parallelism(df).select(
+    # Fused vectorized token-hash + bit-vote pass (bit-identical twin
+    # of the Catalyst _simhash_from_hashes_spark expression, which the
+    # oracles still mirror): the interpreted bits x tokens double fold
+    # dominated the r13 dedup-scale simhash point (guide §4).
+    return ensure_min_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
-        fasthash.token_hashes_udf(F.col(text_col)).alias("__th"),
-    )
-    return hashed.selectExpr(
-        "doc_id", f"{_simhash_from_hashes_spark(bits)} AS simhash"
+        fasthash.make_simhash_udf(PERMS, bits)(
+            F.col(text_col)).alias("simhash"),
     )
 
 

@@ -100,22 +100,30 @@ def _batch_shingle_hashes(
         rl = lens[regular]
         rm = m[regular]
         roffs = np.concatenate([[0], np.cumsum(rl)[:-1]])
+        n = len(codes)
+        # Rolling fold over EVERY window start of the concatenated
+        # char array via k-1 contiguous shifted adds — no per-window
+        # gather (the previous shape paid k fancy-index gathers of a
+        # corpus-sized index array; contiguous slices are ~2.5x
+        # faster measured). Windows that straddle a doc boundary are
+        # dropped afterwards: each doc contributes invalid positions
+        # only in its last k-1 chars.
+        h_all = codes[: n - k + 1].copy()
+        for j in range(1, k):
+            h_all *= 31
+            h_all += codes[j: n - k + 1 + j]
+        h_all %= MOD
+        keep = np.ones(n - k + 1, dtype=bool)
+        tail = (roffs + rm)[:, None] + np.arange(k - 1, dtype=np.int64)
+        tail = tail.ravel()
+        keep[tail[tail < n - k + 1]] = False
+        h = h_all[keep]
+        # Scatter back into the all-docs layout (short docs interleave).
         w = int(rm.sum())
-        # Window-start index into `codes` for every hash position.
-        pos = np.arange(w, dtype=np.int64)
-        seg = np.repeat(np.arange(len(rl), dtype=np.int64), rm)
-        within = pos - np.repeat(
-            np.concatenate([[0], np.cumsum(rm)[:-1]]), rm
-        )
-        starts = roffs[seg] + within
-        h = np.zeros(w, dtype=np.int64)
-        for j in range(k):
-            h = h * 31 + codes[starts + j]
-        h %= MOD
-        # Scatter back into the all-docs layout.
-        out_seg = np.repeat(seg_starts[regular], rm)
-        out_within = within
-        hashes[out_seg + out_within] = h
+        out_within = (np.arange(w, dtype=np.int64)
+                      - np.repeat(np.concatenate(
+                          [[0], np.cumsum(rm)[:-1]]), rm))
+        hashes[np.repeat(seg_starts[regular], rm) + out_within] = h
     short = ~regular
     if short.any():
         short_idx = np.flatnonzero(short)
@@ -268,6 +276,57 @@ def token_hashes_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(
         [[int(x) for x in arr] for arr in np.split(h, offs)]
     )
+
+
+def make_simhash_udf(perms: list[tuple[int, int]], bits: int):
+    """Fused token-hash + bit-vote SimHash, vectorized in numpy.
+
+    Bit-identical twin of dedup's Catalyst expression
+    ``_simhash_from_hashes_spark`` (which the simhash oracles mirror):
+    bit b < 31 votes on bit b of the token hash h; bits 31..61 vote on
+    bit b%31 of the FIRST LCG permutation of h (the Catalyst CASE's
+    1-indexed ``element_at(..., b div 31)`` selects perms[0] for every
+    b in 31..61). A bit is set when the +1/-1 vote sum over the doc's
+    DISTINCT tokens is positive. The interpreted Catalyst double fold
+    costs bits x tokens expression evaluations per doc (~60s of the
+    r13 dedup-scale simhash point at 50K docs); here it is ``bits``
+    vectorized reduceat passes over the batch's token-hash array."""
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in 1..62 (signed-int64 safe)")
+    a1, c1 = perms[0]
+
+    @pandas_udf(LongType())
+    def simhash_fused(texts: pd.Series) -> pd.Series:
+        if len(texts) == 0:
+            return pd.Series([], dtype=np.int64)
+        all_tokens: list[str] = []
+        counts: list[int] = []
+        for t in texts:
+            toks = dict.fromkeys(_WS.split(t.strip().lower()))
+            counts.append(len(toks))
+            all_tokens.extend(toks)
+        h1 = _hash_strings(all_tokens, k=-1)
+        n = np.array(counts, dtype=np.int64)
+        seg = np.concatenate([[0], np.cumsum(n)[:-1]])
+        # reduceat needs a non-empty target; guard the all-empty batch
+        if len(h1) == 0:
+            return pd.Series(np.zeros(len(texts), dtype=np.int64))
+        h2 = (a1 * h1 + c1) % PRIME
+        out = np.zeros(len(texts), dtype=np.int64)
+        nonempty = n > 0
+        # trailing zero-token docs would index reduceat past the end;
+        # clip (their vote sums are masked to 0 below anyway)
+        seg = np.minimum(seg, len(h1) - 1)
+        for b in range(bits):
+            src, shift = (h1, b) if b < 31 else (h2, b % 31)
+            ones = np.add.reduceat((src >> shift) & 1, seg)
+            # reduceat duplicates the next segment's value for empty
+            # segments; mask them out (their vote sum is 0, not > 0)
+            votes = np.where(nonempty, 2 * ones - n, 0)
+            out |= np.where(votes > 0, np.int64(1) << b, 0)
+        return pd.Series(out)
+
+    return simhash_fused
 
 
 def _fold_dot(X: np.ndarray, Y: np.ndarray) -> np.ndarray:

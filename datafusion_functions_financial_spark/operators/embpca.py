@@ -54,11 +54,32 @@ def _dots(vecs: DataFrame, comp: DataFrame) -> DataFrame:
     )
 
 
+def _with_dot(vecs: DataFrame, comp: DataFrame) -> DataFrame:
+    """(vec_id, pos, x, dot): the exploded corpus with the quantized
+    x·comp dot attached via a window SUM over the vec_id partition.
+
+    Same integers as ``_dots`` + join-back (the summed terms are the
+    identical BIGINTs, and integer sums are order-free), but the
+    corpus subplan is referenced ONCE instead of twice per iteration.
+    Catalyst does not CSE repeated subplans, so the old
+    aggregate-then-rejoin shape re-embedded the whole corpus tree at
+    every reference — the unrolled two-component query planned 88
+    corpus scans/explodes (r13 plan audit); this shape plans 8."""
+    return (
+        vecs.join(F.broadcast(comp), "pos")
+        .withColumn("__t", F.expr(
+            f"CAST(round(x * val * {Q}) AS BIGINT)"))
+        .withColumn("dot", F.expr(
+            f"CAST(sum(__t) OVER (PARTITION BY vec_id) AS DOUBLE) "
+            f"/ {float(Q)!r}"))
+        .select("vec_id", "pos", "x", "dot")
+    )
+
+
 def _iterate(comp: DataFrame, vecs: DataFrame, spark) -> DataFrame:
     """One power step: comp (pos, val) -> next normalized (pos, val)."""
-    dots = _dots(vecs, comp)
     acc = (
-        vecs.join(dots, "vec_id")
+        _with_dot(vecs, comp)
         .withColumn("__c", F.expr(
             f"CAST(round(x * dot * {Q}) AS BIGINT)"))
         .groupBy("pos")
@@ -148,9 +169,12 @@ def power_iteration_two(df: DataFrame, id_col: str = "vec_id",
     comp1 = _start(spark)
     for _ in range(n_iter):
         comp1 = _iterate(comp1, vecs, spark)
-    p = _dots(vecs, comp1)
+    # Deflation via the same single-reference window shape: attach
+    # x·v1 per row, then subtract its projection (identical doubles —
+    # the dot is the same quantized sum, the join-back it replaces
+    # carried the same value to the same rows).
     vecs2 = (
-        vecs.join(p, "vec_id")
+        _with_dot(vecs, comp1)
         .join(F.broadcast(comp1.withColumnRenamed("val", "__v1")),
               "pos")
         .selectExpr("vec_id", "pos", "x - dot * __v1 AS x")

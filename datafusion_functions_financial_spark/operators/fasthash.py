@@ -132,6 +132,28 @@ def _batch_shingle_hashes(
     return seg_starts, hashes
 
 
+def make_kgram_hashes_udf(k: int):
+    """Positional k-gram polynomial hashes of an (already-normalized)
+    text column: array[i] is the fold of chars i..i+k-1, duplicates
+    included, position order — the winnowing hash stage. Same
+    integers as the unrolled Catalyst element_at fold (a single final
+    %MOD equals the per-step mod for these bounded values), computed
+    by the contiguous rolling pass in ``_batch_shingle_hashes``."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def kgram_hashes(texts: pd.Series) -> pd.Series:
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        norms = list(texts)
+        seg_starts, hashes = _batch_shingle_hashes(norms, k=k)
+        offs = seg_starts[1:]
+        return pd.Series(
+            [[int(x) for x in arr] for arr in np.split(hashes, offs)]
+        )
+
+    return kgram_hashes
+
+
 def make_minhash_udf(perms: list[tuple[int, int]]):
     A = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
     B = np.array([b for _, b in perms], dtype=np.int64)[:, None]

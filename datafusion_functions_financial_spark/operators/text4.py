@@ -29,8 +29,9 @@ from pyspark.sql import functions as F
 
 from ..plans.series import round_portable, round_portable_duck
 from ..sources.tables import load
+from . import fasthash
 from .text import (
-    MOD, _NORM_DUCK, _NORM_SPARK, poly_hash_duck, poly_hash_spark,
+    _NORM_DUCK, _NORM_SPARK, poly_hash_duck, poly_hash_spark,
 )
 
 __all__ = ["winnow_fingerprints", "winnow_pairs", "ngram_novelty"]
@@ -70,24 +71,17 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
         .filter(F.expr(f"length(__t) >= {k + w - 1}"))
         .filter(F.expr(f"length(__t) < {POS_M}"))
     )
-    # One code-point array per doc, then an UNROLLED k-term polynomial
-    # per position over element_at — identical values to
-    # ``poly_hash_spark(substring(...))`` (split('', s) emits no
-    # trailing empty), but without duplicating the document text onto
-    # every position row or allocating a per-position char array
-    # (measured ~5 s -> ~1 s for the sf0.1 fingerprint relation).
-    h = "0L"
-    for i in range(k):
-        h = f"(({h} * 31 + element_at(__cs, __pp + {i})) % {MOD})"
+    # Positional k-gram hashes from the vectorized rolling pass
+    # (fasthash.make_kgram_hashes_udf) — identical values to the
+    # unrolled element_at polynomial it replaces (which itself
+    # measured ~5 s -> ~1 s vs per-position substrings); the
+    # interpreted k-term fold still cost k x positions expression
+    # evaluations per doc (guide §4).
     hashed = (
-        base.selectExpr(
+        base.select(
             "__id",
-            "transform(split(__t, ''), "
-            "c -> CAST(ascii(c) AS LONG)) AS __cs")
-        .selectExpr(
-            "__id",
-            f"posexplode(transform(sequence(1, size(__cs) - {k} + 1), "
-            f"__pp -> {h})) AS (__p0, __h)")
+            F.posexplode(fasthash.make_kgram_hashes_udf(k)(
+                F.col("__t"))).alias("__p0", "__h"))
         .selectExpr("__id", "__p0 + 1 AS __p", "__h")
     )
     keyed = hashed.withColumn(

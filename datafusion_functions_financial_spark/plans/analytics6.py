@@ -286,8 +286,16 @@ def pagerank_edges(edges: DataFrame, nodes: DataFrame,
     if d != PR_D:
         raise ValueError("damping is fixed at 85/100 (exact-ratio "
                          "double literals keep engine parity)")
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("__ow"))
-    e = edges.join(F.broadcast(out_w), "src")
+    # Out-weight as a window SUM over the src partition instead of a
+    # separate aggregate + broadcast join: w is an integer weight, so
+    # the window total is the identical BIGINT, and the edge relation
+    # keeps ONE subplan shape. With the aggregate+join shape the
+    # expensive edge construction appeared as two differently-pruned
+    # subtrees (src/w for out_w, all columns for e), each re-planned
+    # per unrolled iteration; one shape lets the runtime reuse the
+    # exchange across all iterations.
+    e = edges.withColumn(
+        "__ow", F.expr("sum(w) OVER (PARTITION BY src)"))
     # Damping constants as integer-ratio doubles (correctly-rounded
     # division of exact integers — identical on every engine), never
     # Python float literals reprinted into SQL.

@@ -286,10 +286,18 @@ def anisotropy(df: DataFrame, vec_col: str) -> DataFrame:
     standard representation-quality red flag. One pass + a dim-sized
     reduction; zero pairs materialized."""
     n2 = _NORM2_SPARK.format(v=vec_col)
-    unit = df.select(
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE) "
-               f"/ sqrt({n2}))").alias("__u"))
-    ex = unit.select(F.posexplode("__u").alias("__p0", "__val"))
+    # Explode the RAW vector and carry the per-row norm scalar through
+    # the Generate instead of exploding a normalized transform()
+    # array: Catalyst collapses the transform into the generator
+    # expression and re-evaluates the whole norm fold per EXPLODED
+    # element (measured 1.5 s vs 0.6 s for this explode at sf0.1).
+    # __val is the same CAST(x AS DOUBLE) / sqrt(n2) double.
+    ex = (
+        df.select(F.expr(f"sqrt({n2})").alias("__nrm"),
+                  F.posexplode(vec_col).alias("__p0", "__x"))
+        .select("__p0",
+                F.expr("CAST(__x AS DOUBLE) / __nrm").alias("__val"))
+    )
     dims = (
         ex.groupBy("__p0")
         .agg(F.sum(F.expr(

@@ -109,15 +109,24 @@ def knn_quantized(
     the query set, rank by integer-fold cosine. 4x less corpus I/O
     than float brute force; recall vs float cosine is high (tested)
     because per-vector symmetric int8 keeps relative angles."""
+    # Self-dots are per-VECTOR quantities; computing them below the
+    # join evaluates each interpreted fold once per vector instead of
+    # once per (query, vector) pair — the inlined _qcos shape paid 3
+    # folds per pair, 2 of them loop-invariant. Integer dots, so the
+    # hoisted values (and the doubles derived from them) are identical.
     qq = quantize_int8(queries, id_col, vec_col).selectExpr(
-        f"{id_col} AS q_id", "qvec AS q_q")
+        f"{id_col} AS q_id", "qvec AS q_q",
+        f"{_idot_spark('qvec', 'qvec')} AS q_n2")
     vv = quantize_int8(vectors, id_col, vec_col).selectExpr(
-        f"{id_col} AS n_id", "qvec AS n_q")
+        f"{id_col} AS n_id", "qvec AS n_q",
+        f"{_idot_spark('qvec', 'qvec')} AS n_n2")
+    qcos = (f"CASE WHEN q_n2 = 0 OR n_n2 = 0 THEN 0D "
+            f"ELSE CAST({_idot_spark('q_q', 'n_q')} AS DOUBLE) "
+            f"/ (sqrt(q_n2) * sqrt(n_n2)) END")
     scored = (
         vv.crossJoin(F.broadcast(qq))
         .filter("q_id != n_id")
-        .selectExpr("q_id", "n_id",
-                    f"{_qcos_spark('q_q', 'n_q')} AS qcos")
+        .selectExpr("q_id", "n_id", f"{qcos} AS qcos")
     )
     return (
         scored.withColumn(

@@ -65,26 +65,33 @@ def copurchase_pairs(lines: DataFrame, basket_key: str, item_key: str,
     hold ≤7 items, so the default cap is a no-op at every tested SF
     while staying finite at scale. ``None`` opts out; audit what a
     cap drops with ``copurchase_dropped_baskets``."""
+    # One aggregation by basket (collect_set dedups items in-agg),
+    # then ordered pairs from the SORTED item array via an in-row
+    # combination explode — replaces the r12 shape's three data-sized
+    # stages (distinct exchange, window-cap exchange+sort, basket
+    # self-join) with one exchange plus per-row generation. Same pair
+    # multiset: (x < y) pairs of each basket's distinct items, once
+    # per basket (array_sort makes the set deterministic; order never
+    # reaches the output — pairs re-aggregate by item). Measured at
+    # sf0.1: 2.03 s -> 1.75 s standalone and 3.58 s -> 2.46 s for the
+    # triangle query that embeds this subplan in several branches.
+    # Memory: the per-basket buffer is the same basket-sized state the
+    # window cap buffered; the cap filter still kills over-cap baskets
+    # before any pair is generated.
     b = lines.select(F.col(basket_key).alias("__b"),
-                     F.col(item_key).alias("__i")).distinct()
+                     F.col(item_key).alias("__i"))
+    baskets = b.groupBy("__b").agg(
+        F.expr("array_sort(collect_set(__i))").alias("__it"))
     if max_items_per_basket is not None:
-        wc = Window.partitionBy("__b")
-        b = (
-            b.withColumn("__n", F.count(F.lit(1)).over(wc))
-            .filter(F.col("__n") <= max_items_per_basket)
-            .drop("__n")
-        )
-    l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.__b") == F.col("r.__b"))
-        & (F.col("l.__i") < F.col("r.__i")),
-    ).select(
-        F.col("l.__i").alias("item_a"),
-        F.col("r.__i").alias("item_b"),
-    )
+        baskets = baskets.filter(
+            F.expr(f"size(__it) <= {int(max_items_per_basket)}"))
+    pairs = baskets.selectExpr(
+        "explode(flatten(transform(__it, (x, i) -> "
+        "transform(slice(__it, i + 2, size(__it)), "
+        "y -> struct(x AS a, y AS b))))) AS __p")
     return (
-        pairs.groupBy("item_a", "item_b")
+        pairs.selectExpr("__p.a AS item_a", "__p.b AS item_b")
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_count)
     )

@@ -12,12 +12,16 @@ def _no_cartesian(plan: str):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_copurchase_equijoin_no_cartesian(spark, sf_dir):
+def test_copurchase_joinfree_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_copurchase_parts")
     _no_cartesian(plan)
-    # Pair generation is an equi-join on the basket key.
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
-        or "BroadcastHashJoin" in plan, plan
+    # r13: pair generation is ONE basket-key aggregation (collect_set
+    # dedups in-agg) plus an in-row combination explode — no join of
+    # any kind, and the basket aggregate must sit on a basket-key
+    # exchange (partial collect_set below it).
+    assert "Join" not in plan, plan
+    assert "collect_set" in plan, plan
+    assert re.search(r"Exchange hashpartitioning\(__b", plan), plan
 
 
 def test_editdist_blocked_no_cartesian(spark, sf_dir):

@@ -112,6 +112,15 @@ def _batch_shingle_hashes(
         for j in range(1, k):
             h_all *= 31
             h_all += codes[j: n - k + 1 + j]
+            # Keep the accumulator exact for ANY k (ADVICE r13): after
+            # a reduction h < MOD, and 6 more shift-adds reach at most
+            # MOD*31^6 + 0x10FFFF*(31^6-1)/30 < 2^60 — within int64 —
+            # while k-1 unreduced steps wrap past k ~ 13 for ASCII.
+            # Intermediate mods preserve congruence, so the final
+            # value in [0, MOD) is bit-identical to the per-step-mod
+            # reference fold.
+            if j % 6 == 0:
+                h_all %= MOD
         h_all %= MOD
         keep = np.ones(n - k + 1, dtype=bool)
         tail = (roffs + rm)[:, None] + np.arange(k - 1, dtype=np.int64)

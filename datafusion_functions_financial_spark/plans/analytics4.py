@@ -64,7 +64,15 @@ def copurchase_pairs(lines: DataFrame, basket_key: str, item_key: str,
     pattern as dedup's ``_cap_hot_buckets_fused``). TPC-H orders
     hold ≤7 items, so the default cap is a no-op at every tested SF
     while staying finite at scale. ``None`` opts out; audit what a
-    cap drops with ``copurchase_dropped_baskets``."""
+    cap drops with ``copurchase_dropped_baskets``.
+
+    NULL items never pair and never count toward the cap:
+    ``collect_set`` drops NULLs, so a basket with k non-null items
+    plus NULLs is capped on k. (Pre-r13 the cap counted the basket's
+    one (basket, NULL) distinct row too — an off-by-one only visible
+    for baskets sitting exactly at the cap with a NULL item; pair
+    output for non-null items is identical. ADVICE r13 documents the
+    change.)"""
     # One aggregation by basket (collect_set dedups items in-agg),
     # then ordered pairs from the SORTED item array via an in-row
     # combination explode — replaces the r12 shape's three data-sized

@@ -113,6 +113,164 @@ def plan_audit_size(done: dict[int, int], n: int,
     return n_eff, int(projected)
 
 
+# Headline set: the reference's indicator surface + representative
+# analytics and pipeline operators. (name, rows processed at sf0.1)
+HEADLINE = (
+    # Module-level so the plan audit imports THE list instead of
+    # regexing bench.py source (ADVICE r13: the regex silently
+    # shrank to a subset under any reformat).
+    "ind_sma_native_events",      # Catalyst-native SMA
+    "ind_ema_events",             # recursive kernel via applyInPandas
+    "ind_rsi_events",
+    "ind_macd_events",
+    "ind_combined_events",        # all four in one pass (flagship)
+    "signals_rsi_events",
+    "signals_ma_crossover_events",
+    "signals_ma_crossover_lineitem_2050",  # reference 20/50 windows
+    "validate_lineitem_values",
+    "validate_events_gaps_keyed",  # partitioned (scale-path) gap scan
+    "asof_events_snapshots",       # as-of join (union+window, no join op)
+    "q_pricing_summary_lineitem",
+    "q_events_hourly",
+    "q_events_sessionize",
+    "q_revenue_by_nation",
+    "q_lineitem_order_revenue",
+    "text_stats_documents",
+    "dedup_minhash_signatures_documents",
+    "dedup_minhash_lsh_documents",
+    # dedup_simhash_pairs_documents is excluded: the synthetic
+    # corpus's tiny vocabulary makes 83% of ALL pairs qualify
+    # (~10M output rows at sf0.1), so the timing measures output
+    # materialization, not the banded-blocking operator.
+    "embedding_neardup_pairs",         # banded LSH + exact verify
+    "knn_bruteforce_embeddings",
+    "knn_lsh_embeddings",
+    "knn_ivf_embeddings",
+    "pipeline_clean_corpus_documents",  # composed curation flagship
+    "micro_vwap_events",               # bucketed VWAP (tick-stream agg)
+    "text_repetition_documents",       # explode + 2-stage counting
+    "multimodal_features_documents",   # Arrow binary mapInPandas
+    "q_orders_value_bands",            # broadcast non-equi band join
+    "rollup_incremental_events",       # delta-scaled bar maintenance
+    "decontam_report_documents",       # broadcast benchmark n-grams
+    "dedup_incremental_neardup_documents",  # shard-vs-index LSH
+    "text_tfidf_topk_documents",       # corpus DF + per-doc rank
+    "sketch_hll_users_events",         # register-table distinct sketch
+    "knn_quantized_embeddings",        # int8 quantized brute force
+    "sample_mix_proportions_documents",  # domain mixing, zero shuffle
+    "ind_stochastic_events",           # frame-local window oscillator
+    "text_chunk_documents",            # tokenize-once chunk explode
+    "vocab_top_tokens_documents",      # TakeOrdered heavy hitters
+    "hist_value_events",               # one-shuffle fixed-width bins
+    "q_funnel_events",                 # single groupBy(user) collapse
+    "q_retention_events",              # cohort x offset, bounded keys
+    "quality_percentile_filter_documents",  # broadcast thresholds
+    # --- r04 additions ---
+    "q_user_activity_1h_events",       # time-RANGE frame (trailing hour)
+    "q_latest_order_per_customer",     # max_by snapshot dedup, no window
+    "q_orders_cube",                   # grouping-set expansion
+    "roll_beta_lineitem",              # ordered-array-fold rolling beta
+    "text_unigram_xent_documents",     # corpus-LM score, broadcast vocab
+    "emb_label_cohesion_embeddings",   # 2-pass centroid cohesion
+    # --- r04 late additions ---
+    "ind_adx_events",                  # triple-Wilder kernel chain
+    "risk_var_cvar_events",            # sorted-frame order-stat quantile
+    "barvol_events",                   # bar build + range-vol folds
+    "cms_token_counts_documents",      # count-min cells + top-k audit
+    "bloom_membership_customers",      # broadcast bloom membership
+    "dq_benford_orders",               # digit pivot + fixed chi-square
+    "ind_stochrsi_events",             # kernel RSI + frame renorm
+    "q_wau_hll_events",                # sliding distinct via HLL merge
+    "q_cohort_ltv_orders",             # cohort x offset cumulative
+    "micro_flow_imbalance_events",     # signed-flow bucket collapse
+    "dedup_representatives_documents",  # cluster canonical selection
+    "link_customers_fuzzy",            # blocked trigram linkage
+    # --- r05 additions ---
+    "q_gini_orders",                   # rank-product inequality
+    "q_anomaly_mad_events",            # order-statistic MAD screen
+    "q_holt_forecast_events",          # double-state recursive kernel
+    "q_markov_transitions_events",     # sequence transition matrix
+    "graph_copurchase_parts",          # basket-key pair explosion
+    "text_zipf_documents",             # token-rank OLS
+    "q_joinsize_cms_orders",           # sketch inner-product planner
+    # --- r06 additions ---
+    "q_skyline_orders",                # per-day max + frontier scan
+    "graph_pagerank_nations",          # 3 unrolled broadcast iterations
+    "ind_kama_events",                 # adaptive fold2d kernel
+    "ind_hull_ma_events",              # integer-exact chained WMA
+    "micro_kyle_lambda_events",        # tick-rule sign + keyed OLS
+    "sample_token_budget_documents",   # hashed-order budget cumsum
+    # --- late-r06 additions ---
+    "q_kruskal_events",                # distinct-value rank relation
+    "q_hurst_events",                  # R/S blocks + quantized OLS
+    "micro_vpin_events",               # integer volume-bucket cuts
+    "graph_triangles_lineitem",        # degree-oriented wedge join
+    "graph_jaccard_customers_lineitem",  # shared-item equi-join topk
+    "q_distributed_median_lineitem",   # narrowing histogram median
+    # --- r07 additions ---
+    "graph_cc_parts",                  # large-star/small-star CC
+    "dedup_cc_documents",              # CC over the LSH dup graph
+    "qs_merge_by_month_orders",        # sketch build+merge+extract
+    "q_kalman_level_events",           # adaptive-gain Arrow kernel
+    "q_adf_events",                    # lag-pair sufficient stats
+    "text_winnow_pairs_documents",     # fingerprint-index overlap
+    "sample_neyman_orders",            # allocation + hash-rank draw
+    "emb_anisotropy_embeddings",       # unit-sum identity, no pairs
+    # --- late-r07 (second window) additions ---
+    "q_kaplan_meier_events",           # risk-set windows + log fold
+    "risk_calmar_events",              # running-max drawdown ratio
+    "micro_lee_ready_events",          # asof quote join + tick carry
+    "graph_kcore_parts",               # bounded peel, fixpoint sig
+    "text_bigram_xent_documents",      # corpus-bigram LM join
+    "emb_pca2_power_embeddings",       # deflated power iteration
+    "q_reconcile_orders_lineitem",     # cross-table cents audit
+    # --- late-r07 (third window) additions ---
+    "q_auc_events",                    # bucketed prefix-sum ranks
+    "q_bh_fdr_events",                 # closed-form chi2 p + BH rank
+    "dq_digest_diff_orders",           # Merkle-bucket snapshot diff
+    "q_kendall_tau_events",            # calendar-bounded pair join
+    "dedup_jaccard_hist_documents",    # LSH-candidate Jaccard hist
+    "q_huber_mean_orders",             # frozen-scale IRLS scans
+    "emb_kmeans_embeddings",           # broadcast-centroid Lloyd
+    # --- r09 additions (TPC-H completion + new operators) ---
+    "q_local_supplier_volume_nations",  # Q5 region-gated 6-way join
+    "q_small_qty_revenue_lineitem",    # Q17, AQE-decided fact join
+    "q_waiting_suppliers",             # Q21 stacked aggregates
+    "q_min_price_suppliers_parts",     # Q2 argmin self-join
+    # dedup_ppjoin_pairs_documents is excluded (the simhash-pairs
+    # precedent): this synthetic corpus is the operator's
+    # documented adversarial case (31-word vocabulary ->
+    # candidate_share ~0.86 even on the gate subsample), so its
+    # 26.7 s at sf0.1 measures exact scoring of a near-all-pairs
+    # candidate grid — work the module's own routing note sends
+    # to LSH-first. It still runs in every CORRECTNESS gate and
+    # full-registry sweep; the zipfian pytest measures the
+    # natural-corpus pruning (candidate_share 0.046).
+    "q_pr_auc_events",                 # tie-aware AP prefix sums
+    "text_js_sources_documents",       # per-source JS divergence
+    "graph_lcc_parts",                 # per-node wedge-join LCC
+    "emb_silhouette_embeddings",       # centroid silhouette
+    "q_mood_median_events",            # narrowing median + chi2
+    # --- r10 additions ---
+    # decontam_ppjoin_* excluded for the dedup_ppjoin precedent:
+    # same adversarial 31-word corpus, near-all-pairs candidates.
+    "q_cvm_two_sample_events",         # bucketed ECDF prefix sums
+    "text_burrows_delta_documents",    # one-scan stylometry grid
+    "graph_knn_parts",                 # edge-degree join profile
+    "q_logrank_events",                # risk-set suffix windows
+    "emb_davies_bouldin_embeddings",   # centroid validity index
+    "dq_orphans_lineitem",             # 6-FK anti-join audit
+    # --- late-r10 additions (r11 gate queue) ---
+    "ind_kst_events",                  # 4-horizon ROC/SMA stack
+    "ind_ultimate_events",             # 3-window BP/TR blend
+    "q_kpss_events",                   # partial-sum stationarity
+    "q_cindex_events",                 # grid-suffix concordance
+    "q_ndcg_events",                   # dual-rank discounted gain
+    "graph_hits_nations",              # 3-iter hub/authority
+    "emb_ari_embeddings",              # IVF-vs-label agreement
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -137,159 +295,7 @@ def main() -> None:
 
     queries = all_queries()
 
-    # Headline set: the reference's indicator surface + representative
-    # analytics and pipeline operators. (name, rows processed at sf0.1)
-    headline = [
-        "ind_sma_native_events",      # Catalyst-native SMA
-        "ind_ema_events",             # recursive kernel via applyInPandas
-        "ind_rsi_events",
-        "ind_macd_events",
-        "ind_combined_events",        # all four in one pass (flagship)
-        "signals_rsi_events",
-        "signals_ma_crossover_events",
-        "signals_ma_crossover_lineitem_2050",  # reference 20/50 windows
-        "validate_lineitem_values",
-        "validate_events_gaps_keyed",  # partitioned (scale-path) gap scan
-        "asof_events_snapshots",       # as-of join (union+window, no join op)
-        "q_pricing_summary_lineitem",
-        "q_events_hourly",
-        "q_events_sessionize",
-        "q_revenue_by_nation",
-        "q_lineitem_order_revenue",
-        "text_stats_documents",
-        "dedup_minhash_signatures_documents",
-        "dedup_minhash_lsh_documents",
-        # dedup_simhash_pairs_documents is excluded: the synthetic
-        # corpus's tiny vocabulary makes 83% of ALL pairs qualify
-        # (~10M output rows at sf0.1), so the timing measures output
-        # materialization, not the banded-blocking operator.
-        "embedding_neardup_pairs",         # banded LSH + exact verify
-        "knn_bruteforce_embeddings",
-        "knn_lsh_embeddings",
-        "knn_ivf_embeddings",
-        "pipeline_clean_corpus_documents",  # composed curation flagship
-        "micro_vwap_events",               # bucketed VWAP (tick-stream agg)
-        "text_repetition_documents",       # explode + 2-stage counting
-        "multimodal_features_documents",   # Arrow binary mapInPandas
-        "q_orders_value_bands",            # broadcast non-equi band join
-        "rollup_incremental_events",       # delta-scaled bar maintenance
-        "decontam_report_documents",       # broadcast benchmark n-grams
-        "dedup_incremental_neardup_documents",  # shard-vs-index LSH
-        "text_tfidf_topk_documents",       # corpus DF + per-doc rank
-        "sketch_hll_users_events",         # register-table distinct sketch
-        "knn_quantized_embeddings",        # int8 quantized brute force
-        "sample_mix_proportions_documents",  # domain mixing, zero shuffle
-        "ind_stochastic_events",           # frame-local window oscillator
-        "text_chunk_documents",            # tokenize-once chunk explode
-        "vocab_top_tokens_documents",      # TakeOrdered heavy hitters
-        "hist_value_events",               # one-shuffle fixed-width bins
-        "q_funnel_events",                 # single groupBy(user) collapse
-        "q_retention_events",              # cohort x offset, bounded keys
-        "quality_percentile_filter_documents",  # broadcast thresholds
-        # --- r04 additions ---
-        "q_user_activity_1h_events",       # time-RANGE frame (trailing hour)
-        "q_latest_order_per_customer",     # max_by snapshot dedup, no window
-        "q_orders_cube",                   # grouping-set expansion
-        "roll_beta_lineitem",              # ordered-array-fold rolling beta
-        "text_unigram_xent_documents",     # corpus-LM score, broadcast vocab
-        "emb_label_cohesion_embeddings",   # 2-pass centroid cohesion
-        # --- r04 late additions ---
-        "ind_adx_events",                  # triple-Wilder kernel chain
-        "risk_var_cvar_events",            # sorted-frame order-stat quantile
-        "barvol_events",                   # bar build + range-vol folds
-        "cms_token_counts_documents",      # count-min cells + top-k audit
-        "bloom_membership_customers",      # broadcast bloom membership
-        "dq_benford_orders",               # digit pivot + fixed chi-square
-        "ind_stochrsi_events",             # kernel RSI + frame renorm
-        "q_wau_hll_events",                # sliding distinct via HLL merge
-        "q_cohort_ltv_orders",             # cohort x offset cumulative
-        "micro_flow_imbalance_events",     # signed-flow bucket collapse
-        "dedup_representatives_documents",  # cluster canonical selection
-        "link_customers_fuzzy",            # blocked trigram linkage
-        # --- r05 additions ---
-        "q_gini_orders",                   # rank-product inequality
-        "q_anomaly_mad_events",            # order-statistic MAD screen
-        "q_holt_forecast_events",          # double-state recursive kernel
-        "q_markov_transitions_events",     # sequence transition matrix
-        "graph_copurchase_parts",          # basket-key pair explosion
-        "text_zipf_documents",             # token-rank OLS
-        "q_joinsize_cms_orders",           # sketch inner-product planner
-        # --- r06 additions ---
-        "q_skyline_orders",                # per-day max + frontier scan
-        "graph_pagerank_nations",          # 3 unrolled broadcast iterations
-        "ind_kama_events",                 # adaptive fold2d kernel
-        "ind_hull_ma_events",              # integer-exact chained WMA
-        "micro_kyle_lambda_events",        # tick-rule sign + keyed OLS
-        "sample_token_budget_documents",   # hashed-order budget cumsum
-        # --- late-r06 additions ---
-        "q_kruskal_events",                # distinct-value rank relation
-        "q_hurst_events",                  # R/S blocks + quantized OLS
-        "micro_vpin_events",               # integer volume-bucket cuts
-        "graph_triangles_lineitem",        # degree-oriented wedge join
-        "graph_jaccard_customers_lineitem",  # shared-item equi-join topk
-        "q_distributed_median_lineitem",   # narrowing histogram median
-        # --- r07 additions ---
-        "graph_cc_parts",                  # large-star/small-star CC
-        "dedup_cc_documents",              # CC over the LSH dup graph
-        "qs_merge_by_month_orders",        # sketch build+merge+extract
-        "q_kalman_level_events",           # adaptive-gain Arrow kernel
-        "q_adf_events",                    # lag-pair sufficient stats
-        "text_winnow_pairs_documents",     # fingerprint-index overlap
-        "sample_neyman_orders",            # allocation + hash-rank draw
-        "emb_anisotropy_embeddings",       # unit-sum identity, no pairs
-        # --- late-r07 (second window) additions ---
-        "q_kaplan_meier_events",           # risk-set windows + log fold
-        "risk_calmar_events",              # running-max drawdown ratio
-        "micro_lee_ready_events",          # asof quote join + tick carry
-        "graph_kcore_parts",               # bounded peel, fixpoint sig
-        "text_bigram_xent_documents",      # corpus-bigram LM join
-        "emb_pca2_power_embeddings",       # deflated power iteration
-        "q_reconcile_orders_lineitem",     # cross-table cents audit
-        # --- late-r07 (third window) additions ---
-        "q_auc_events",                    # bucketed prefix-sum ranks
-        "q_bh_fdr_events",                 # closed-form chi2 p + BH rank
-        "dq_digest_diff_orders",           # Merkle-bucket snapshot diff
-        "q_kendall_tau_events",            # calendar-bounded pair join
-        "dedup_jaccard_hist_documents",    # LSH-candidate Jaccard hist
-        "q_huber_mean_orders",             # frozen-scale IRLS scans
-        "emb_kmeans_embeddings",           # broadcast-centroid Lloyd
-        # --- r09 additions (TPC-H completion + new operators) ---
-        "q_local_supplier_volume_nations",  # Q5 region-gated 6-way join
-        "q_small_qty_revenue_lineitem",    # Q17, AQE-decided fact join
-        "q_waiting_suppliers",             # Q21 stacked aggregates
-        "q_min_price_suppliers_parts",     # Q2 argmin self-join
-        # dedup_ppjoin_pairs_documents is excluded (the simhash-pairs
-        # precedent): this synthetic corpus is the operator's
-        # documented adversarial case (31-word vocabulary ->
-        # candidate_share ~0.86 even on the gate subsample), so its
-        # 26.7 s at sf0.1 measures exact scoring of a near-all-pairs
-        # candidate grid — work the module's own routing note sends
-        # to LSH-first. It still runs in every CORRECTNESS gate and
-        # full-registry sweep; the zipfian pytest measures the
-        # natural-corpus pruning (candidate_share 0.046).
-        "q_pr_auc_events",                 # tie-aware AP prefix sums
-        "text_js_sources_documents",       # per-source JS divergence
-        "graph_lcc_parts",                 # per-node wedge-join LCC
-        "emb_silhouette_embeddings",       # centroid silhouette
-        "q_mood_median_events",            # narrowing median + chi2
-        # --- r10 additions ---
-        # decontam_ppjoin_* excluded for the dedup_ppjoin precedent:
-        # same adversarial 31-word corpus, near-all-pairs candidates.
-        "q_cvm_two_sample_events",         # bucketed ECDF prefix sums
-        "text_burrows_delta_documents",    # one-scan stylometry grid
-        "graph_knn_parts",                 # edge-degree join profile
-        "q_logrank_events",                # risk-set suffix windows
-        "emb_davies_bouldin_embeddings",   # centroid validity index
-        "dq_orphans_lineitem",             # 6-FK anti-join audit
-        # --- late-r10 additions (r11 gate queue) ---
-        "ind_kst_events",                  # 4-horizon ROC/SMA stack
-        "ind_ultimate_events",             # 3-window BP/TR blend
-        "q_kpss_events",                   # partial-sum stationarity
-        "q_cindex_events",                 # grid-suffix concordance
-        "q_ndcg_events",                   # dual-rank discounted gain
-        "graph_hits_nations",              # 3-iter hub/authority
-        "emb_ari_embeddings",              # IVF-vs-label agreement
-    ]
+    headline = list(HEADLINE)
     table_rows = {}
     for t in ("events", "orders", "lineitem", "documents", "embeddings",
               "customer"):
@@ -890,10 +896,19 @@ def main() -> None:
             dd.minhash_lsh_candidates(
                 _corpus_at(m), max_bucket_size=None,
                 sig=_sig_at(m)).count()))
+        # r14 (VERDICT r13 item 6): the count comes from the
+        # first-matching-band inclusion-exclusion aggregation
+        # (simhash_candidate_count) instead of materializing the
+        # ~25M-row pair relation and .distinct().count()ing it —
+        # counts verified IDENTICAL at the committed tier points
+        # (5000 -> 1,378,802; 21,290 -> 24,791,989) and pinned equal
+        # to the join path by tests/test_simhash_count.py. Same
+        # measurement semantics (distinct cross-band candidate pairs
+        # at the same sizes), linear work instead of pair-sized.
         _guarded("simhash_banded", n, lambda m: (
-            dd.simhash_candidates(
+            dd.simhash_candidate_count(
                 _corpus_at(m), max_hamming=SH_HAMMING,
-                bits=SH_BITS).count()))
+                bits=SH_BITS).collect()[0]["n_candidates"]))
         _guarded("ppjoin", n, lambda m: (
             ppjoin_candidate_count(
                 _corpus_at(m)).collect()[0]["n_candidates"]))

@@ -446,6 +446,14 @@ def minhash_lsh_candidates(
     if max_bucket_size is not None:
         bands = _cap_hot_buckets_fused(bands, ["band", "band_key"],
                                        max_bucket_size)
+    # NOTE (r14, measured and rejected): checkpointing the capped band
+    # relation here — so the self-join's two embedded copies (the plan
+    # shows two identical explode+Exchange+Sort+Window chains) read
+    # one materialization — made the INCLUSIVE build+write time flat
+    # to worse at sf0.1 (lsh 3.05->3.15 s, pipeline_clean 7.6->8.9 s,
+    # incremental 2.28->2.69 s): the eager materialization job costs
+    # as much as the duplicated recompute at this scale. Same verdict
+    # as the r13 kmeans/jaccard "compute once" attempts.
     a, b = bands.alias("a"), bands.alias("b")
     # Direct indexed compares, NOT zip_with/aggregate: higher-order
     # functions are interpreted per row (outside whole-stage codegen);
@@ -808,6 +816,66 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
         .select(F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"))
         .distinct()
+    )
+
+
+def simhash_candidate_count(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = HAMMING_THRESHOLD,
+                            bits: int = SIMHASH_BITS,
+                            s: DataFrame | None = None) -> DataFrame:
+    """1-row ``(n_candidates BIGINT)``: exactly
+    ``simhash_candidates(...).count()`` WITHOUT materializing the pair
+    relation (VERDICT r13 item 6 — the audit's 25M-row candidate
+    ``.distinct()`` was the remaining multi-second dedup-scale cost).
+
+    First-matching-band counting: every qualifying pair matches some
+    lowest band b, so the distinct-pair count is
+    ``Σ_b #{pairs agreeing on band b and on NO band j < b}``, and each
+    inner term expands by inclusion-exclusion over the earlier bands:
+    ``Σ_{S ⊆ {0..b-1}} (-1)^|S| P({b} ∪ S)`` where ``P(M)`` counts
+    pairs agreeing on every band in M — a per-group ``m*(m-1)/2`` sum
+    when grouping fingerprints by the masked band bits. With B =
+    ``max_hamming + 1`` bands that is ``2^B - 1`` grouped counts (15
+    at the production Hamming 3) over n rows each: linear scans and
+    bounded aggregation state instead of an n^2-shaped join + distinct
+    — the same reason this is the scale-safe count at 100 TB, where
+    the uncapped pair relation may not be materializable at all.
+
+    Identity with the join path is pinned by
+    ``tests/test_simhash_count.py`` (both fingerprint widths, plus the
+    duplicate-heavy zipf audit corpus) and re-verified on the audit's
+    committed tier points (identical counts; OPTIMIZATION_r14.md).
+    """
+    if max_hamming + 1 > bits:
+        raise ValueError("banding degenerates below 1 bit/band; "
+                         "use simhash_pairs(method='allpairs')")
+    if s is None:
+        s = simhash(df, text_col, id_col, bits).localCheckpoint()
+    slices = _band_slices(bits, max_hamming + 1)
+    masks = [((1 << w) - 1) << off for off, w in slices]
+    terms: list[tuple[int, int]] = []  # (sign, combined mask)
+    for b in range(len(masks)):
+        for sub in range(1 << b):  # bitset over bands 0..b-1
+            m = masks[b]
+            sign = 1
+            for j in range(b):
+                if sub >> j & 1:
+                    m |= masks[j]
+                    sign = -sign
+            terms.append((sign, m))
+    structs = ", ".join(
+        f"named_struct('t', {t}, 'sg', {sign}L, "
+        f"'k', simhash & {mask}L)"
+        for t, (sign, mask) in enumerate(terms)
+    )
+    return (
+        s.selectExpr(f"explode(array({structs})) AS tk")
+        .groupBy("tk.t", "tk.sg", "tk.k")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .agg(F.expr(
+            "CAST(sum(sg * (__m * (__m - 1) DIV 2)) AS BIGINT) "
+            "AS n_candidates"))
     )
 
 
